@@ -1,0 +1,19 @@
+"""Shared helpers for flax modules that scan over time."""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def scan_or_init(module: nn.Module, step, carry, xs, length: int):
+    """``lax.scan``, except while `module` is initializing run the body once
+    eagerly (flax cannot create variables inside lax control flow) and
+    broadcast the outputs to the scanned shape."""
+    if module.is_initializing():
+        xs0 = jax.tree_util.tree_map(lambda a: a[0], xs)
+        carry, ys0 = step(carry, xs0)
+        ys = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (length,) + a.shape), ys0)
+        return carry, ys
+    return jax.lax.scan(step, carry, xs)

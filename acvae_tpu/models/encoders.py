@@ -1,0 +1,286 @@
+"""Audio encoders (log-mel [N, T, F] → temporal embeddings).
+
+TPU-native re-designs of the reference encoder zoo (``models/encoder.py``).
+Every encoder returns the same dict contract as the reference
+(``encoder.py:337-342,702-707``)::
+
+    {"audio_embeds":        [N, T', E]   # temporal embedding sequence
+     "audio_embeds_pooled": [N, E]       # utterance embedding
+     "audio_embeds_lens":   [N]}         # valid lengths after subsampling
+
+Design notes vs the reference:
+
+* NHWC conv layout (XLA's native TPU layout) instead of NCHW.
+* Pooled utterance embeddings use **length-masked** mean/max
+  (the reference pools over padded frames too, ``encoder.py:691-695`` — the
+  masked version is bucket-size invariant, which static XLA shapes require).
+* BatchNorm carries explicit ``batch_stats`` collections; pass
+  ``train=True`` + ``mutable=["batch_stats"]``.
+* Time buckets should be divisible by the encoder's subsampling factor
+  (16 for Cnn10, 32 for Cnn14/ResNet38, 4 for CRNN).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acvae_tpu.core.registry import ENCODERS
+from acvae_tpu.models.rnn import GRU
+from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
+
+EncoderOutput = Dict[str, jnp.ndarray]
+
+
+class ConvBlock(nn.Module):
+    """PANN ConvBlock (encoder.py:606-649): 2× [conv3x3(no bias) → BN → relu],
+    then avg/max/avg+max pooling."""
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 pool_size: Tuple[int, int] = (2, 2),
+                 pool_type: str = "avg") -> jnp.ndarray:
+        for i in (1, 2):
+            x = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=jnp.float32, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        if pool_size != (1, 1):
+            if pool_type in ("avg", "avg+max"):
+                avg = nn.avg_pool(x, pool_size, strides=pool_size)
+            if pool_type in ("max", "avg+max"):
+                mx = nn.max_pool(x, pool_size, strides=pool_size)
+            x = {"avg": lambda: avg, "max": lambda: mx,
+                 "avg+max": lambda: avg + mx}[pool_type]()
+        return x
+
+
+class _MelBatchNorm(nn.Module):
+    """PANN's bn0: BatchNorm over the mel-bin axis (encoder.py:679-681)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        # x: [N, T, F]; normalizing per mel bin over (N, T) == BatchNorm2d(F)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            dtype=jnp.float32, name="bn0")(x)
+
+
+def _pann_head(x: jnp.ndarray, lens: jnp.ndarray, fc: nn.Module,
+               dropout_fn, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared PANN pooling head: mean over freq; masked max+mean over time;
+    dropout→fc→relu→dropout (encoder.py:691-698)."""
+    x = jnp.mean(x, axis=2)  # [N, T', C]
+    pooled = max_with_lens(x, lens) + mean_with_lens(x, lens)
+    pooled = dropout_fn(pooled, 0.5, train)
+    pooled = nn.relu(fc(pooled))
+    pooled = dropout_fn(pooled, 0.5, train)
+    return x, pooled
+
+
+class _DropoutMixin:
+    def _dropout(self, x, rate, train):
+        return nn.Dropout(rate, deterministic=not train)(x)
+
+
+@ENCODERS.register("Cnn10")
+class Cnn10(nn.Module, _DropoutMixin):
+    """PANN Cnn10 audio-tagger backbone (encoder.py:651-707) — the default
+    pretrained encoder.  4 ConvBlocks 64→512, time subsampling ×16."""
+    inputdim: int = 64
+    embed_size: int = 512
+    channels: Sequence[int] = (64, 128, 256, 512)  # reference widths (encoder.py:657-660)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
+                 train: bool = False) -> EncoderOutput:
+        assert self.embed_size == self.channels[-1], \
+            "Cnn10 temporal embeds have channels[-1] dims"
+        x = _MelBatchNorm()(feats, train)[..., None]  # [N, T, F, 1]
+        lens = feat_lens // 16
+        for i, c in enumerate(self.channels):
+            x = ConvBlock(c, dtype=self.dtype, name=f"block{i}_{c}")(x, train)
+            x = self._dropout(x, 0.2, train)
+        fc = nn.Dense(self.embed_size, name="embed_pooled",
+                      kernel_init=nn.initializers.xavier_uniform())
+        x, pooled = _pann_head(x, lens, fc, self._dropout, train)
+        return {"audio_embeds": x, "audio_embeds_pooled": pooled,
+                "audio_embeds_lens": lens}
+
+
+@ENCODERS.register("Cnn14")
+class Cnn14(nn.Module, _DropoutMixin):
+    """PANN Cnn14_16k (encoder.py:871-964): 6 ConvBlocks 64→2048, subsampling ×32."""
+    inputdim: int = 64
+    embed_size: int = 2048
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
+                 train: bool = False) -> EncoderOutput:
+        x = _MelBatchNorm()(feats, train)[..., None]
+        lens = feat_lens // 32
+        for c in (64, 128, 256, 512, 1024):
+            x = ConvBlock(c, dtype=self.dtype, name=f"block{c}")(x, train)
+            x = self._dropout(x, 0.2, train)
+        x = ConvBlock(2048, dtype=self.dtype, name="block2048")(
+            x, train, pool_size=(1, 1))
+        x = self._dropout(x, 0.2, train)
+        fc = nn.Dense(self.embed_size, name="fc1",
+                      kernel_init=nn.initializers.xavier_uniform())
+        x, pooled = _pann_head(x, lens, fc, self._dropout, train)
+        return {"audio_embeds": x, "audio_embeds_pooled": pooled,
+                "audio_embeds_lens": lens}
+
+
+class _ResnetBasicBlock(nn.Module):
+    """PANN ResNet basic block (encoder.py:981-1094).  stride=2 downsampling
+    is done with an avg-pool before conv1 (PANN's variant)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        identity = x
+        out = x
+        if self.stride == 2:
+            out = nn.avg_pool(out, (2, 2), strides=(2, 2))
+        out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
+                      kernel_init=nn.initializers.xavier_uniform(),
+                      dtype=self.dtype, name="conv1")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           dtype=jnp.float32, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
+                      kernel_init=nn.initializers.xavier_uniform(),
+                      dtype=self.dtype, name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           scale_init=nn.initializers.zeros,  # zero_init_residual
+                           dtype=jnp.float32, name="bn2")(out)
+        if self.downsample:
+            if self.stride == 2:
+                identity = nn.avg_pool(identity, (2, 2), strides=(2, 2))
+            identity = nn.Conv(self.planes, (1, 1), use_bias=False,
+                               kernel_init=nn.initializers.xavier_uniform(),
+                               dtype=self.dtype, name="ds_conv")(identity)
+            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    dtype=jnp.float32, name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+@ENCODERS.register("ResNet38")
+class ResNet38(nn.Module, _DropoutMixin):
+    """PANN ResNet38 (encoder.py:1169-1232): ConvBlock64 → ResNet[3,4,6,3]
+    → ConvBlock2048 → pooled head; subsampling ×32."""
+    inputdim: int = 64
+    embed_size: int = 2048
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
+                 train: bool = False) -> EncoderOutput:
+        x = _MelBatchNorm()(feats, train)[..., None]
+        lens = feat_lens // 32
+        x = ConvBlock(64, dtype=self.dtype, name="block64")(x, train)
+        x = self._dropout(x, 0.2, train)
+        in_planes = 64
+        for stage, (planes, blocks, stride) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]):
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                ds = (b == 0) and (s != 1 or in_planes != planes)
+                x = _ResnetBasicBlock(planes, s, ds, dtype=self.dtype,
+                                      name=f"layer{stage + 1}_{b}")(x, train)
+            in_planes = planes
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = self._dropout(x, 0.2, train)
+        x = ConvBlock(2048, dtype=self.dtype, name="block2048")(
+            x, train, pool_size=(1, 1))
+        x = self._dropout(x, 0.2, train)
+        fc = nn.Dense(self.embed_size, name="fc1",
+                      kernel_init=nn.initializers.xavier_uniform())
+        x, pooled = _pann_head(x, lens, fc, self._dropout, train)
+        return {"audio_embeds": x, "audio_embeds_pooled": pooled,
+                "audio_embeds_lens": lens}
+
+
+def _lp_pool(x: jnp.ndarray, p: float, window: Tuple[int, int]) -> jnp.ndarray:
+    """torch nn.LPPool2d: (sum over window of x^p)^(1/p) (encoder.py:280-286)."""
+    s = jax.lax.reduce_window(
+        jnp.abs(x) ** p, 0.0, jax.lax.add,
+        (1,) + window + (1,), (1,) + window + (1,), "VALID")
+    return s ** (1.0 / p)
+
+
+@ENCODERS.register("CRNNEncoder")
+class CRNNEncoder(nn.Module, _DropoutMixin):
+    """CRNN (encoder.py:271-342): Block2D conv stack with LPPool → BiGRU(128);
+    time subsampling ×4; pooled = masked mean."""
+    inputdim: int = 64
+    embed_size: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
+                 train: bool = False) -> EncoderOutput:
+        def block2d(x, cout, name):
+            # Block2D (encoder.py:180-194): BN → conv3x3(no bias) → LeakyReLU(0.1)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=jnp.float32, name=f"{name}_bn")(x)
+            x = nn.Conv(cout, (3, 3), padding="SAME", use_bias=False,
+                        kernel_init=nn.initializers.kaiming_uniform(),
+                        dtype=self.dtype, name=f"{name}_conv")(x)
+            return nn.leaky_relu(x, 0.1)
+
+        x = feats[..., None]  # [N, T, F, 1]
+        x = block2d(x, 32, "b1")
+        x = _lp_pool(x, 4.0, (2, 4))
+        x = block2d(x, 128, "b2")
+        x = block2d(x, 128, "b3")
+        x = _lp_pool(x, 4.0, (2, 4))
+        x = block2d(x, 128, "b4")
+        x = block2d(x, 128, "b5")
+        x = _lp_pool(x, 4.0, (1, 4))
+        x = self._dropout(x, 0.3, train)
+        N, Tp = x.shape[0], x.shape[1]
+        x = x.reshape(N, Tp, -1)  # flatten (freq, channels)
+        lens = feat_lens // 4
+        x, _ = GRU(128, x.shape[-1], bidirectional=True, name="gru")(x, lens)
+        pooled = mean_with_lens(x, lens)
+        return {"audio_embeds": x, "audio_embeds_pooled": pooled,
+                "audio_embeds_lens": lens}
+
+
+@ENCODERS.register("RNNEncoder")
+class RNNEncoder(nn.Module, _DropoutMixin):
+    """Packed GRU encoder (encoder.py:709-762) with mean/time representation."""
+    inputdim: int
+    embed_size: int = 256
+    hidden_size: int = 256
+    bidirectional: bool = False
+    representation: str = "time"
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
+                 train: bool = False) -> EncoderOutput:
+        out_time, _ = GRU(self.hidden_size, self.inputdim,
+                          bidirectional=self.bidirectional, name="gru")(feats, feat_lens)
+        if self.representation == "mean":
+            out = mean_with_lens(out_time, feat_lens)
+        else:  # last valid timestep
+            idx = jnp.maximum(feat_lens - 1, 0)
+            out = jnp.take_along_axis(out_time, idx[:, None, None], axis=1)[:, 0]
+        out = nn.Dense(self.embed_size, name="outputlayer",
+                       kernel_init=nn.initializers.kaiming_uniform())(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.01,
+                           dtype=jnp.float32, name="bn")(out)
+        return {"audio_embeds": out_time, "audio_embeds_pooled": out,
+                "audio_embeds_lens": feat_lens}

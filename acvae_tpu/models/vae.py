@@ -1,0 +1,423 @@
+"""AC-VAE caption models — per-timestep latent-word VAE with AR prior.
+
+TPU-native re-design of ``models/vae_model.py``:
+
+* :class:`VAECaptionModel` — covers the reference's ``VAEModel``
+  (:12-364) and ``Hybrid_VAEModel`` (:674-1048, ``global_constraint=True``).
+  The reference's per-timestep python decode loop (``stepwise_forward`` →
+  ``decode_step``, :34-55,116-139) becomes a single ``lax.scan`` whose carry
+  is (decoder GRU state, prior LSTM state, z_{t-1}, previous word); the
+  scheduled-sampling and dis-ratio coin flips (:128,149) become precomputed
+  per-step Bernoulli draws threaded through the scan as xs.
+* :class:`SimpleVAECaptionModel` — the ``SimpleVAEModel`` ablation (:366-672):
+  one global latent z, fixed N(0, e^{0.5·0.5}) prior at train (:488-495).
+
+Randomness: methods use the ``"sample"`` rng stream (pass
+``rngs={"sample": key}`` to ``apply``; dropout additionally needs
+``"dropout"`` when ``train=True``).
+
+Reference quirks preserved: the coin flips are drawn once per *timestep* (not
+per sample), matching ``random.random()`` / ``torch.rand(1)`` semantics; the
+carried ``last_z`` is always the **prior** sample even when the decoder was
+fed the posterior one (vae_model.py:192); beam search draws a fresh prior z
+per beam and uses flat top-k from step 0 with no end handling
+(vae_model.py:220-252).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acvae_tpu import END_IDX, MAX_LENGTH, PAD_IDX, START_IDX
+from acvae_tpu.decoding.beam import BeamConfig, batched_beam_search
+from acvae_tpu.models.common import scan_or_init
+from acvae_tpu.decoding.sampling import sample_next_word
+from acvae_tpu.ops.masked import length_mask, max_with_lens, mean_with_lens
+
+
+def _repeat_beams(tree, beam_size: int):
+    """[N, ...] -> [N*B, ...] with each row repeated B times (beam replication,
+    vae_model.py:277-283)."""
+    return jax.tree_util.tree_map(
+        lambda a: jnp.repeat(a, beam_size, axis=0), tree)
+
+
+class VAECaptionModel(nn.Module):
+    """VAEModel / Hybrid_VAEModel (models/vae_model.py:12-364, 674-1048)."""
+    encoder: nn.Module
+    decoder: nn.Module
+    qnet: nn.Module
+    pnet: nn.Module
+    global_constraint: bool = False      # Hybrid_VAEModel's utterance head
+    max_length: int = MAX_LENGTH
+
+    pad_idx = PAD_IDX
+    start_idx = START_IDX
+    end_idx = END_IDX
+
+    def setup(self):
+        if self.encoder.embed_size != self.decoder.embed_size:
+            self.ln = nn.Dense(self.decoder.embed_size, use_bias=True,
+                               kernel_init=nn.initializers.xavier_uniform())
+        else:
+            self.ln = None
+        if self.global_constraint:
+            # Hybrid_VAEModel.mean_log_out (vae_model.py:693): E -> 2E over
+            # mean+max pooled decoder hiddens.
+            self.mean_log_out = nn.Dense(2 * self.decoder.embed_size,
+                                         kernel_init=nn.initializers.xavier_uniform())
+
+    # ------------------------------------------------------------------ #
+    # encoding
+    # ------------------------------------------------------------------ #
+    def encode(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
+               train: bool = False) -> Dict[str, jnp.ndarray]:
+        encoded = self.encoder(feats, feat_lens, train=train)
+        if self.ln is not None:
+            encoded = dict(encoded)
+            encoded["audio_embeds"] = self.ln(encoded["audio_embeds"])
+        return encoded
+
+    # ------------------------------------------------------------------ #
+    # shared per-step compute
+    # ------------------------------------------------------------------ #
+    def _prep_ctx(self, encoded):
+        enc_mem = encoded["audio_embeds"]
+        enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
+        p_proj = self.pnet.project_enc(enc_mem)
+        d_proj = self.decoder.project_enc(enc_mem)
+        return enc_mem, enc_mask, p_proj, d_proj
+
+    # ------------------------------------------------------------------ #
+    # training forward
+    # ------------------------------------------------------------------ #
+    def __call__(self, feats, feat_lens, caps=None, cap_lens=None, **kwargs):
+        """Reference arity dispatch (vae_model.py:57-86): 4 args → train
+        forward, 2 args → inference forward."""
+        if caps is not None:
+            return self.train_forward(feats, feat_lens, caps, cap_lens, **kwargs)
+        return self.inference_forward(feats, feat_lens, **kwargs)
+
+    def train_forward(self, feats, feat_lens, caps, cap_lens,
+                      ss_ratio: float = 1.0, dis_ratio: float = 0.0,
+                      train: bool = True) -> Dict[str, Any]:
+        """Teacher-forced training pass.
+
+        caps: [N, L] int (``<start> w_1 .. w_k <end> <pad>..``); returns per
+        timestep logits/q/p statistics aligned like the reference
+        (vae_model.py:88-114,173-192): T = L-1 decode steps.
+        """
+        N, L = caps.shape
+        T = L - 1
+        E = self.decoder.embed_size
+        encoded = self.encode(feats, feat_lens, train)
+        enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
+
+        key = self.make_rng("sample")
+        k_q, k_p, k_coin1, k_coin2, k_samp = jax.random.split(key, 5)
+
+        qnetout = self.qnet(caps, cap_lens, jax.random.normal(k_q, (N, T, E)))
+
+        ss_coins = jax.random.uniform(k_coin1, (T,)) < ss_ratio
+        dis_coins = ((jax.random.uniform(k_coin2, (T,)) <= dis_ratio)
+                     & (jnp.asarray(dis_ratio) > 0))
+        eps_p = jax.random.normal(k_p, (T, N, E))
+        samp_keys = jax.random.split(k_samp, T)
+
+        def step(carry, xs):
+            dec_h, p_state, last_z, prev_word = carry
+            teacher_word, q_z_t, eps_t, ss_coin, dis_coin, key_t = xs
+            word = jnp.where(ss_coin, teacher_word, prev_word)
+            p = self.pnet.step(word, enc_mem, p_proj, enc_mask,
+                               p_state, last_z, eps_t)
+            z = jnp.where(dis_coin, p["z"], q_z_t)
+            d = self.decoder.step(word, dec_h, enc_mem, d_proj, enc_mask, z,
+                                  train=train)
+            w_t, lp_t = sample_next_word(d["logits"], key_t, "greedy")
+            carry = (d["state"], p["state"], p["z"], w_t)
+            ys = {"logits": d["logits"], "output": d["output"],
+                  "p_means": p["mean"], "p_logs": p["log"], "p_z": p["z"],
+                  "seqs": w_t, "sampled_logprobs": lp_t}
+            return carry, ys
+
+        carry0 = (self.decoder.init_state(N),
+                  self.pnet.init_state(N),
+                  jnp.zeros((N, E)),
+                  jnp.full((N,), self.start_idx, jnp.int32))
+        xs = (jnp.moveaxis(caps[:, :T], 0, 1), jnp.moveaxis(qnetout["q_z"], 0, 1),
+              eps_p, ss_coins, dis_coins, samp_keys)
+        _, ys = scan_or_init(self, step, carry0, xs, T)
+
+        output = {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
+        output.update({k: v for k, v in qnetout.items() if v is not None})
+
+        if self.global_constraint:
+            # Hybrid_VAEModel.stepwise_forward tail (vae_model.py:722-730)
+            hidden = (mean_with_lens(output["output"], cap_lens - 1)
+                      + max_with_lens(output["output"], cap_lens - 1))
+            output["p_means_utt"] = self.mean_log_out(hidden)
+        return output
+
+    # ------------------------------------------------------------------ #
+    # inference
+    # ------------------------------------------------------------------ #
+    def inference_forward(self, feats, feat_lens, decode_method: str = "greedy",
+                          max_length: Optional[int] = None,
+                          beam_size: int = 3, temp: float = 1.0,
+                          train: bool = False, **kwargs) -> Dict[str, Any]:
+        max_length = max_length or self.max_length
+        encoded = self.encode(feats, feat_lens, train)
+        if decode_method == "beam":
+            return self.beam_search(encoded, max_length, beam_size)
+        if decode_method == "dbs":
+            return self.diverse_beam_search(encoded, max_length, beam_size,
+                                            **kwargs)
+        return self.stepwise_decode(encoded, decode_method, max_length, temp)
+
+    def stepwise_decode(self, encoded, method: str, max_length: int,
+                        temp: float = 1.0) -> Dict[str, Any]:
+        """Greedy / sampled autoregressive decode with finished-mask semantics
+        matching the reference early-stop (vae_model.py:44-54)."""
+        enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
+        N = enc_mem.shape[0]
+        E = self.decoder.embed_size
+        T = max_length
+
+        key = self.make_rng("sample")
+        k_p, k_samp = jax.random.split(key)
+        eps_p = jax.random.normal(k_p, (T, N, E))
+        samp_keys = jax.random.split(k_samp, T)
+
+        def step(carry, xs):
+            dec_h, p_state, last_z, prev_word, finished = carry
+            eps_t, key_t = xs
+            p = self.pnet.step(prev_word, enc_mem, p_proj, enc_mask,
+                               p_state, last_z, eps_t)
+            d = self.decoder.step(prev_word, dec_h, enc_mem, d_proj, enc_mask,
+                                  p["z"], train=False)
+            w_t, lp_t = sample_next_word(d["logits"], key_t, method, temp)
+            w_t = jnp.where(finished, self.end_idx, w_t)
+            finished = finished | (w_t == self.end_idx)
+            carry = (d["state"], p["state"], p["z"], w_t, finished)
+            ys = {"logits": d["logits"], "output": d["output"],
+                  "p_means": p["mean"], "p_logs": p["log"], "p_z": p["z"],
+                  "seqs": w_t, "sampled_logprobs": lp_t}
+            return carry, ys
+
+        carry0 = (self.decoder.init_state(N), self.pnet.init_state(N),
+                  jnp.zeros((N, E)),
+                  jnp.full((N,), self.start_idx, jnp.int32),
+                  jnp.zeros((N,), bool))
+        _, ys = scan_or_init(self, step, carry0, (eps_p, samp_keys), T)
+        return {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
+
+    def beam_search(self, encoded, max_length: int,
+                    beam_size: int) -> Dict[str, Any]:
+        """VAE-flavor beam search (vae_model.py:220-312): per-beam prior z,
+        flat top-k from step 0, no end handling; top beam returned first."""
+        enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
+        N = enc_mem.shape[0]
+        B = beam_size
+        E = self.decoder.embed_size
+        enc_mem_r, enc_mask_r, p_proj_r, d_proj_r = _repeat_beams(
+            (enc_mem, enc_mask, p_proj, d_proj), B)
+
+        eps_p = jax.random.normal(self.make_rng("sample"),
+                                  (max_length, N * B, E))
+
+        def step_fn(state, words, t):
+            dec_h, p_state, last_z = state
+            p = self.pnet.step(words, enc_mem_r, p_proj_r, enc_mask_r,
+                               p_state, last_z, eps_p[t])
+            d = self.decoder.step(words, dec_h, enc_mem_r, d_proj_r,
+                                  enc_mask_r, p["z"], train=False)
+            return d["logits"], (d["state"], p["state"], p["z"])
+
+        init_state = (self.decoder.init_state(N * B),
+                      self.pnet.init_state(N * B),
+                      jnp.zeros((N * B, E)))
+        if self.is_initializing():
+            # create params via one eager step; beam loop itself is param-free
+            step_fn(init_state, jnp.full((N * B,), self.start_idx, jnp.int32), 0)
+            return {"seqs": jnp.full((N, B, max_length), self.end_idx, jnp.int32),
+                    "scores": jnp.zeros((N, B))}
+        cfg = BeamConfig(beam_size=B, max_length=max_length,
+                         start_idx=self.start_idx, end_idx=self.end_idx,
+                         first_step_row0=False, end_handling=False)
+        return batched_beam_search(step_fn, init_state, N, cfg)
+
+    def diverse_beam_search(self, encoded, max_length: int, beam_size: int,
+                            group_size: int = 5, diversity_lambda: float = 0.5,
+                            temperature: float = 1.0,
+                            group_nbest: bool = True) -> Dict[str, Any]:
+        from acvae_tpu.decoding.dbs import DBSConfig, diverse_beam_search
+
+        enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
+        N = enc_mem.shape[0]
+        E = self.decoder.embed_size
+        bdash = beam_size // group_size
+        NB = N * bdash
+        enc_mem_r, enc_mask_r, p_proj_r, d_proj_r = _repeat_beams(
+            (enc_mem, enc_mask, p_proj, d_proj), bdash)
+        total_steps = max_length + group_size - 1
+        eps_p = jax.random.normal(self.make_rng("sample"),
+                                  (group_size, total_steps, NB, E))
+
+        def make_step_fn(g):
+            def step_fn(state, words, t):
+                dec_h, p_state, last_z = state
+                p = self.pnet.step(words, enc_mem_r, p_proj_r, enc_mask_r,
+                                   p_state, last_z, eps_p[g, t])
+                d = self.decoder.step(words, dec_h, enc_mem_r, d_proj_r,
+                                      enc_mask_r, p["z"], train=False)
+                return d["logits"], (d["state"], p["state"], p["z"])
+            return step_fn
+
+        def make_init_state():
+            return (self.decoder.init_state(NB), self.pnet.init_state(NB),
+                    jnp.zeros((NB, E)))
+
+        if self.is_initializing():
+            make_step_fn(0)(make_init_state(),
+                            jnp.full((NB,), self.start_idx, jnp.int32), 0)
+            out_beams = beam_size if group_nbest else group_size
+            return {"seqs": jnp.full((N, out_beams, max_length),
+                                     self.end_idx, jnp.int32)}
+        cfg = DBSConfig(beam_size=beam_size, group_size=group_size,
+                        max_length=max_length,
+                        diversity_lambda=diversity_lambda,
+                        temperature=temperature, group_nbest=group_nbest,
+                        start_idx=self.start_idx, end_idx=self.end_idx)
+        return diverse_beam_search(make_step_fn, make_init_state, N, cfg)
+
+
+class SimpleVAECaptionModel(nn.Module):
+    """SimpleVAEModel ablation (vae_model.py:366-672): a single global latent,
+    fixed-prior N(0, e^{0.5·0.5}) at train / N(0, e^{0.5·1}) at eval
+    (:491-495,593-595); decoder receives the same z at every step."""
+    encoder: nn.Module
+    decoder: nn.Module
+    qnet: nn.Module
+    max_length: int = MAX_LENGTH
+
+    pad_idx = PAD_IDX
+    start_idx = START_IDX
+    end_idx = END_IDX
+
+    def setup(self):
+        if self.encoder.embed_size != self.decoder.embed_size:
+            self.ln = nn.Dense(self.decoder.embed_size,
+                               kernel_init=nn.initializers.xavier_uniform())
+        else:
+            self.ln = None
+
+    def encode(self, feats, feat_lens, train=False):
+        encoded = self.encoder(feats, feat_lens, train=train)
+        if self.ln is not None:
+            encoded = dict(encoded)
+            encoded["audio_embeds"] = self.ln(encoded["audio_embeds"])
+        return encoded
+
+    def __call__(self, feats, feat_lens, caps=None, cap_lens=None, **kwargs):
+        if caps is not None:
+            return self.train_forward(feats, feat_lens, caps, cap_lens, **kwargs)
+        return self.inference_forward(feats, feat_lens, **kwargs)
+
+    def _decode_with_z(self, encoded, z, words0, T, method, temp, caps=None,
+                       ss_ratio=1.0, train=False):
+        enc_mem = encoded["audio_embeds"]
+        enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
+        d_proj = self.decoder.project_enc(enc_mem)
+        N = enc_mem.shape[0]
+        key = self.make_rng("sample")
+        k_coin, k_samp = jax.random.split(key)
+        ss_coins = jax.random.uniform(k_coin, (T,)) < ss_ratio
+        samp_keys = jax.random.split(k_samp, T)
+        teacher = (jnp.moveaxis(caps[:, :T], 0, 1) if caps is not None
+                   else jnp.zeros((T, N), jnp.int32))
+
+        def step(carry, xs):
+            dec_h, prev_word, finished = carry
+            teacher_word, ss_coin, key_t = xs
+            if caps is not None:
+                word = jnp.where(ss_coin, teacher_word, prev_word)
+            else:
+                word = prev_word
+            d = self.decoder.step(word, dec_h, enc_mem, d_proj, enc_mask, z,
+                                  train=train)
+            w_t, lp_t = sample_next_word(d["logits"], key_t, method, temp)
+            if caps is None:
+                w_t = jnp.where(finished, self.end_idx, w_t)
+                finished = finished | (w_t == self.end_idx)
+            carry = (d["state"], w_t, finished)
+            ys = {"logits": d["logits"], "output": d["output"], "seqs": w_t,
+                  "sampled_logprobs": lp_t}
+            return carry, ys
+
+        carry0 = (self.decoder.init_state(N),
+                  jnp.full((N,), self.start_idx, jnp.int32),
+                  jnp.zeros((N,), bool))
+        _, ys = scan_or_init(self, step, carry0,
+                              (teacher, ss_coins, samp_keys), T)
+        return {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
+
+    def train_forward(self, feats, feat_lens, caps, cap_lens,
+                      ss_ratio: float = 1.0, dis_ratio: float = 0.0,
+                      train: bool = True):
+        N, L = caps.shape
+        E = self.decoder.embed_size
+        encoded = self.encode(feats, feat_lens, train)
+        key = self.make_rng("sample")
+        k_q, k_p = jax.random.split(key)
+        qnetout = self.qnet(caps, cap_lens, jax.random.normal(k_q, (N, E)))
+        # decoder always receives the posterior z at train (vae_model.py:458-459)
+        out = self._decode_with_z(encoded, qnetout["q_z"], None, L - 1,
+                                  "greedy", 1.0, caps, ss_ratio, train)
+        # fixed prior stats for the KL (vae_model.py:491-494)
+        out.update(qnetout)
+        out["p_means"] = jnp.zeros((N, E))
+        out["p_logs"] = jnp.full((N, E), 0.5)
+        out["p_z"] = (jax.random.normal(k_p, (N, E))
+                      * jnp.exp(0.5 * out["p_logs"]) + out["p_means"])
+        return out
+
+    def inference_forward(self, feats, feat_lens, decode_method: str = "greedy",
+                          max_length: Optional[int] = None, beam_size: int = 3,
+                          temp: float = 1.0, train: bool = False, **kwargs):
+        max_length = max_length or self.max_length
+        encoded = self.encode(feats, feat_lens, train)
+        N = encoded["audio_embeds"].shape[0]
+        E = self.decoder.embed_size
+        key = self.make_rng("sample")
+        if decode_method == "beam":
+            return self._beam(encoded, max_length, beam_size, key)
+        # eval prior: p_logs = 1 (vae_model.py:593-595)
+        z = jax.random.normal(key, (N, E)) * jnp.exp(0.5 * 1.0)
+        return self._decode_with_z(encoded, z, None, max_length, decode_method, temp)
+
+    def _beam(self, encoded, max_length, beam_size, key):
+        enc_mem = encoded["audio_embeds"]
+        enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
+        d_proj = self.decoder.project_enc(enc_mem)
+        N, B, E = enc_mem.shape[0], beam_size, self.decoder.embed_size
+        enc_mem_r, enc_mask_r, d_proj_r = _repeat_beams(
+            (enc_mem, enc_mask, d_proj), B)
+        z = jax.random.normal(key, (N * B, E)) * jnp.exp(0.5 * 1.0)
+
+        def step_fn(state, words, t):
+            d = self.decoder.step(words, state, enc_mem_r, d_proj_r,
+                                  enc_mask_r, z, train=False)
+            return d["logits"], d["state"]
+
+        init_state = self.decoder.init_state(N * B)
+        if self.is_initializing():
+            step_fn(init_state, jnp.full((N * B,), self.start_idx, jnp.int32), 0)
+            return {"seqs": jnp.full((N, B, max_length), self.end_idx, jnp.int32),
+                    "scores": jnp.zeros((N, B))}
+        cfg = BeamConfig(beam_size=B, max_length=max_length,
+                         start_idx=self.start_idx, end_idx=self.end_idx,
+                         first_step_row0=False, end_handling=False)
+        return batched_beam_search(step_fn, init_state, N, cfg)
