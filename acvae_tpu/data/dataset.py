@@ -1,0 +1,178 @@
+"""Clotho data pipeline: HDF5 log-mel features + caption pairs → static-shape
+device batches.
+
+Replaces the reference's torch ``Dataset``/``Sampler``/``collate_fn``
+(``datasets/caption_dataset.py``) with a TPU-first pipeline:
+
+* the (audio, caption) pair index — 5 captions/audio become 5 samples
+  (``CaptionSampler``, caption_dataset.py:199-224) — is a flat numpy array,
+  shuffled deterministically per epoch;
+* variable mel lengths are padded to a small set of **time buckets** (XLA
+  needs static shapes; each bucket compiles once) and captions to a fixed
+  ``max_length + 2``;
+* per-host sharding for multi-host data parallelism replaces the reference's
+  half-finished ``CaptionDistributedSampler`` (caption_dataset.py:226-276,
+  SURVEY §2.9): each host takes a deterministic stride of the pair index;
+* optional CPU-side augmentation hook (on-device SpecAugment lives in
+  ``acvae_tpu.ops.specaug`` and is preferred).
+"""
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from acvae_tpu import END_IDX, MAX_LENGTH, PAD_IDX, START_IDX
+from acvae_tpu.data.vocab import Vocabulary
+
+# default mel-time buckets: multiples of 32 covering Clotho's ≲2900 frames
+DEFAULT_BUCKETS = (256, 512, 768, 1024, 1536, 2048, 2560, 3072)
+
+
+def pick_bucket(length: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket ≥ length (last bucket crops longer clips)."""
+    i = bisect.bisect_left(buckets, length)
+    return buckets[min(i, len(buckets) - 1)]
+
+
+@dataclass
+class Batch:
+    """Host-side batch; ``audio_ids`` stays on host, arrays go to device."""
+    feats: np.ndarray        # [N, T_bucket, F] float32
+    feat_lens: np.ndarray    # [N] int32
+    caps: np.ndarray         # [N, L] int32
+    cap_lens: np.ndarray     # [N] int32
+    audio_ids: List[str] = field(default_factory=list)
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        return {"feats": self.feats, "feat_lens": self.feat_lens,
+                "caps": self.caps, "cap_lens": self.cap_lens}
+
+
+class CaptionDataset:
+    """HDF5-backed (audio, caption) pair dataset (caption_dataset.py:66-116).
+
+    h5file_dict: {audio_id: hdf5_path}; caption_info: text.json "audios" list.
+    Features may alternatively be provided in-memory via ``features``
+    ({audio_id: np.ndarray [T, F]}) for tests/benchmarks.
+    """
+
+    def __init__(self, h5file_dict: Optional[Dict[str, str]] = None,
+                 caption_info: Optional[List[dict]] = None,
+                 vocabulary: Optional[Vocabulary] = None,
+                 features: Optional[Dict[str, np.ndarray]] = None,
+                 transform: Optional[List[Callable]] = None,
+                 max_cap_len: int = MAX_LENGTH + 2):
+        self._h5file_dict = h5file_dict or {}
+        self._features = features
+        self._caption_info = caption_info or []
+        self._vocabulary = vocabulary
+        self._transform = transform or []
+        self._h5_cache: Dict[str, object] = {}
+        self.max_cap_len = max_cap_len
+        # flat (audio_idx, cap_idx) pair index (CaptionSampler semantics)
+        self.pairs = np.array(
+            [(ai, ci) for ai, info in enumerate(self._caption_info)
+             for ci in range(len(info["captions"]))], dtype=np.int64)
+        first = self._caption_info[0]["audio_id"] if self._caption_info else None
+        self.data_dim = (self._load_feature(first).shape[-1]
+                         if first is not None else None)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _load_feature(self, audio_id: str) -> np.ndarray:
+        if self._features is not None:
+            return np.asarray(self._features[audio_id])
+        import h5py
+        path = self._h5file_dict[audio_id]
+        if path not in self._h5_cache:
+            self._h5_cache[path] = h5py.File(path, "r")
+        return np.asarray(self._h5_cache[path][audio_id]).squeeze()
+
+    def get(self, pair_idx: int):
+        ai, ci = self.pairs[pair_idx]
+        info = self._caption_info[ai]
+        audio_id = info["audio_id"]
+        feature = self._load_feature(audio_id).astype(np.float32)
+        for t in self._transform:
+            feature = t(feature)
+        tokens = info["captions"][ci]["tokens"].split()
+        cap = ([START_IDX] + [self._vocabulary(t) for t in tokens] + [END_IDX])
+        cap = cap[: self.max_cap_len]
+        return audio_id, feature, np.asarray(cap, np.int32)
+
+    def refs(self) -> Dict[str, List[str]]:
+        """audio_id → list of reference token strings (for scoring)."""
+        return {info["audio_id"]: [c["tokens"] for c in info["captions"]]
+                for info in self._caption_info}
+
+
+class CaptionLoader:
+    """Batches a CaptionDataset with bucketing, shuffling and host sharding."""
+
+    def __init__(self, dataset: CaptionDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 0,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 host_id: int = 0, host_count: int = 1,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.buckets = tuple(buckets)
+        self.host_id = host_id
+        self.host_count = host_count
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        per_host = (n + self.host_count - 1) // self.host_count
+        if self.drop_last:
+            return per_host // self.batch_size
+        return (per_host + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # pad to host_count multiple, then take this host's stride
+        # (deterministic per-host shard — the CaptionDistributedSampler the
+        # reference never wired up)
+        pad = (-len(idx)) % self.host_count
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+        return idx[self.host_id::self.host_count]
+
+    def __iter__(self) -> Iterator[Batch]:
+        idx = self._indices()
+        L = self.dataset.max_cap_len
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            items = [self.dataset.get(i) for i in chunk]
+            max_t = max(f.shape[0] for _, f, _ in items)
+            bucket = pick_bucket(max_t, self.buckets)
+            N = len(items)
+            F = items[0][1].shape[1]
+            feats = np.zeros((N, bucket, F), np.float32)
+            feat_lens = np.zeros((N,), np.int32)
+            caps = np.full((N, L), PAD_IDX, np.int32)
+            cap_lens = np.zeros((N,), np.int32)
+            ids = []
+            for i, (aid, feat, cap) in enumerate(items):
+                t = min(feat.shape[0], bucket)
+                feats[i, :t] = feat[:t]
+                feat_lens[i] = t
+                caps[i, : len(cap)] = cap
+                cap_lens[i] = len(cap)
+                ids.append(aid)
+            yield Batch(feats, feat_lens, caps, cap_lens, ids)

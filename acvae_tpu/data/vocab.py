@@ -1,0 +1,102 @@
+"""Vocabulary + caption tokenization.
+
+Equivalent of ``utils/build_vocab.py``: word↔index maps with the fixed token
+protocol ``<pad>=0, <start>=1, <end>=2, <unk>=3`` (build_vocab.py:100-103),
+built from a Clotho-style ``text.json`` (``{"audios": [{"audio_id", "captions":
+[{"caption"|"tokens", "cap_id"}]}]}``) with lowercasing, punctuation stripping
+and a min-count threshold (build_vocab.py:60-95).  Plain-Python host-side code
+(vocab building is a one-off preprocessing step).
+"""
+from __future__ import annotations
+
+import json
+import pickle
+import re
+from collections import Counter
+from typing import Dict, Iterable, List
+
+from acvae_tpu import END_IDX, PAD_IDX, START_IDX, UNK_IDX
+
+_PUNCT = re.compile(r"[,.!?;:\"']")
+
+
+def tokenize(caption: str) -> List[str]:
+    """Lowercase + strip punctuation + whitespace split (build_vocab.py:74-78)."""
+    return _PUNCT.sub("", caption.lower()).split()
+
+
+class Vocabulary:
+    """word2idx/idx2word with ``<unk>`` fallback (build_vocab.py:9-28)."""
+
+    def __init__(self):
+        self.word2idx: Dict[str, int] = {}
+        self.idx2word: Dict[int, str] = {}
+        for tok in ("<pad>", "<start>", "<end>", "<unk>"):
+            self.add_word(tok)
+        assert self.word2idx["<pad>"] == PAD_IDX
+        assert self.word2idx["<start>"] == START_IDX
+        assert self.word2idx["<end>"] == END_IDX
+        assert self.word2idx["<unk>"] == UNK_IDX
+
+    def add_word(self, word: str) -> int:
+        if word not in self.word2idx:
+            idx = len(self.word2idx)
+            self.word2idx[word] = idx
+            self.idx2word[idx] = word
+        return self.word2idx[word]
+
+    def __call__(self, word: str) -> int:
+        return self.word2idx.get(word, self.word2idx["<unk>"])
+
+    def __len__(self) -> int:
+        return len(self.word2idx)
+
+    def decode(self, ids: Iterable[int]) -> List[str]:
+        """ids → words, skipping <start>, stopping at <end>
+        (utils/score_util.py:33-41)."""
+        words = []
+        for i in ids:
+            i = int(i)
+            if i == START_IDX:
+                continue
+            if i == END_IDX:
+                break
+            words.append(self.idx2word.get(i, "<unk>"))
+        return words
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump({"word2idx": self.word2idx}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "Vocabulary":
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        vocab = cls()
+        if isinstance(obj, cls):          # pickled Vocabulary
+            return obj
+        for word, idx in sorted(obj["word2idx"].items(), key=lambda kv: kv[1]):
+            vocab.add_word(word)
+        return vocab
+
+
+def build_vocab(caption_info: List[dict], threshold: int = 1) -> Vocabulary:
+    """Build from text.json 'audios' list; writes `tokens` back into each
+    caption dict like the reference does (build_vocab.py:95)."""
+    counter: Counter = Counter()
+    for audio in caption_info:
+        for cap in audio["captions"]:
+            tokens = cap.get("tokens")
+            tokens = tokens.split() if tokens else tokenize(cap["caption"])
+            cap["tokens"] = " ".join(tokens)
+            counter.update(tokens)
+    vocab = Vocabulary()
+    for word, cnt in sorted(counter.items()):
+        if cnt >= threshold:
+            vocab.add_word(word)
+    return vocab
+
+
+def load_caption_info(caption_file: str) -> List[dict]:
+    with open(caption_file) as f:
+        return json.load(f)["audios"]

@@ -1,0 +1,197 @@
+"""Jitted train/eval steps and the training loop.
+
+TPU-native equivalent of ``runners/pytorch_runner_vae.py``'s training loop
+(call stack SURVEY §3.1):
+
+* one fused jitted train step: encoder → posterior → decode scan → losses →
+  grad clip → optax update (the reference crosses host↔device every decode
+  step; here the whole step is one XLA program);
+* the composite loss (pytorch_runner_vae.py:315-320): label-smoothing CE over
+  valid tokens + ``kl_weight ·`` KL(q‖p) + optional ``alpha ·`` global
+  constraint (MSE or KL between utterance stats);
+* schedule scalars (ss_ratio / dis_ratio / kl_weight / lr) are *traced
+  scalars*, so their per-iteration updates never retrigger compilation;
+* per-epoch validation decodes with beam=3 and scores CIDEr for model
+  selection (pytorch_runner_vae.py:344-357).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from acvae_tpu.ops.losses import (cross_entropy, label_smoothing_loss,
+                                  normal_kl_loss)
+from acvae_tpu.ops.masked import length_mask
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            batch_stats=new_batch_stats,
+                            opt_state=new_opt_state)
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=variables.get("batch_stats", {}),
+                   opt_state=tx.init(params), tx=tx)
+
+
+def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
+                    max_grad_norm: Optional[float] = None,
+                    **kwargs) -> optax.GradientTransformation:
+    """torch-style optimizer names → optax chains, with the reference's global
+    grad-norm clip (pytorch_runner_vae.py:322-323) folded in."""
+    opts = {
+        "Adam": optax.adam, "AdamW": optax.adamw, "SGD": optax.sgd,
+        "RMSprop": optax.rmsprop, "Adagrad": optax.adagrad,
+    }
+    kwargs.pop("lr", None)
+    weight_decay = kwargs.pop("weight_decay", None)
+    if name == "Adam" and weight_decay:
+        base = optax.adamw(lr_schedule, weight_decay=weight_decay, **kwargs)
+    else:
+        if weight_decay and name == "AdamW":
+            kwargs["weight_decay"] = weight_decay
+        base = opts[name](lr_schedule, **kwargs)
+    chain = []
+    if max_grad_norm:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(base)
+    return optax.chain(*chain)
+
+
+def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
+                    kl_mask: str = "valid", alpha: Optional[float] = None,
+                    global_loss: str = "MSE",
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    kl_mask: "valid" masks the KL to real token positions; "reference"
+    averages over all padded positions like the reference call site
+    (pytorch_runner_vae.py:315 applies no mask).
+    """
+
+    def ce_fn(logits, targets, mask):
+        if label_smoothing:
+            return label_smoothing_loss(logits, targets, smoothing, mask)
+        return cross_entropy(logits, targets, mask)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng,
+                ss_ratio, dis_ratio, kl_weight, global_alpha):
+        k_sample, k_dropout = jax.random.split(rng)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["feats"], batch["feat_lens"],
+                batch["caps"], batch["cap_lens"],
+                ss_ratio=ss_ratio, dis_ratio=dis_ratio, train=True,
+                rngs={"sample": k_sample, "dropout": k_dropout},
+                mutable=["batch_stats"])
+            L = batch["caps"].shape[1]
+            mask = length_mask(batch["cap_lens"] - 1, L - 1)
+            ce = ce_fn(out["logits"], batch["caps"][:, 1:], mask)
+            km = mask if kl_mask == "valid" else None
+            kl = normal_kl_loss(out["q_means"], out["q_logs"],
+                                out["p_means"], out["p_logs"], km)
+            loss = ce + kl_weight * kl
+            metrics = {"ce": ce, "kl": kl}
+            if alpha is not None and "p_means_utt" in out:
+                if global_loss == "MSE":
+                    g = jnp.mean((out["q_means_utt"] - out["p_means_utt"]) ** 2)
+                else:
+                    qm, ql = jnp.split(out["q_means_utt"], 2, -1) \
+                        if out.get("q_logs_utt") is None else \
+                        (out["q_means_utt"], out["q_logs_utt"])
+                    pm, pl = jnp.split(out["p_means_utt"], 2, -1)
+                    g = normal_kl_loss(qm, ql, pm, pl)
+                loss = loss + global_alpha * g
+                metrics["global"] = g
+            metrics["loss"] = loss
+            return loss, (updates, metrics)
+
+        grads, (updates, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads, updates.get("batch_stats", state.batch_stats))
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, decode_method: str = "beam", beam_size: int = 3,
+                   max_length: Optional[int] = None, **decode_kwargs) -> Callable:
+    """Jitted validation decode (beam=3 CIDEr selection,
+    pytorch_runner_vae.py:344-353)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_fn(variables, feats, feat_lens, key):
+        return model.apply(variables, feats, feat_lens,
+                           decode_method=decode_method, beam_size=beam_size,
+                           max_length=max_length, rngs={"sample": key},
+                           **decode_kwargs)
+
+    return eval_fn
+
+
+def update_ss_ratio(ss_ratio: float, mode: str, total_iters: int,
+                    final_ss_ratio: float = 0.7) -> float:
+    """Per-iteration scheduled-sampling decay (pytorch_runner_vae.py:110-116)."""
+    if mode == "exponential":
+        return ss_ratio * 0.01 ** (1.0 / total_iters)
+    if mode == "linear":
+        return ss_ratio - (1.0 - final_ss_ratio) / total_iters
+    return ss_ratio
+
+
+def dis_ratio_for_epoch(epoch: int, epochs: int, freeze_epoch: int,
+                        final_ratio: float) -> float:
+    """Prior-grounding ramp (pytorch_runner_vae.py:118-122): 0 until
+    freeze_epoch then linear to final_ratio."""
+    if epoch <= freeze_epoch:
+        return 0.0
+    return final_ratio * float(epoch - freeze_epoch) / (epochs - freeze_epoch)
+
+
+def kl_weight_for_epoch(epoch: int, epochs: int, beta: float) -> float:
+    """KL annealing (pytorch_runner_vae.py:286): max(0.5, epoch/epochs · β)."""
+    return max(0.5, float(epoch) / epochs * beta)
+
+
+class Trainer:
+    """Minimal epoch loop used by the CLI; see acvae_tpu.cli for the full
+    experiment runner (checkpoints, logging, config dump)."""
+
+    def __init__(self, model, train_step, eval_step=None):
+        self.model = model
+        self.train_step = train_step
+        self.eval_step = eval_step
+
+    def run_epoch(self, state, loader, key, ss_ratio, dis_ratio, kl_weight,
+                  alpha=0.0, ss_update=None):
+        metrics_hist = []
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, metrics = self.train_step(
+                state, {k: jnp.asarray(v) for k, v in batch.arrays().items()},
+                sub, ss_ratio, dis_ratio, kl_weight, alpha)
+            if ss_update is not None:
+                ss_ratio = ss_update(ss_ratio)
+            metrics_hist.append({k: float(v) for k, v in metrics.items()})
+        return state, ss_ratio, metrics_hist

@@ -1,0 +1,124 @@
+"""Metric correctness: BLEU vs nltk, CIDEr/ROUGE sanity, diversity formulas."""
+import numpy as np
+import pytest
+
+from acvae_tpu.evaluation.coco import BleuScorer, CiderScorer, RougeScorer, score_captions
+from acvae_tpu.evaluation.diversity import (
+    compute_div_n, compute_global_div_n, eval_div_stats, ngram_richness,
+    novelty, self_bleu,
+)
+
+GTS = {
+    "a": ["a dog is barking loudly", "the dog barks in the yard"],
+    "b": ["rain falls on the roof", "heavy rain is falling outside"],
+    "c": ["a car drives past quickly", "the car passes by on the road"],
+}
+RES_PERFECT = {"a": ["a dog is barking loudly"],
+               "b": ["rain falls on the roof"],
+               "c": ["a car drives past quickly"]}
+RES_PARTIAL = {"a": ["a dog is sleeping"],
+               "b": ["rain falls down"],
+               "c": ["a truck is loud"]}
+
+
+class TestBleu:
+    def test_perfect_match_is_one(self):
+        scores, _ = BleuScorer(4).compute_score(GTS, RES_PERFECT)
+        for s in scores:
+            assert s == pytest.approx(1.0, abs=1e-6)
+
+    def test_matches_nltk_corpus_bleu(self):
+        from nltk.translate.bleu_score import corpus_bleu
+        refs = [[r.split() for r in GTS[k]] for k in GTS]
+        hyps = [RES_PARTIAL[k][0].split() for k in GTS]
+        ours, _ = BleuScorer(4).compute_score(GTS, RES_PARTIAL)
+        for n in (1, 2):
+            weights = tuple([1.0 / n] * n)
+            ref = corpus_bleu(refs, hyps, weights=weights)
+            assert ours[n - 1] == pytest.approx(ref, rel=1e-4), f"BLEU-{n}"
+
+    def test_order_sensitivity(self):
+        good, _ = BleuScorer(4).compute_score(GTS, RES_PERFECT)
+        bad, _ = BleuScorer(4).compute_score(GTS, RES_PARTIAL)
+        assert good[3] > bad[3]
+
+
+class TestCider:
+    def test_perfect_is_ten(self):
+        # identical to one ref still < 10 unless all refs identical; use
+        # single-ref gts
+        gts1 = {k: [v[0]] for k, v in GTS.items()}
+        score, per = CiderScorer().compute_score(gts1, RES_PERFECT)
+        assert score == pytest.approx(10.0, abs=1e-6)
+
+    def test_disjoint_is_zero(self):
+        res = {k: ["zzz yyy xxx www"] for k in GTS}
+        score, _ = CiderScorer().compute_score(GTS, res)
+        assert score == pytest.approx(0.0, abs=1e-6)
+
+    def test_partial_between(self):
+        score, _ = CiderScorer().compute_score(GTS, RES_PARTIAL)
+        assert 0.0 < score < 10.0
+
+
+class TestRouge:
+    def test_perfect_is_one(self):
+        score, _ = RougeScorer().compute_score(
+            {k: [v[0]] for k, v in GTS.items()}, RES_PERFECT)
+        assert score == pytest.approx(1.0, abs=1e-6)
+
+    def test_hand_computed(self):
+        # hyp="a b c", ref="a x c": lcs=2, p=2/3, r=2/3 -> f=2/3
+        gts = {"k": ["a x c"]}
+        res = {"k": ["a b c"]}
+        score, _ = RougeScorer().compute_score(gts, res)
+        assert score == pytest.approx(2 / 3, abs=1e-6)
+
+
+class TestScoreCaptions:
+    def test_full_table(self):
+        out = score_captions(GTS, RES_PARTIAL)
+        assert set(out) >= {"Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr", "SPIDEr"}
+        assert out["SPIDEr"] is not None
+
+
+class TestDiversity:
+    CAPS = {
+        "a": ["a dog barks", "the dog is barking", "a dog barks"],
+        "b": ["rain falls", "the rain is falling", "water drips down"],
+    }
+
+    def test_div_n(self):
+        mean, per = compute_div_n(self.CAPS, 1)
+        # audio a: tokens = 3+4+3=10, unique={a,dog,barks,the,is,barking}=6
+        assert per[0] == pytest.approx(6 / (10 + 1e-6), rel=1e-5)
+
+    def test_global_div1_is_vocab(self):
+        v = compute_global_div_n(self.CAPS, 1)
+        vocab = set()
+        for caps in self.CAPS.values():
+            for c in caps:
+                vocab.update(c.split())
+        assert v == len(vocab)
+
+    def test_eval_div_stats_keys(self):
+        out = eval_div_stats(self.CAPS)
+        assert set(out) == {"Div1", "Div2", "gDiv1",
+                            "mBLeu_1", "mBLeu_2", "mBLeu_3", "mBLeu_4"}
+        # duplicated caption in audio a should make mBLEU high
+        assert out["mBLeu_1"] > 0.3
+
+    def test_self_bleu_repetition(self):
+        rep = self_bleu(["a dog barks loudly today"] * 3)
+        div = self_bleu(["a dog barks loudly today",
+                         "rain falls on roofs here",
+                         "cars pass by very fast"])
+        assert rep > div
+
+    def test_novelty(self):
+        assert novelty(["x y", "a b"], ["a b"]) == 0.5
+
+    def test_ngram_richness_monotone(self):
+        rich = ngram_richness(["a b c", "d e f", "g h i"])
+        poor = ngram_richness(["a b c", "a b c", "a b c"])
+        assert rich > poor

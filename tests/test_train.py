@@ -1,0 +1,126 @@
+"""Training integration: schedules, jitted train step, overfit-a-tiny-set."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acvae_tpu.data import CaptionDataset, CaptionLoader, make_synthetic_clotho
+from acvae_tpu.models.decoders import VAERNNBahdanauAttnDecoder
+from acvae_tpu.models.encoders import Cnn10
+from acvae_tpu.models.latent import PosteriorRNNHybrid, PriorRNN
+from acvae_tpu.models.vae import VAECaptionModel
+from acvae_tpu.train.schedules import (exponential_decay_schedule,
+                                       noam_schedule, warmup_cosine_schedule,
+                                       warmup_linear_schedule)
+from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                     dis_ratio_for_epoch, kl_weight_for_epoch,
+                                     make_train_step, update_ss_ratio)
+
+
+class TestSchedules:
+    def test_exponential_matches_reference_formula(self):
+        import math
+        base, final, total, warm = 5e-4, 5e-7, 1000, 100
+        s = exponential_decay_schedule(base, total, final, warmup_iters=warm)
+        # reference closed form at iter=50 (warmup) and iter=500
+        for it in (50, 500):
+            warmup_coeff = it / warm if it < warm else 1.0
+            ref = warmup_coeff * base * math.exp(
+                ((it - warm) / total) * math.log(final / base))
+            assert float(s(it - 1)) == pytest.approx(ref, rel=1e-6)
+
+    def test_noam_peak_at_warmup(self):
+        s = noam_schedule(1e-3, model_size=64, warmup_iters=100)
+        lrs = [float(s(i)) for i in range(300)]
+        assert np.argmax(lrs) == 99
+
+    def test_warmup_linear_steps(self):
+        s = warmup_linear_schedule(1.0, warmup_steps=5, gamma=0.1,
+                                   update_epoch=10)
+        assert float(s(1)) == pytest.approx(2 / 5)
+        assert float(s(6)) == pytest.approx(1.0)      # before first decay
+        assert float(s(16)) == pytest.approx(0.1)     # one decay step
+
+    def test_warmup_cosine_decays(self):
+        s = warmup_cosine_schedule(1.0, warmup_steps=10, t_total=100)
+        assert float(s(4)) < 1.0
+        assert float(s(99)) < 0.05
+
+
+class TestScheduleHelpers:
+    def test_ss_exponential(self):
+        r = update_ss_ratio(1.0, "exponential", total_iters=100)
+        assert r == pytest.approx(0.01 ** (1 / 100))
+
+    def test_dis_ratio_ramp(self):
+        assert dis_ratio_for_epoch(3, 20, freeze_epoch=5, final_ratio=0.4) == 0
+        assert dis_ratio_for_epoch(20, 20, 5, 0.4) == pytest.approx(0.4)
+        assert dis_ratio_for_epoch(10, 20, 5, 0.4) == pytest.approx(0.4 / 3)
+
+    def test_kl_weight(self):
+        assert kl_weight_for_epoch(1, 10, 1.0) == 0.5
+        assert kl_weight_for_epoch(10, 10, 2.0) == 2.0
+
+
+def _tiny_setup():
+    E, V_feats = 16, 64
+    feats, info, vocab = make_synthetic_clotho(num_audios=4, mel_frames=128)
+    ds = CaptionDataset(caption_info=info, vocabulary=vocab, features=feats)
+    model = VAECaptionModel(
+        encoder=Cnn10(inputdim=V_feats, embed_size=E, channels=(4, 8, 8, E)),
+        decoder=VAERNNBahdanauAttnDecoder(vocab_size=len(vocab), enc_mem_size=E,
+                                          embed_size=E, hidden_size=E),
+        qnet=PosteriorRNNHybrid(vocab_size=len(vocab), word_dim=E,
+                                embed_size=E, hidden_size=E),
+        pnet=PriorRNN(vocab_size=len(vocab), word_dim=E, audiofeats_size=E,
+                      embed_size=E, hidden_size=E),
+        global_constraint=True)
+    loader = CaptionLoader(ds, batch_size=10, shuffle=True, seed=0,
+                           buckets=(128,))
+    batch = next(iter(loader))
+    variables = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.asarray(batch.feats), jnp.asarray(batch.feat_lens),
+        jnp.asarray(batch.caps), jnp.asarray(batch.cap_lens), train=False)
+    return model, variables, loader, vocab, ds
+
+
+class TestTrainStep:
+    def test_loss_decreases_overfit(self):
+        model, variables, loader, vocab, ds = _tiny_setup()
+        tx = build_optimizer("Adam", 5e-3, max_grad_norm=1.0)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, label_smoothing=True, smoothing=0.1,
+                               alpha=1.0, global_loss="MSE")
+        key = jax.random.key(42)
+        losses = []
+        for it in range(40):
+            for batch in loader:
+                key, sub = jax.random.split(key)
+                arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+                state, metrics = step(state, arrays, sub,
+                                      1.0, 0.0, 0.5, 1.0)
+                losses.append(float(metrics["ce"]))
+        # cross-entropy should fall substantially when overfitting 4 clips
+        assert losses[-1] < losses[0] * 0.6, (losses[0], losses[-1])
+
+    def test_decode_after_training_produces_valid_tokens(self):
+        model, variables, loader, vocab, ds = _tiny_setup()
+        tx = build_optimizer("Adam", 3e-3, max_grad_norm=1.0)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model)
+        key = jax.random.key(0)
+        for it in range(15):
+            for batch in loader:
+                key, sub = jax.random.split(key)
+                arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+                state, _ = step(state, arrays, sub, 1.0, 0.0, 0.5, 0.0)
+        batch = next(iter(loader))
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(batch.feats), jnp.asarray(batch.feat_lens),
+            decode_method="greedy", max_length=20,
+            rngs={"sample": jax.random.key(9)})
+        seqs = np.asarray(out["seqs"])
+        words = vocab.decode(seqs[0])
+        assert all(w != "<unk>" for w in words)
