@@ -1,0 +1,209 @@
+"""Benchmark: Clotho caption decode throughput (captions/sec/chip).
+
+Measures the flagship AC-VAE model (Cnn10-512 encoder + AR prior + attention
+GRU decoder, vocab 4981) decoding beam=3 captions for batches of 10-second
+log-mel clips — the serving headline from BASELINE.json.  The reference
+publishes no numbers (BASELINE.md), so ``vs_baseline`` compares against a
+faithful reference-style PyTorch implementation (per-step python decode loop,
+instance-by-instance beam search — the structure of
+``models/vae_model.py:220-312``) run on this host's CPU (the only hardware the
+reference can use here); the measurement is cached in BENCH_BASELINE.json.
+
+Prints exactly ONE JSON line:
+    {"metric": "captions_per_sec_per_chip", "value": ..., "unit": "captions/s",
+     "vs_baseline": ...}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BATCH = 256           # best measured throughput in f32 (512 OOMs 16G HBM)
+TORCH_BATCH = 32      # reference-style baseline batch (throughput-normalized)
+T_MEL = 1024          # ~12 s of 64-bin log-mel at Clotho's frame rate
+F_MEL = 64
+VOCAB = 4981
+BEAM = 3
+MAX_LEN = 20
+TIMED_ITERS = 5
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def bench_jax() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _build_flagship
+
+    model = _build_flagship(vocab_size=VOCAB)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(BATCH, T_MEL, F_MEL)).astype(np.float32))
+    feat_lens = jnp.full((BATCH,), T_MEL, jnp.int32)
+    caps = jnp.asarray(rng.integers(4, VOCAB, size=(BATCH, 22)).astype(np.int32))
+    cap_lens = jnp.full((BATCH,), 22, jnp.int32)
+
+    variables = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        feats, feat_lens, caps, cap_lens, train=False)
+
+    @jax.jit
+    def decode(variables, feats, feat_lens, key):
+        return model.apply(variables, feats, feat_lens,
+                           decode_method="beam", beam_size=BEAM,
+                           max_length=MAX_LEN, rngs={"sample": key})
+
+    # warmup/compile; NOTE: on the tunneled axon platform block_until_ready
+    # does not wait for remote execution — force a device→host fetch instead.
+    out = decode(variables, feats, feat_lens, jax.random.key(2))
+    np.asarray(out["seqs"])
+
+    lat = []
+    for i in range(TIMED_ITERS):
+        ti = time.perf_counter()
+        out = decode(variables, feats, feat_lens, jax.random.key(3 + i))
+        np.asarray(out["seqs"])
+        lat.append(time.perf_counter() - ti)
+
+    # pipelined throughput: issue all batches, then drain
+    t0 = time.perf_counter()
+    outs = [decode(variables, feats, feat_lens, jax.random.key(100 + i))
+            for i in range(TIMED_ITERS)]
+    for o in outs:
+        np.asarray(o["seqs"])
+    total = time.perf_counter() - t0
+    return {
+        "captions_per_sec": BATCH * TIMED_ITERS / total,
+        "p50_batch_latency_s": sorted(lat)[len(lat) // 2],
+        "device": str(jax.devices()[0]),
+    }
+
+
+def bench_torch_baseline() -> float:
+    """Reference-style torch decode on CPU; returns captions/sec."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    E = 512
+
+    class ConvBlock(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, cout, 3, padding=1, bias=False)
+            self.c2 = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+            self.b1, self.b2 = nn.BatchNorm2d(cout), nn.BatchNorm2d(cout)
+
+        def forward(self, x):
+            x = F.relu_(self.b1(self.c1(x)))
+            x = F.relu_(self.b2(self.c2(x)))
+            return F.avg_pool2d(x, 2)
+
+    class Encoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.blocks = nn.Sequential(ConvBlock(1, 64), ConvBlock(64, 128),
+                                        ConvBlock(128, 256), ConvBlock(256, 512))
+
+        def forward(self, x):
+            x = self.blocks(x.unsqueeze(1))
+            return x.mean(3).transpose(1, 2)  # [N, T', 512]
+
+    class Attn(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = nn.Linear(2 * E, E)
+            self.v = nn.Parameter(torch.randn(E))
+
+        def forward(self, h, mem):
+            q = h.unsqueeze(1).expand(-1, mem.size(1), -1)
+            s = torch.tanh(self.proj(torch.cat([q, mem], -1))) @ self.v
+            w = torch.softmax(s, -1)
+            return (w.unsqueeze(1) @ mem).squeeze(1)
+
+    class Prior(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(VOCAB, E)
+            self.attn = Attn()
+            self.lstm = nn.LSTMCell(3 * E, E)
+            self.out = nn.Linear(E, 2 * E)
+
+        def forward(self, w, mem, state, last_z):
+            x = self.emb(w)
+            ctx = self.attn(state[0], mem)
+            h, c = self.lstm(torch.cat([x, ctx, last_z], -1), state)
+            mu, lv = self.out(h).chunk(2, -1)
+            z = mu + torch.randn_like(mu) * torch.exp(0.5 * lv)
+            return z, (h, c)
+
+    class Decoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(VOCAB, E)
+            self.attn = Attn()
+            self.gru = nn.GRUCell(3 * E, E)
+            self.cls = nn.Linear(E, VOCAB)
+
+        def forward(self, w, h, mem, z):
+            ctx = self.attn(h, mem)
+            h = self.gru(torch.cat([self.emb(w), ctx, z], -1), h)
+            return self.cls(h), h
+
+    enc, prior, dec = Encoder().eval(), Prior().eval(), Decoder().eval()
+    feats = torch.randn(TORCH_BATCH, T_MEL, F_MEL)
+
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        mem_all = enc(feats)
+        # instance-by-instance beam search (vae_model.py:225)
+        for i in range(TORCH_BATCH):
+            mem = mem_all[i:i + 1].expand(BEAM, -1, -1)
+            h = torch.zeros(BEAM, E)
+            ps = (torch.zeros(BEAM, E), torch.zeros(BEAM, E))
+            last_z = torch.zeros(BEAM, E)
+            scores = torch.zeros(BEAM)
+            words = torch.full((BEAM,), 1, dtype=torch.long)
+            for t in range(MAX_LEN):
+                z, ps = prior(words, mem, ps, last_z)
+                logits, h = dec(words, h, mem, z)
+                lp = torch.log_softmax(logits, -1) + scores.unsqueeze(1)
+                scores, flat = lp.view(-1).topk(BEAM)
+                prev, words = flat // VOCAB, flat % VOCAB
+                h = h[prev]
+                ps = (ps[0][prev], ps[1][prev])
+                last_z = z[prev]
+    total = time.perf_counter() - t0
+    return TORCH_BATCH / total
+
+
+def main():
+    ours = bench_jax()
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["captions_per_sec_torch_cpu"]
+    else:
+        baseline = bench_torch_baseline()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"captions_per_sec_torch_cpu": baseline,
+                       "note": "reference-style torch decode on host CPU "
+                               "(the reference publishes no numbers)"}, f)
+    result = {
+        "metric": "captions_per_sec_per_chip",
+        "value": round(ours["captions_per_sec"], 2),
+        "unit": "captions/s",
+        "vs_baseline": round(ours["captions_per_sec"] / baseline, 2),
+    }
+    print(json.dumps(result))
+    print(f"# p50 batch latency: {ours['p50_batch_latency_s'] * 1000:.1f} ms "
+          f"(batch={BATCH}, beam={BEAM}, T={T_MEL}) on {ours['device']}; "
+          f"torch-cpu baseline {baseline:.2f} captions/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
