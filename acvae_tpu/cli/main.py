@@ -1,0 +1,448 @@
+"""Experiment runner CLI.
+
+Mirrors the reference's entry points
+(``python runners/pytorch_runner_vae.py train config/AC-VAE.yaml --key=value``,
+``runners/base_runner.py`` evaluate/dcase_predict) with a fire-style UX:
+
+    python -m acvae_tpu.cli train <config.yaml> [--key=value ...]
+    python -m acvae_tpu.cli evaluate <exp_dir> [--eval_h5_csv=..] [--decode_method=dbs ..]
+    python -m acvae_tpu.cli predict <exp_dir> <h5_csv> <out.csv>
+    python -m acvae_tpu.cli diversity <eval_output.json> <train_text.json>
+    python -m acvae_tpu.cli build_vocab <text.json> <vocab.pkl>
+
+Any ``--key=value`` overrides the YAML, including dotted nested keys
+(``--ss_args.ss_mode=linear``) — the reference's ``parse_config_or_kwargs``
+contract (utils/train_util.py:80-84).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import random
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acvae_tpu.core.config import Config, dump_config, load_config
+from acvae_tpu.data.dataset import CaptionDataset, CaptionLoader, DEFAULT_BUCKETS
+from acvae_tpu.data.vocab import Vocabulary, build_vocab as _build_vocab, load_caption_info
+from acvae_tpu.evaluation.coco import score_captions
+from acvae_tpu.evaluation.diversity import eval_div_stats, novelty, self_bleu
+from acvae_tpu.models.build import build_model
+from acvae_tpu.train.checkpoints import (criterion_improver, restore_checkpoint,
+                                         save_checkpoint)
+from acvae_tpu.train.schedules import SCHEDULES
+from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                     dis_ratio_for_epoch, kl_weight_for_epoch,
+                                     make_train_step, update_ss_ratio)
+
+DEFAULTS = dict(
+    seed=1, remark="tpu", epochs=25, batch_size=32, label_smoothing=True,
+    smoothing=0.1, max_grad_norm=1.0, improvecriterion="score", beta=0.5,
+    train_percent=90.0, optimizer="Adam", optimizer_args={"lr": 5e-4},
+    scheduler="ExponentialDecayScheduler",
+    scheduler_args={"final_lr": 5e-7, "warmup_iters": 3000},
+    ss_args={"ss_mode": "exponential", "ss_ratio": 1.0, "final_ss_ratio": 0.7},
+    dis_ration={"freeze_epoch": 10, "final_ratio": 0.3},
+    zh=False, outputpath="experiments", kl_mask="valid",
+)
+
+
+def _setup_logger(logfile: Optional[str]) -> logging.Logger:
+    logger = logging.getLogger("acvae_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("[ %(levelname)s : %(asctime)s ] - %(message)s")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if logfile:
+        fh = logging.FileHandler(logfile)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+def _read_h5_csv(path: str) -> Dict[str, str]:
+    """TSV with audio_id / hdf5_path columns (base_runner.py:41-47)."""
+    import pandas as pd
+    df = pd.read_csv(path, sep="\t")
+    return dict(zip(df["audio_id"], df["hdf5_path"]))
+
+
+def _train_val_split(caption_info: List[dict], percent: float, seed: int):
+    """Random audio-level split (base_runner.py:49-58)."""
+    idx = np.arange(len(caption_info))
+    rng = np.random.default_rng(seed)
+    rng.shuffle(idx)
+    n_train = int(len(idx) * percent / 100.0)
+    return idx[:n_train].tolist(), idx[n_train:].tolist()
+
+
+class Runner:
+    """AC-VAE experiment runner (reference Runner, pytorch_runner_vae.py:30)."""
+
+    # ------------------------------------------------------------------ #
+    def _build_dataloaders(self, conf: Config, vocabulary: Vocabulary):
+        if "train_h5_csv" in conf:
+            train_h5 = _read_h5_csv(conf["train_h5_csv"])
+            val_h5 = _read_h5_csv(conf["val_h5_csv"])
+            train_info = load_caption_info(conf["train_caption_file"])
+            val_info = load_caption_info(conf["val_caption_file"])
+        else:
+            h5 = _read_h5_csv(conf["h5_csv"])
+            info = load_caption_info(conf["caption_file"])
+            tr, va = _train_val_split(info, conf["train_percent"], conf["seed"])
+            train_info = [info[i] for i in tr]
+            val_info = [info[i] for i in va]
+            train_h5 = val_h5 = h5
+        train_ds = CaptionDataset(h5file_dict=train_h5, caption_info=train_info,
+                                  vocabulary=vocabulary)
+        val_ds = CaptionDataset(h5file_dict=val_h5, caption_info=val_info,
+                                vocabulary=vocabulary)
+        bs = conf.get("dataloader_args", {}).get("batch_size",
+                                                 conf["batch_size"])
+        host_id, host_count = jax.process_index(), jax.process_count()
+        train_loader = CaptionLoader(train_ds, bs, shuffle=True,
+                                     seed=conf["seed"], host_id=host_id,
+                                     host_count=host_count)
+        val_loader = CaptionLoader(val_ds, bs, shuffle=False)
+        return train_ds, val_ds, train_loader, val_loader
+
+    def _init_state(self, conf, model, loader, total_iters):
+        batch = next(iter(loader))
+        variables = model.init(
+            {"params": jax.random.key(conf["seed"]),
+             "sample": jax.random.key(conf["seed"] + 1)},
+            jnp.asarray(batch.feats), jnp.asarray(batch.feat_lens),
+            jnp.asarray(batch.caps), jnp.asarray(batch.cap_lens), train=False)
+        opt_args = dict(conf.get("optimizer_args", {}))
+        base_lr = opt_args.pop("lr", 5e-4)
+        sched_name = conf.get("scheduler", "constant")
+        sched_args = dict(conf.get("scheduler_args", {}))
+        if sched_name == "ExponentialDecayScheduler":
+            sched_args.setdefault("total_iters", total_iters)
+        if sched_name in SCHEDULES:
+            schedule = SCHEDULES.build(sched_name, base_lr=base_lr, **sched_args)
+        else:  # torch scheduler names we don't model -> constant lr
+            schedule = lambda step: jnp.asarray(base_lr)
+        tx = build_optimizer(conf.get("optimizer", "Adam"), schedule,
+                             max_grad_norm=conf.get("max_grad_norm"), **opt_args)
+        return TrainState.create(variables, tx), variables
+
+    # ------------------------------------------------------------------ #
+    def train(self, config: str, **kwargs) -> str:
+        conf = Config(dict(DEFAULTS))
+        conf.update(load_config(config, **kwargs))
+        seed = conf["seed"]
+        random.seed(seed)
+        np.random.seed(seed)
+
+        model_name = conf.get("model", "Hybrid_VAEModel")
+        beta = conf["beta"]
+        remark = f"{conf['remark']}_{beta}"
+        if "alpha" in conf:
+            remark += f"_{conf['alpha']}"
+        outputdir = Path(conf["outputpath"]) / model_name / remark / f"seed_{seed}"
+        outputdir.mkdir(parents=True, exist_ok=True)
+        logger = _setup_logger(str(outputdir / "train_caption.log"))
+        logger.info(f"Storing files in: {outputdir}")
+
+        vocabulary = Vocabulary.load(conf["vocab_file"])
+        train_ds, val_ds, train_loader, val_loader = \
+            self._build_dataloaders(conf, vocabulary)
+        conf["data_dim"] = train_ds.data_dim
+        total_iters = len(train_loader) * conf["epochs"]
+        conf["total_iters"] = total_iters
+        val_key2refs = val_ds.refs()
+
+        model = build_model(conf, len(vocabulary), train_ds.data_dim)
+        state, _ = self._init_state(conf, model, train_loader, total_iters)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+        logger.info(f"{n_params} parameters in total")
+
+        alpha = conf.get("alpha")
+        train_step = make_train_step(
+            model, label_smoothing=conf["label_smoothing"],
+            smoothing=conf["smoothing"], kl_mask=conf.get("kl_mask", "valid"),
+            alpha=alpha, global_loss=conf.get("global_loss", "MSE"))
+
+        dump_config(conf, outputdir / "config.yaml")
+        tb = self._tb_writer(outputdir / "run")
+        crtrn_imprvd = criterion_improver(conf["improvecriterion"])
+
+        ss_ratio = conf["ss_args"]["ss_ratio"]
+        key = jax.random.key(seed + 2)
+        iteration = 0
+        metrics_log = open(outputdir / "metrics.jsonl", "a")
+        logger.info("{:^10}\t{:^10}\t{:^10}".format(
+            "Epoch", "Train loss", "Val score"))
+
+        for epoch in range(1, conf["epochs"] + 1):
+            kl_weight = kl_weight_for_epoch(epoch, conf["epochs"], beta)
+            dis_ratio = dis_ratio_for_epoch(
+                epoch, conf["epochs"], conf["dis_ration"]["freeze_epoch"],
+                conf["dis_ration"]["final_ratio"])
+            train_loader.set_epoch(epoch)
+            losses, nsamples = [], []
+            for batch in train_loader:
+                iteration += 1
+                ss_ratio = update_ss_ratio(
+                    ss_ratio, conf["ss_args"]["ss_mode"], total_iters,
+                    conf["ss_args"].get("final_ss_ratio", 0.7))
+                key, sub = jax.random.split(key)
+                arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+                state, metrics = train_step(state, arrays, sub, ss_ratio,
+                                            dis_ratio, kl_weight,
+                                            alpha if alpha is not None else 0.0)
+                n = int(np.sum(batch.cap_lens - 1))
+                losses.append(float(metrics["loss"]) * n)
+                nsamples.append(n)
+                if tb:
+                    tb.add_scalar("loss/train", float(metrics["loss"]), iteration)
+                    tb.add_scalar("scheduled_sampling_prob", ss_ratio, iteration)
+
+            # validation: beam=3 + CIDEr (pytorch_runner_vae.py:344-357)
+            key, sub = jax.random.split(key)
+            score = self._validate(model, state, val_loader, vocabulary,
+                                   val_key2refs, sub)
+            train_loss = float(np.sum(losses) / max(np.sum(nsamples), 1))
+            logger.info(f"{epoch:^10}\t{train_loss:^10.3g}\t{score:^10.3g}")
+            if tb:
+                tb.add_scalar("score/val", score, epoch)
+            metrics_log.write(json.dumps(
+                {"epoch": epoch, "train_loss": train_loss, "val_cider": score,
+                 "ss_ratio": ss_ratio, "kl_weight": kl_weight,
+                 "dis_ratio": dis_ratio}) + "\n")
+            metrics_log.flush()
+
+            if crtrn_imprvd(score):
+                save_checkpoint(str(outputdir), "best", state, vocabulary, conf)
+            save_checkpoint(str(outputdir), "last", state, vocabulary, conf)
+        metrics_log.close()
+        return str(outputdir)
+
+    def _tb_writer(self, logdir):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            return SummaryWriter(str(logdir))
+        except Exception:
+            return None
+
+    def _validate(self, model, state, val_loader, vocabulary, key2refs, key,
+                  beam_size: int = 3) -> float:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        key2pred = {}
+        for batch in val_loader:
+            key, sub = jax.random.split(key)
+            out = model.apply(variables, jnp.asarray(batch.feats),
+                              jnp.asarray(batch.feat_lens),
+                              decode_method="beam", beam_size=beam_size,
+                              rngs={"sample": sub})
+            seqs = np.asarray(out["seqs"])[:, 0]  # top beam
+            for i, aid in enumerate(batch.audio_ids):
+                key2pred[aid] = [" ".join(vocabulary.decode(seqs[i]))]
+        from acvae_tpu.evaluation.coco import CiderScorer
+        score, _ = CiderScorer().compute_score(key2refs, key2pred)
+        return float(score)
+
+    # ------------------------------------------------------------------ #
+    def evaluate(self, experiment_path: str, eval_h5_csv: Optional[str] = None,
+                 eval_caption_file: Optional[str] = None,
+                 decode_method: str = "beam", beam_size: int = 3,
+                 num_candidates: int = 1, max_length: Optional[int] = None,
+                 checkpoint: str = "best", seed: int = 1, **decode_kwargs):
+        """Decode + score a test set (base_runner.py:199-333).
+
+        num_candidates > 1 replicates each clip and decodes independently
+        (fresh prior z per replica) — the reference's multi-candidate trick
+        for diversity eval (pytorch_runner_vae.py:101-104)."""
+        exp = Path(experiment_path)
+        conf = load_config(str(exp / "config.yaml"))
+        vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
+        h5_csv = eval_h5_csv or conf.get("val_h5_csv") or conf["h5_csv"]
+        cap_file = eval_caption_file or conf.get("val_caption_file") \
+            or conf["caption_file"]
+        info = load_caption_info(cap_file)
+        # iterate one item per audio (CaptionEvalDataset semantics,
+        # caption_dataset.py:20-63); refs still come from the full info
+        info_unique = [{**a, "captions": a["captions"][:1]} for a in info]
+        ds = CaptionDataset(h5file_dict=_read_h5_csv(h5_csv),
+                            caption_info=info_unique, vocabulary=vocabulary)
+        refs_ds = CaptionDataset(h5file_dict=_read_h5_csv(h5_csv),
+                                 caption_info=info, vocabulary=vocabulary)
+        loader = CaptionLoader(ds, conf.get("batch_size", 32))
+
+        model = build_model(conf, len(vocabulary), ds.data_dim)
+        state, _ = self._init_state(conf, model, loader, 1)
+        state = restore_checkpoint(str(exp), checkpoint, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        key = jax.random.key(seed)
+        key2pred: Dict[str, List[str]] = {}
+        for batch in loader:
+            feats = jnp.asarray(batch.feats)
+            feat_lens = jnp.asarray(batch.feat_lens)
+            ids = batch.audio_ids
+            if num_candidates > 1 and decode_method != "dbs":
+                feats = jnp.repeat(feats, num_candidates, axis=0)
+                feat_lens = jnp.repeat(feat_lens, num_candidates, axis=0)
+                ids = [i for i in batch.audio_ids
+                       for _ in range(num_candidates)]
+            key, sub = jax.random.split(key)
+            out = model.apply(variables, feats, feat_lens,
+                              decode_method=decode_method,
+                              beam_size=beam_size, max_length=max_length,
+                              rngs={"sample": sub}, **decode_kwargs)
+            seqs = np.asarray(out["seqs"])
+            if seqs.ndim == 3:
+                seqs = seqs[:, 0] if decode_method == "beam" else \
+                    seqs.reshape(-1, seqs.shape[-1])
+                if decode_method == "dbs":
+                    ids = [i for i in batch.audio_ids
+                           for _ in range(np.asarray(out["seqs"]).shape[1])]
+            for aid, seq in zip(ids, seqs):
+                key2pred.setdefault(aid, []).append(
+                    " ".join(vocabulary.decode(seq)))
+
+        # eval_output.json (base_runner.py:272-293)
+        predictions = [
+            {"filename": aid,
+             "captions" if len(caps) > 1 else "caption":
+                 [{"caption": c, "tokens": c} for c in caps]
+                 if len(caps) > 1 else caps[0],
+             "tokens": caps[0]}
+            for aid, caps in key2pred.items()]
+        out_json = exp / f"eval_output_{decode_method}_{beam_size}.json"
+        with open(out_json, "w") as f:
+            json.dump({"predictions": predictions}, f, indent=1)
+
+        key2refs = refs_ds.refs()
+        first_pred = {k: [v[0]] for k, v in key2pred.items()}
+        scores = score_captions(key2refs, first_pred, zh=conf.get("zh", False))
+        score_file = exp / f"scores_{decode_method}_{beam_size}.txt"
+        with open(score_file, "w") as f:
+            for name, val in scores.items():
+                line = f"{name}: {val:.3f}" if val is not None else \
+                    f"{name}: n/a (java scorer unavailable)"
+                print(line)
+                f.write(line + "\n")
+        return scores
+
+    # ------------------------------------------------------------------ #
+    def predict(self, experiment_path: str, h5_csv: str,
+                output: str = "predictions.csv", decode_method: str = "beam",
+                beam_size: int = 3, checkpoint: str = "best", seed: int = 1):
+        """DCASE-format CSV export (base_runner.py:336-395)."""
+        exp = Path(experiment_path)
+        conf = load_config(str(exp / "config.yaml"))
+        vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
+        h5 = _read_h5_csv(h5_csv)
+        # caption-less eval dataset: fabricate empty caption info
+        info = [{"audio_id": aid, "captions": [{"tokens": ""}]} for aid in h5]
+        ds = CaptionDataset(h5file_dict=h5, caption_info=info,
+                            vocabulary=vocabulary)
+        loader = CaptionLoader(ds, conf.get("batch_size", 32))
+        model = build_model(conf, len(vocabulary), ds.data_dim)
+        state, _ = self._init_state(conf, model, loader, 1)
+        state = restore_checkpoint(str(exp), checkpoint, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        rows = []
+        key = jax.random.key(seed)
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            out = model.apply(variables, jnp.asarray(batch.feats),
+                              jnp.asarray(batch.feat_lens),
+                              decode_method=decode_method, beam_size=beam_size,
+                              rngs={"sample": sub})
+            seqs = np.asarray(out["seqs"])
+            if seqs.ndim == 3:
+                seqs = seqs[:, 0]
+            for aid, seq in zip(batch.audio_ids, seqs):
+                rows.append((aid, " ".join(vocabulary.decode(seq))))
+        import csv
+        with open(output, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["file_name", "caption_predicted"])
+            w.writerows(sorted(set(rows)))
+        return output
+
+    # ------------------------------------------------------------------ #
+    def diversity(self, eval_output: str, train_corpus: Optional[str] = None,
+                  output: Optional[str] = None):
+        """Diversity suite over eval_output.json (utils/diverse_mutil.py CLI)."""
+        with open(eval_output) as f:
+            data = json.load(f)
+        caps_by_id: Dict[str, List[str]] = {}
+        all_caps: List[str] = []
+        for item in data["predictions"]:
+            caps = item.get("captions")
+            if caps:
+                texts = [c["tokens"] if isinstance(c, dict) else c
+                         for c in caps]
+            else:
+                texts = [item.get("tokens") or item["caption"]]
+            caps_by_id[item["filename"]] = texts
+            all_caps.extend(texts)
+        results: Dict[str, Any] = {}
+        if min(len(v) for v in caps_by_id.values()) > 1:
+            results.update(eval_div_stats(caps_by_id))
+            results["SelfBLEU"] = self_bleu(all_caps[: min(len(all_caps), 500)])
+        else:
+            results["gDiv1"] = len(set(w for c in all_caps for w in c.split()))
+        if train_corpus:
+            train_info = load_caption_info(train_corpus)
+            train_caps = [c["tokens"] for a in train_info
+                          for c in a["captions"]]
+            results["Novelty"] = novelty(all_caps, train_caps)
+        text = "\n".join(f"{k}: {v:.4g}" for k, v in results.items())
+        print(text)
+        if output:
+            with open(output, "w") as f:
+                f.write(text + "\n")
+        return results
+
+    # ------------------------------------------------------------------ #
+    def build_vocab(self, caption_file: str, output: str,
+                    threshold: int = 1):
+        """Build vocab.pkl from text.json (utils/build_vocab.py CLI)."""
+        info = load_caption_info(caption_file)
+        vocab = _build_vocab(info, threshold)
+        # write tokens back like the reference (build_vocab.py:95)
+        with open(caption_file, "w") as f:
+            json.dump({"audios": info}, f, indent=1)
+        vocab.save(output)
+        print(f"vocabulary size: {len(vocab)}")
+        return output
+
+
+def main(argv: Optional[List[str]] = None) -> Any:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return None
+    command, *rest = argv
+    positional, overrides = [], {}
+    for arg in rest:
+        if arg.startswith("--"):
+            k, _, v = arg[2:].partition("=")
+            overrides[k.replace("-", "_")] = v if v != "" else True
+        else:
+            positional.append(arg)
+    runner = Runner()
+    fn = getattr(runner, command, None)
+    if fn is None:
+        print(f"unknown command {command!r}; see module docstring")
+        return None
+
+    # coerce override strings (yaml-style)
+    import yaml
+    coerced = {k: yaml.safe_load(v) if isinstance(v, str) else v
+               for k, v in overrides.items()}
+    return fn(*positional, **coerced)

@@ -1,0 +1,69 @@
+"""Orbax checkpointing with the reference's best/last policy.
+
+The reference dumps ``{model, optimizer, lr_scheduler, vocabulary}`` to
+``best.pth`` / ``last.pth`` gated by ``criterion_improver``
+(``runners/pytorch_runner_vae.py:380-388``, ``utils/train_util.py:117-131``).
+Here the TrainState pytree (params + batch_stats + opt state + step) goes
+through orbax; vocabulary and config are stored beside it.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+from acvae_tpu.core.config import dump_config
+from acvae_tpu.data.vocab import Vocabulary
+
+
+def save_checkpoint(exp_dir: str, name: str, state, vocabulary: Optional[Vocabulary] = None,
+                    config: Optional[dict] = None) -> None:
+    path = os.path.join(os.path.abspath(exp_dir), name)
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"step": state.step, "params": state.params,
+            "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    if vocabulary is not None:
+        vocabulary.save(os.path.join(exp_dir, "vocab.pkl"))
+    if config is not None:
+        dump_config(config, os.path.join(exp_dir, "config.yaml"))
+
+
+def restore_checkpoint(exp_dir: str, name: str, state):
+    """Restore into the structure of `state` (a freshly created TrainState)."""
+    path = os.path.join(os.path.abspath(exp_dir), name)
+    ckptr = ocp.StandardCheckpointer()
+    template = {"step": state.step, "params": state.params,
+                "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+    restored = ckptr.restore(path, template)
+    return state.replace(**restored)
+
+
+def restore_params(exp_dir: str, name: str, template: Any) -> Any:
+    """Restore only params/batch_stats for inference."""
+    path = os.path.join(os.path.abspath(exp_dir), name)
+    ckptr = ocp.StandardCheckpointer()
+    sub = {"params": template["params"],
+           "batch_stats": template.get("batch_stats", {})}
+    full = {"step": 0, "opt_state": None, **sub}
+    # partial restore: orbax StandardCheckpointer restores the named subtree
+    restored = ckptr.restore(path)
+    return {"params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {})}
+
+
+def criterion_improver(mode: str):
+    """Closure tracking best value (utils/train_util.py:117-131)."""
+    assert mode in ("loss", "acc", "score")
+    best = float("inf") if mode == "loss" else 0.0
+
+    def inner(x: float) -> bool:
+        nonlocal best
+        improved = x < best if mode == "loss" else x > best
+        if improved:
+            best = x
+        return improved
+
+    return inner

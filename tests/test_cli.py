@@ -1,0 +1,107 @@
+"""End-to-end CLI test: build_vocab → train → evaluate → predict → diversity
+on a synthetic HDF5 Clotho-mini (exercises orbax checkpoints too)."""
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+import yaml
+
+from acvae_tpu.cli.main import Runner, main
+from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    feats, info, _ = make_synthetic_clotho(num_audios=6, mel_frames=128)
+    h5path = str(root / "mels.h5")
+    with h5py.File(h5path, "w") as f:
+        for aid, mel in feats.items():
+            f[aid] = mel
+    import pandas as pd
+    pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5path}).to_csv(
+        root / "mels.csv", sep="\t", index=False)
+    with open(root / "text.json", "w") as f:
+        json.dump({"audios": info}, f)
+
+    config = {
+        "model": "Hybrid_VAEModel",
+        "alpha": 0.5,
+        "encodermodel": "Cnn10",
+        "encoder_args": {"embed_size": 16, "channels": [4, 8, 8, 16]},
+        "decoder": "VAERNNBahdanauAttnDecoder",
+        "decoder_args": {"embed_size": 16, "hidden_size": 16},
+        "model_args": {
+            "posterior_model": "PosteriorRNN_hybrid",
+            "posterior_args": {"hidden_size": 16},
+            "prior_model": "PriorRNN",
+            "prior_args": {"hidden_size": 16},
+        },
+        "h5_csv": str(root / "mels.csv"),
+        "caption_file": str(root / "text.json"),
+        "vocab_file": str(root / "vocab.pkl"),
+        "outputpath": str(root / "experiments"),
+        "epochs": 2,
+        "batch_size": 8,
+        "train_percent": 80,
+        "optimizer_args": {"lr": 1e-3},
+        "scheduler": "constant",
+        "scheduler_args": {},
+    }
+    with open(root / "config.yaml", "w") as f:
+        yaml.safe_dump(config, f)
+    return root
+
+
+class TestCLI:
+    def test_build_vocab(self, workspace):
+        out = Runner().build_vocab(str(workspace / "text.json"),
+                                   str(workspace / "vocab.pkl"))
+        assert os.path.exists(out)
+
+    def test_train(self, workspace):
+        exp_dir = Runner().train(str(workspace / "config.yaml"), seed=3)
+        assert os.path.isdir(exp_dir)
+        assert os.path.exists(os.path.join(exp_dir, "config.yaml"))
+        assert os.path.isdir(os.path.join(exp_dir, "last"))
+        lines = open(os.path.join(exp_dir, "metrics.jsonl")).readlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[-1])
+        assert np.isfinite(rec["train_loss"])
+        self.__class__.exp_dir = exp_dir
+
+    def test_evaluate_beam(self, workspace):
+        scores = Runner().evaluate(self.exp_dir, checkpoint="last")
+        assert "CIDEr" in scores and np.isfinite(scores["CIDEr"])
+        assert os.path.exists(os.path.join(self.exp_dir,
+                                           "eval_output_beam_3.json"))
+
+    def test_evaluate_dbs_multicandidate(self, workspace):
+        scores = Runner().evaluate(self.exp_dir, checkpoint="last",
+                                   decode_method="dbs", beam_size=4,
+                                   group_size=2)
+        out = json.load(open(os.path.join(
+            self.exp_dir, "eval_output_dbs_4.json")))
+        first = out["predictions"][0]
+        assert "captions" in first and len(first["captions"]) == 4
+
+    def test_diversity_cli(self, workspace):
+        res = Runner().diversity(
+            os.path.join(self.exp_dir, "eval_output_dbs_4.json"),
+            str(workspace / "text.json"))
+        assert "Div1" in res and "mBLeu_4" in res and "Novelty" in res
+
+    def test_predict_csv(self, workspace, tmp_path):
+        out = Runner().predict(self.exp_dir, str(workspace / "mels.csv"),
+                               str(tmp_path / "pred.csv"), checkpoint="last")
+        lines = open(out).read().strip().splitlines()
+        assert lines[0] == "file_name,caption_predicted"
+        assert len(lines) > 1
+
+    def test_main_dispatch(self, workspace, capsys):
+        main(["diversity",
+              os.path.join(self.exp_dir, "eval_output_dbs_4.json")])
+        captured = capsys.readouterr()
+        assert "Div1" in captured.out
