@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 from acvae_tpu.core.registry import DECODERS, ENCODERS, LATENTS, MODELS
+from acvae_tpu.models.captioner import AttnCaptionModel, TransformerCaptionModel
+from acvae_tpu.models.trans_vae import TransVAECaptionModel
 from acvae_tpu.models.vae import SimpleVAECaptionModel, VAECaptionModel
 
 
@@ -68,6 +70,19 @@ def build_model(cfg: Dict[str, Any], vocab_size: int, data_dim: int):
                              model_args.get("posterior_args", {}),
                              vocab_size, embed)
         return SimpleVAECaptionModel(encoder=encoder, decoder=decoder, qnet=qnet)
+    if name == "TransVAEModel":
+        qnet = _build_latent(model_args.get("posterior_model", "PosteriorRNN"),
+                             model_args.get("posterior_args", {}),
+                             vocab_size, embed)
+        pnet = _build_latent(model_args.get("prior_model", "PriorRNN"),
+                             model_args.get("prior_args", {}),
+                             vocab_size, embed, audiofeats_size=embed)
+        return TransVAECaptionModel(encoder=encoder, decoder=decoder,
+                                    qnet=qnet, pnet=pnet)
+    if name == "Seq2SeqAttnModel":
+        return AttnCaptionModel(encoder=encoder, decoder=decoder)
+    if name == "TransformerModel":
+        return TransformerCaptionModel(encoder=encoder, decoder=decoder)
     if name in MODELS:
         return MODELS.build(name, encoder=encoder, decoder=decoder,
                             **model_args)

@@ -205,10 +205,11 @@ class _TransformerBase(nn.Module):
         self.outputlayer = nn.Dense(self.vocab_size,
                                     kernel_init=nn.initializers.kaiming_uniform())
         self.pe_dropout = nn.Dropout(self.dropout)
+        self.emb_dropout = nn.Dropout(self.dropout)
 
     def _embed(self, words: jnp.ndarray, train: bool) -> jnp.ndarray:
-        emb = nn.Dropout(self.dropout, deterministic=not train, name="emb_dropout")(
-            self.word_embeddings(words)) * math.sqrt(self.embed_size)
+        emb = self.emb_dropout(self.word_embeddings(words),
+                               deterministic=not train) * math.sqrt(self.embed_size)
         pe = sinusoidal_pe(self.max_len, self.embed_size)[: words.shape[1]]
         return self.pe_dropout(emb + pe[None], deterministic=not train)
 
