@@ -214,6 +214,44 @@ class VAECaptionModel(nn.Module):
         _, ys = scan_or_init(self, step, carry0, (eps_p, samp_keys), T)
         return {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
 
+    def forced_decode(self, feats, feat_lens, given_seqs) -> Dict[str, Any]:
+        """Replay a sampled rollout: feed `given_seqs` as the word inputs and
+        return the logprobs of those words.
+
+        Consumes the "sample" rng stream *identically* to
+        :meth:`stepwise_decode` (same split structure → same prior eps), so
+        calling rollout and replay with the same key reproduces the exact
+        rollout computation — this is how SCST gets gradients without keeping
+        the rollout graph (utils/train_util.py:355-413; SURVEY §7 host/device
+        split for RL)."""
+        encoded = self.encode(feats, feat_lens, train=False)
+        enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
+        N, T = given_seqs.shape
+        E = self.decoder.embed_size
+        key = self.make_rng("sample")
+        k_p, _k_samp = jax.random.split(key)   # mirror stepwise_decode
+        eps_p = jax.random.normal(k_p, (T, N, E))
+
+        def step(carry, xs):
+            dec_h, p_state, last_z, prev_word = carry
+            eps_t, given_t = xs
+            p = self.pnet.step(prev_word, enc_mem, p_proj, enc_mask,
+                               p_state, last_z, eps_t)
+            d = self.decoder.step(prev_word, dec_h, enc_mem, d_proj, enc_mask,
+                                  p["z"], train=False)
+            logprobs = jax.nn.log_softmax(d["logits"], axis=-1)
+            lp_t = jnp.take_along_axis(logprobs, given_t[:, None], -1)[:, 0]
+            carry = (d["state"], p["state"], p["z"], given_t)
+            return carry, {"sampled_logprobs": lp_t}
+
+        carry0 = (self.decoder.init_state(N), self.pnet.init_state(N),
+                  jnp.zeros((N, E)),
+                  jnp.full((N,), self.start_idx, jnp.int32))
+        xs = (eps_p, jnp.moveaxis(given_seqs, 0, 1))
+        _, ys = scan_or_init(self, step, carry0, xs, T)
+        return {"sampled_logprobs": jnp.moveaxis(ys["sampled_logprobs"], 0, 1),
+                "seqs": given_seqs}
+
     def beam_search(self, encoded, max_length: int,
                     beam_size: int) -> Dict[str, Any]:
         """VAE-flavor beam search (vae_model.py:220-312): per-beam prior z,
