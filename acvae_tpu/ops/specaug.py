@@ -1,0 +1,135 @@
+"""On-device batched SpecAugment.
+
+The reference runs SpecAugment per-sample in NumPy inside CPU DataLoader
+workers (``datasets/augment.py``; SURVEY §2.6).  Here every transform is a
+batched jnp op that fuses into the surrounding jitted train step, with the
+same sampling semantics (per-sample random extents, mean-fill by default):
+
+* :func:`freq_mask` / :func:`time_mask` — augment.py:29-66.  Reference quirk
+  preserved: the drawn width ``f`` only bounds the mask; the actual masked
+  span is ``[f0, randrange(f0, f0+f))``.
+* :func:`spec_augment` — the p-gated combinator (augment.py:69-82); the gate
+  is per *sample* here (the reference gates per worker call, which is
+  per-sample too).
+* :func:`random_crop` — augment.py:93-101, static output length (pads short
+  clips' handling to the caller: feats whose len <= size are kept).
+* :func:`time_roll` / :func:`gaussian_noise` — augment.py:85-111.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _span_mask(length: int, start: jnp.ndarray, end: jnp.ndarray) -> jnp.ndarray:
+    """[N] starts/ends -> [N, length] bool mask of [start, end)."""
+    idx = jnp.arange(length)[None, :]
+    return (idx >= start[:, None]) & (idx < end[:, None])
+
+
+def _rand_span(key, max_extent: int, axis_size: jnp.ndarray, n: int):
+    """Reference extent sampling (augment.py:34-41): f ~ U[0, F),
+    f0 ~ U[0, size - f), end ~ U[f0, f0 + f)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    f = jax.random.randint(k1, (n,), 0, max_extent)
+    f0 = jax.random.randint(k2, (n,), 0, jnp.maximum(axis_size - f, 1))
+    u = jax.random.uniform(k3, (n,))
+    end = f0 + (u * jnp.maximum(f, 1)).astype(jnp.int32)
+    return f0, end
+
+
+def freq_mask(spec: jnp.ndarray, key: jax.Array, F: int = 30,
+              num_masks: int = 1, replace_with_zero: bool = False) -> jnp.ndarray:
+    """spec: [N, T, Fbins]."""
+    N, T, Fbins = spec.shape
+    fill = 0.0 if replace_with_zero else jnp.mean(
+        spec, axis=(1, 2), keepdims=True)
+    for i in range(num_masks):
+        key, sub = jax.random.split(key)
+        f0, end = _rand_span(sub, F, jnp.full((N,), Fbins), N)
+        mask = _span_mask(Fbins, f0, end)[:, None, :]
+        spec = jnp.where(mask, fill, spec)
+    return spec
+
+
+def time_mask(spec: jnp.ndarray, key: jax.Array, T: int = 40,
+              num_masks: int = 1, replace_with_zero: bool = False,
+              lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """spec: [N, Tmax, F]; masks within each sample's valid length when
+    `lens` given (the reference works on unpadded samples)."""
+    N, Tmax, Fbins = spec.shape
+    size = lens if lens is not None else jnp.full((N,), Tmax)
+    fill = 0.0 if replace_with_zero else jnp.mean(
+        spec, axis=(1, 2), keepdims=True)
+    for i in range(num_masks):
+        key, sub = jax.random.split(key)
+        t0, end = _rand_span(sub, T, size, N)
+        mask = _span_mask(Tmax, t0, end)[:, :, None]
+        spec = jnp.where(mask, fill, spec)
+    return spec
+
+
+def spec_augment(spec: jnp.ndarray, key: jax.Array,
+                 lens: Optional[jnp.ndarray] = None,
+                 timemask: bool = True, num_timemask: int = 2,
+                 freqmask: bool = True, num_freqmask: int = 2,
+                 timewarp: bool = False,
+                 F: int = 15, W: int = 40, T: int = 30,
+                 p: float = 0.2) -> jnp.ndarray:
+    """p-gated per-sample SpecAugment (augment.py:69-82)."""
+    k_gate, k_t, k_f, k_w = jax.random.split(key, 4)
+    gate = jax.random.uniform(k_gate, (spec.shape[0],)) < p
+    out = spec
+    if timemask and num_timemask > 0:
+        out = time_mask(out, k_t, T=T, num_masks=num_timemask, lens=lens)
+    if freqmask and num_freqmask > 0:
+        out = freq_mask(out, k_f, F=F, num_masks=num_freqmask)
+    if timewarp:
+        from acvae_tpu.ops.warp import time_warp
+        out = time_warp(out, k_w, W_param=W)
+    return jnp.where(gate[:, None, None], out, spec)
+
+
+def random_crop(spec: jnp.ndarray, lens: jnp.ndarray, key: jax.Array,
+                size: int = 1000, p: float = 0.2):
+    """Per-sample random window of `size` frames (augment.py:93-101).
+
+    Returns (cropped [N, size, F], new_lens).  Samples with len <= size (or
+    losing the p-coin) keep their prefix window unchanged.
+    """
+    N, Tmax, F = spec.shape
+    k_gate, k_start = jax.random.split(key)
+    gate = (jax.random.uniform(k_gate, (N,)) <= p) & (lens > size)
+    hi = jnp.maximum(lens - size, 1)
+    start = (jax.random.uniform(k_start, (N,)) * hi).astype(jnp.int32)
+    start = jnp.where(gate, start, 0)
+
+    def crop_one(x, s):
+        return jax.lax.dynamic_slice(x, (s, 0), (min(size, Tmax), F))
+
+    out = jax.vmap(crop_one)(spec, start)
+    new_lens = jnp.where(gate, size, jnp.minimum(lens, size))
+    return out, new_lens
+
+
+def time_roll(x: jnp.ndarray, key: jax.Array, mean: float = 0.0,
+              std: float = 10.0) -> jnp.ndarray:
+    """Per-sample circular shift along time (augment.py:103-111)."""
+    N, T = x.shape[0], x.shape[1]
+    shift = (jax.random.normal(key, (N,)) * std + mean).astype(jnp.int32)
+    idx = (jnp.arange(T)[None, :] - shift[:, None]) % T
+    return jnp.take_along_axis(x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)),
+                               axis=1)
+
+
+def gaussian_noise(x: jnp.ndarray, key: jax.Array, snr: float = 30.0,
+                   mean: float = 0.0) -> jnp.ndarray:
+    """Additive noise at the given SNR (augment.py:85-91)."""
+    e_x = jnp.sum(x ** 2, axis=tuple(range(1, x.ndim)), keepdims=True) / x.shape[1]
+    noise = jax.random.normal(key, x.shape) + mean
+    e_n = jnp.sum(noise ** 2, axis=tuple(range(1, x.ndim)), keepdims=True) / x.shape[1]
+    alpha = jnp.sqrt(e_x / (e_n * 10.0 ** (snr / 10.0)))
+    return x + alpha * noise
