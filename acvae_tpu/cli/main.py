@@ -409,6 +409,308 @@ class Runner:
         return results
 
     # ------------------------------------------------------------------ #
+    def ensemble(self, *experiment_paths, eval_h5_csv: Optional[str] = None,
+                 eval_caption_file: Optional[str] = None,
+                 decode_method: str = "beam", beam_size: int = 3,
+                 max_length: int = 20, checkpoint: str = "best",
+                 output: str = "ensemble_scores.txt", seed: int = 1):
+        """Probability-averaged ensemble decode across experiment dirs
+        (base_runner.py:397-694)."""
+        from acvae_tpu.decoding.ensemble import ensemble_decode
+
+        members = []
+        vocabulary = None
+        conf0 = None
+        for exp_path in experiment_paths:
+            exp = Path(exp_path)
+            conf = load_config(str(exp / "config.yaml"))
+            vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
+            conf0 = conf0 or conf
+            h5_csv = eval_h5_csv or conf.get("val_h5_csv") or conf["h5_csv"]
+            cap_file = (eval_caption_file or conf.get("val_caption_file")
+                        or conf["caption_file"])
+            info = load_caption_info(cap_file)
+            info_unique = [{**a, "captions": a["captions"][:1]} for a in info]
+            ds = CaptionDataset(h5file_dict=_read_h5_csv(h5_csv),
+                                caption_info=info_unique,
+                                vocabulary=vocabulary)
+            refs_ds = CaptionDataset(h5file_dict=_read_h5_csv(h5_csv),
+                                     caption_info=info, vocabulary=vocabulary)
+            loader = CaptionLoader(ds, conf.get("batch_size", 32))
+            model = build_model(conf, len(vocabulary), ds.data_dim)
+            state, _ = self._init_state(conf, model, loader, 1)
+            state = restore_checkpoint(str(exp), checkpoint, state)
+            members.append((model, {"params": state.params,
+                                    "batch_stats": state.batch_stats}))
+        key = jax.random.key(seed)
+        key2pred: Dict[str, List[str]] = {}
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            out = ensemble_decode(members, jnp.asarray(batch.feats),
+                                  jnp.asarray(batch.feat_lens), sub,
+                                  decode_method=decode_method,
+                                  beam_size=beam_size, max_length=max_length)
+            seqs = np.asarray(out["seqs"])
+            if seqs.ndim == 3:
+                seqs = seqs[:, 0]
+            for aid, seq in zip(batch.audio_ids, seqs):
+                key2pred[aid] = [" ".join(vocabulary.decode(seq))]
+        scores = score_captions(refs_ds.refs(), key2pred,
+                                zh=conf0.get("zh", False))
+        with open(output, "w") as f:
+            for name, val in scores.items():
+                line = (f"{name}: {val:.3f}" if val is not None
+                        else f"{name}: n/a")
+                print(line)
+                f.write(line + "\n")
+        return scores
+
+    # ------------------------------------------------------------------ #
+    def scst(self, experiment_path: str, epochs: int = 10,
+             sample_n: int = 1, lr: float = 5e-5, max_length: int = 20,
+             checkpoint: str = "best", seed: int = 1, **kwargs):
+        """SCST / N-SCST fine-tuning of a trained model (run_scst.py,
+        pytorch_runner_vae_nsc)."""
+        from acvae_tpu.train.scst import (make_rollout, make_scst_step,
+                                          scst_train_step)
+
+        exp = Path(experiment_path)
+        conf = load_config(str(exp / "config.yaml"), **kwargs)
+        vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
+        train_ds, val_ds, train_loader, val_loader = \
+            self._build_dataloaders(conf, vocabulary)
+        model = build_model(conf, len(vocabulary), train_ds.data_dim)
+        conf["optimizer_args"] = {"lr": lr}
+        conf["scheduler"] = "constant"
+        state, _ = self._init_state(conf, model, train_loader, 1)
+        state = restore_checkpoint(str(exp), checkpoint, state)
+
+        rollout = make_rollout(model, sample_n=sample_n,
+                               max_length=max_length)
+        step = make_scst_step(model, sample_n=sample_n, donate=True)
+        key = jax.random.key(seed)
+        key2refs = train_ds.refs()
+        val_key2refs = val_ds.refs()
+        outputdir = exp / f"scst_n{sample_n}"
+        outputdir.mkdir(exist_ok=True)
+        logger = _setup_logger(str(outputdir / "scst.log"))
+        crtrn = criterion_improver("score")
+        for epoch in range(1, epochs + 1):
+            train_loader.set_epoch(epoch)
+            rewards = []
+            for batch in train_loader:
+                key, sub = jax.random.split(key)
+                state, metrics = scst_train_step(
+                    state, rollout, step,
+                    lambda s: {"params": s.params,
+                               "batch_stats": s.batch_stats},
+                    batch, batch.audio_ids, key2refs, vocabulary, sub,
+                    sample_n=sample_n)
+                rewards.append(metrics["score"])
+            key, sub = jax.random.split(key)
+            score = self._validate(model, state, val_loader, vocabulary,
+                                   val_key2refs, sub)
+            logger.info(f"epoch {epoch}: train CIDEr "
+                        f"{float(np.mean(rewards)):.3f} val CIDEr {score:.3f}")
+            if crtrn(score):
+                save_checkpoint(str(outputdir), "best", state, vocabulary,
+                                conf)
+            save_checkpoint(str(outputdir), "last", state, vocabulary, conf)
+        return str(outputdir)
+
+    # ------------------------------------------------------------------ #
+    def stage1(self, caption_file: str, vocab_file: str,
+               output_dir: str = "experiments/stage1", epochs: int = 20,
+               audios_per_batch: int = 16, uttnumbers: int = 5,
+               embed_size: int = 512, lr: float = 1e-3, seed: int = 1):
+        """GE2E caption-embedder pretraining (runners/stage1_runner.py)."""
+        import optax
+
+        from acvae_tpu.data.aux_datasets import Stage1Dataset
+        from acvae_tpu.models.stage1 import GE2ELoss, Stage1Encoder
+
+        info = load_caption_info(caption_file)
+        vocabulary = Vocabulary.load(vocab_file)
+        ds = Stage1Dataset(info, vocabulary, uttnumbers=uttnumbers)
+        enc = Stage1Encoder(vocab_size=len(vocabulary),
+                            embed_size=embed_size)
+        loss_mod = GE2ELoss()
+        caps0, lens0 = next(ds.batches(audios_per_batch, seed))
+        ev = enc.init(jax.random.key(seed), jnp.asarray(caps0),
+                      jnp.asarray(lens0), train=False)
+        lv = loss_mod.init(jax.random.key(seed + 1),
+                           jnp.zeros((audios_per_batch, uttnumbers,
+                                      embed_size)))
+        params = {"enc": ev["params"], "loss": lv["params"]}
+        bs = ev["batch_stats"]
+        # separate grad clips 3.0 (encoder) / 1.0 (loss scale) like
+        # stage1_runner.py:101-102
+        tx = optax.multi_transform(
+            {"enc": optax.chain(optax.clip_by_global_norm(3.0),
+                                optax.sgd(lr, momentum=0.9)),
+             "loss": optax.chain(optax.clip_by_global_norm(1.0),
+                                 optax.sgd(lr, momentum=0.9))},
+            {"enc": "enc", "loss": "loss"})
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, bs, opt, caps, lens):
+            def loss_fn(p):
+                emb, updates = enc.apply(
+                    {"params": p["enc"], "batch_stats": bs}, caps, lens,
+                    train=True, mutable=["batch_stats"])
+                emb = emb.reshape(audios_per_batch, uttnumbers, -1)
+                return (loss_mod.apply({"params": p["loss"]}, emb),
+                        updates["batch_stats"])
+
+            (l, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, new_opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, upd), new_bs, new_opt, l
+
+        outdir = Path(output_dir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        logger = _setup_logger(str(outdir / "stage1.log"))
+        for epoch in range(1, epochs + 1):
+            losses = []
+            for caps, lens in ds.batches(audios_per_batch, seed, epoch):
+                params, bs, opt, l = step(params, bs, opt,
+                                          jnp.asarray(caps),
+                                          jnp.asarray(lens))
+                losses.append(float(l))
+            logger.info(f"epoch {epoch}: GE2E loss {np.mean(losses):.4f}")
+        import pickle
+        with open(outdir / "stage1_params.pkl", "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(np.asarray,
+                                               {"params": params["enc"],
+                                                "batch_stats": bs}), f)
+        return str(outdir)
+
+    # ------------------------------------------------------------------ #
+    def extract_embedding(self, stage1_dir: str, caption_file: str,
+                          vocab_file: str, output_dir: str,
+                          embed_size: int = 512):
+        """Dump per-caption .npy embeddings + per-audio mean (caption.npy),
+        consumed via embedding_path (stage1_runner.py:213-252)."""
+        import pickle
+
+        from acvae_tpu.models.stage1 import Stage1Encoder
+
+        vocabulary = Vocabulary.load(vocab_file)
+        info = load_caption_info(caption_file)
+        with open(Path(stage1_dir) / "stage1_params.pkl", "rb") as f:
+            variables = pickle.load(f)
+        enc = Stage1Encoder(vocab_size=len(vocabulary), embed_size=embed_size)
+        out_root = Path(output_dir)
+        for audio in info:
+            aid_dir = out_root / audio["audio_id"]
+            aid_dir.mkdir(parents=True, exist_ok=True)
+            caps, lens = [], []
+            for cap in audio["captions"]:
+                toks = cap["tokens"].split()
+                ids = [1] + [vocabulary(t) for t in toks] + [2]
+                caps.append(np.pad(np.asarray(ids[:22], np.int32),
+                                   (0, max(0, 22 - len(ids)))))
+                lens.append(min(len(ids), 22))
+            emb = enc.apply(variables, jnp.asarray(np.stack(caps)),
+                            jnp.asarray(np.asarray(lens)), train=False)
+            emb = np.asarray(emb)
+            for i in range(emb.shape[0]):
+                np.save(aid_dir / f"{i}.npy", emb[i])
+            np.save(aid_dir / "caption.npy", emb.mean(0))
+        return str(out_root)
+
+    # ------------------------------------------------------------------ #
+    def global_vae(self, caption_file: str, vocab_file: str,
+                   output_dir: str = "experiments/global_vae",
+                   epochs: int = 20, batch_size: int = 64,
+                   latent_size: int = 512, lr: float = 5e-4,
+                   kl_weight: float = 0.5, seed: int = 1):
+        """Pretrain the global sentence VAE (global_vae_model + GlobalDataset);
+        the result warm-starts Hybrid training via --pretrained_global."""
+        import optax
+        import pickle
+
+        from acvae_tpu.data.aux_datasets import CaptionCorpus
+        from acvae_tpu.models.global_vae import GlobalSentenceVAE
+        from acvae_tpu.ops.losses import cross_entropy, normal_kl_loss
+        from acvae_tpu.ops.masked import length_mask
+
+        info = load_caption_info(caption_file)
+        vocabulary = Vocabulary.load(vocab_file)
+        corpus = CaptionCorpus(info, vocabulary)
+        model = GlobalSentenceVAE(vocab_size=len(vocabulary),
+                                  latent_size=latent_size)
+        caps0, lens0 = next(corpus.batches(batch_size, seed=seed))
+        variables = model.init(
+            {"params": jax.random.key(seed), "sample": jax.random.key(seed + 1)},
+            jnp.asarray(caps0), jnp.asarray(lens0), train=False)
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        opt = tx.init(variables["params"])
+        params = variables["params"]
+
+        @jax.jit
+        def step(params, opt, caps, lens, key):
+            def loss_fn(p):
+                out = model.apply({"params": p}, caps, lens, train=True,
+                                  rngs={"sample": key})
+                mask = length_mask(lens - 1, caps.shape[1] - 1)
+                ce = cross_entropy(out["logits"], caps[:, 1:], mask)
+                kl = normal_kl_loss(out["mu"], out["logvar"],
+                                    jnp.zeros_like(out["mu"]),
+                                    jnp.zeros_like(out["logvar"]))
+                return ce + kl_weight * kl, (ce, kl)
+
+            (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, new_opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, upd), new_opt, l, aux
+
+        outdir = Path(output_dir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        logger = _setup_logger(str(outdir / "global_vae.log"))
+        key = jax.random.key(seed + 2)
+        for epoch in range(1, epochs + 1):
+            losses = []
+            for caps, lens in corpus.batches(batch_size, seed=seed,
+                                             epoch=epoch):
+                key, sub = jax.random.split(key)
+                params, opt, l, aux = step(params, opt, jnp.asarray(caps),
+                                           jnp.asarray(lens), sub)
+                losses.append(float(l))
+            logger.info(f"epoch {epoch}: loss {np.mean(losses):.4f}")
+        with open(outdir / "global_vae_params.pkl", "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+        return str(outdir)
+
+    # ------------------------------------------------------------------ #
+    def report_results(self, experiment_root: str,
+                       score_file: str = "scores_beam_3.txt"):
+        """Aggregate scores across seed_* dirs → mean±std
+        (utils/report_results.py:5-34)."""
+        import re
+        from collections import defaultdict
+
+        root = Path(experiment_root)
+        values: Dict[str, List[float]] = defaultdict(list)
+        for seed_dir in sorted(root.glob("seed_*")):
+            path = seed_dir / score_file
+            if not path.exists():
+                continue
+            for line in open(path):
+                m = re.match(r"(\S+):\s+([-\d.]+)", line)
+                if m:
+                    values[m.group(1)].append(float(m.group(2)))
+        out_lines = []
+        for name, vals in values.items():
+            arr = np.asarray(vals)
+            out_lines.append(
+                f"{name}: {arr.mean():.3f} ± {arr.std():.3f} (n={len(arr)})")
+        text = "\n".join(out_lines)
+        print(text)
+        with open(root / "aggregated_scores.txt", "w") as f:
+            f.write(text + "\n")
+        return dict(values)
+
+    # ------------------------------------------------------------------ #
     def build_vocab(self, caption_file: str, output: str,
                     threshold: int = 1):
         """Build vocab.pkl from text.json (utils/build_vocab.py CLI)."""

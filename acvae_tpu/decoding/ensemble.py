@@ -1,0 +1,147 @@
+"""Ensemble decoding: probability-averaged greedy / beam search across models.
+
+Equivalent of ``BaseRunner.ensemble`` (``runners/base_runner.py:397-694``):
+each member model runs its own per-step computation; the next-word
+distribution is the mean of the members' softmax outputs.  Here every member
+contributes a step function over the shared flat [N(*B)] word axis, and the
+whole ensemble loop is one jitted program.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from acvae_tpu import END_IDX, START_IDX
+from acvae_tpu.decoding.beam import BeamConfig, _freeze, _gather_beams
+
+StepFn = Callable[[Any, jnp.ndarray, int], Tuple[jnp.ndarray, Any]]
+
+
+def _mean_logprobs(logits_list: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """log of the members' mean probability (base_runner.py:520-530 averages
+    probs, not logits)."""
+    probs = sum(jax.nn.softmax(l, axis=-1) for l in logits_list)
+    return jnp.log(probs / len(logits_list) + 1e-12)
+
+
+def ensemble_greedy(step_fns: List[StepFn], init_states: List[Any],
+                    batch_size: int, max_length: int,
+                    start_idx: int = START_IDX,
+                    end_idx: int = END_IDX) -> Dict[str, jnp.ndarray]:
+    """Prob-averaged greedy decode."""
+    words = jnp.full((batch_size,), start_idx, jnp.int32)
+    finished = jnp.zeros((batch_size,), bool)
+    seqs = jnp.full((batch_size, max_length), end_idx, jnp.int32)
+    states = list(init_states)
+    for t in range(max_length):
+        logits_list = []
+        for m, fn in enumerate(step_fns):
+            logits_m, states[m] = fn(states[m], words, t)
+            logits_list.append(logits_m)
+        logprobs = _mean_logprobs(logits_list)
+        w_t = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
+        w_t = jnp.where(finished, end_idx, w_t)
+        finished = finished | (w_t == end_idx)
+        seqs = seqs.at[:, t].set(w_t)
+        words = w_t
+    return {"seqs": seqs}
+
+
+def ensemble_beam(step_fns: List[StepFn], init_states: List[Any],
+                  batch_size: int, cfg: BeamConfig) -> Dict[str, jnp.ndarray]:
+    """Prob-averaged batched beam search (same engine semantics as
+    acvae_tpu.decoding.beam, states kept per member)."""
+    N, B = batch_size, cfg.beam_size
+    T = cfg.max_length
+    words = jnp.full((N * B,), cfg.start_idx, jnp.int32)
+    scores = jnp.zeros((N, B))
+    seqs = jnp.full((N, B, T), cfg.end_idx, jnp.int32)
+    done_count = jnp.zeros((N,), jnp.int32)
+    stopped = jnp.zeros((N,), bool)
+    states = list(init_states)
+
+    for t in range(T):
+        logits_list = []
+        new_states = []
+        for m, fn in enumerate(step_fns):
+            logits_m, s_m = fn(states[m], words, t)
+            logits_list.append(logits_m)
+            new_states.append(s_m)
+        logprobs = _mean_logprobs(logits_list)
+        V = logprobs.shape[-1]
+        total = scores[:, :, None] + logprobs.reshape(N, B, V)
+
+        if t == 0 and cfg.first_step_row0:
+            top_scores, next_words = jax.lax.top_k(total[:, 0], B)
+            prev_inds = jnp.zeros((N, B), jnp.int32)
+        else:
+            top_scores, flat_idx = jax.lax.top_k(total.reshape(N, B * V), B)
+            prev_inds = flat_idx // V
+            next_words = flat_idx % V
+
+        new_states = [_gather_beams(s, prev_inds, N, B) for s in new_states]
+        new_seqs = jnp.take_along_axis(seqs, prev_inds[:, :, None], axis=1)
+        new_seqs = new_seqs.at[:, :, t].set(next_words)
+        new_words = next_words.reshape(N * B).astype(jnp.int32)
+
+        if cfg.end_handling:
+            is_end = next_words == cfg.end_idx
+            new_done = done_count + jnp.sum(is_end, axis=1, dtype=jnp.int32)
+            new_scores = jnp.where(is_end, top_scores - 1000.0, top_scores)
+        else:
+            new_done, new_scores = done_count, top_scores
+
+        states = [_freeze(s, ns, stopped, N, B)
+                  for s, ns in zip(states, new_states)]
+        seqs = jnp.where(stopped[:, None, None], seqs, new_seqs)
+        scores = jnp.where(stopped[:, None], scores, new_scores)
+        words = jnp.where(jnp.repeat(stopped, B), words, new_words)
+        done_count = jnp.where(stopped, done_count, new_done)
+        if cfg.end_handling:
+            stopped = stopped | (done_count >= B)
+
+    return {"seqs": seqs, "scores": scores}
+
+
+def ensemble_decode(members: List[Tuple[Any, Any]], feats: jnp.ndarray,
+                    feat_lens: jnp.ndarray, key: jax.Array,
+                    decode_method: str = "beam", beam_size: int = 3,
+                    max_length: int = 20) -> Dict[str, jnp.ndarray]:
+    """High-level ensemble decode over (model, variables) pairs.
+
+    Each member encodes independently; per-step next-word distributions are
+    averaged.  Members draw independent prior noise (like independent
+    reference models would).
+    """
+    N = feats.shape[0]
+    B = beam_size if decode_method == "beam" else 1
+    NB = N * B
+    step_fns, init_states = [], []
+    for m, (model, variables) in enumerate(members):
+        encoded = model.apply(variables, feats, feat_lens, train=False,
+                              method=model.encode)
+        ctx = model.apply(variables, encoded, method=model.decode_ctx)
+        if B > 1:
+            ctx = jax.tree_util.tree_map(
+                lambda a: jnp.repeat(a, B, axis=0), ctx)
+        state0 = model.apply(variables, NB, method=model.init_decode_state)
+        E = model.decoder.embed_size
+        eps = jax.random.normal(jax.random.fold_in(key, m),
+                                (max_length, NB, E))
+
+        def make_fn(model=model, variables=variables, ctx=ctx, eps=eps):
+            def fn(state, words, t):
+                return model.apply(variables, ctx, state, words, eps[t],
+                                   method=model.decode_step_api)
+            return fn
+
+        step_fns.append(make_fn())
+        init_states.append(state0)
+
+    if decode_method == "beam":
+        cfg = BeamConfig(beam_size=B, max_length=max_length,
+                         first_step_row0=False, end_handling=False)
+        return ensemble_beam(step_fns, init_states, N, cfg)
+    return ensemble_greedy(step_fns, init_states, N, max_length)

@@ -121,6 +121,19 @@ class AttnCaptionModel(nn.Module):
         _, ys = scan_or_init(self, step, carry0, samp_keys, max_length)
         return {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
 
+    def decode_ctx(self, encoded):
+        return self._ctx(encoded)
+
+    def init_decode_state(self, batch: int):
+        return self.decoder.init_state(batch)
+
+    def decode_step_api(self, ctx, state, words, eps_t=None):
+        """One decode step driven from outside (decoding.ensemble)."""
+        enc_mem, enc_mask, d_proj = ctx
+        d = self.decoder.step(words, state, enc_mem, d_proj, enc_mask,
+                              train=False)
+        return d["logits"], d["state"]
+
     def beam_search(self, encoded, max_length, beam_size):
         """word_model-flavor beam (word_model.py:209-256): row-0 first step,
         end handling with done counting and freeze."""

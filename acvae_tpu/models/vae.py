@@ -214,6 +214,28 @@ class VAECaptionModel(nn.Module):
         _, ys = scan_or_init(self, step, carry0, (eps_p, samp_keys), T)
         return {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
 
+    # ------------------------------------------------------------------ #
+    # ensemble API: externally driven per-step decode
+    # ------------------------------------------------------------------ #
+    def decode_ctx(self, encoded):
+        """Precompute per-utterance decode context (enc_mem, mask, attention
+        projections) for externally driven stepping (ensemble decode)."""
+        return self._prep_ctx(encoded)
+
+    def init_decode_state(self, batch: int):
+        return (self.decoder.init_state(batch), self.pnet.init_state(batch),
+                jnp.zeros((batch, self.decoder.embed_size)))
+
+    def decode_step_api(self, ctx, state, words, eps_t):
+        """One decode step driven from outside (decoding.ensemble)."""
+        enc_mem, enc_mask, p_proj, d_proj = ctx
+        dec_h, p_state, last_z = state
+        p = self.pnet.step(words, enc_mem, p_proj, enc_mask, p_state,
+                           last_z, eps_t)
+        d = self.decoder.step(words, dec_h, enc_mem, d_proj, enc_mask,
+                              p["z"], train=False)
+        return d["logits"], (d["state"], p["state"], p["z"])
+
     def forced_decode(self, feats, feat_lens, given_seqs) -> Dict[str, Any]:
         """Replay a sampled rollout: feed `given_seqs` as the word inputs and
         return the logprobs of those words.
