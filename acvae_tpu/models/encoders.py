@@ -48,8 +48,11 @@ class ConvBlock(nn.Module):
             x = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False,
                         kernel_init=nn.initializers.xavier_uniform(),
                         dtype=self.dtype, name=f"conv{i}")(x)
+            # BN compute follows the block dtype (bf16 halves the HBM traffic
+            # of the early blocks, which are bandwidth-bound); statistics and
+            # params stay f32 inside flax's BatchNorm.
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=jnp.float32, name=f"bn{i}")(x)
+                             dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
         if pool_size != (1, 1):
             if pool_type in ("avg", "avg+max"):

@@ -20,7 +20,7 @@ import os
 import sys
 import time
 
-BATCH = 256           # best measured throughput in f32 (512 OOMs 16G HBM)
+BATCH = 512           # bf16 encoder fits 512 in 16G HBM (1024 OOMs)
 TORCH_BATCH = 32      # reference-style baseline batch (throughput-normalized)
 T_MEL = 1024          # ~12 s of 64-bin log-mel at Clotho's frame rate
 F_MEL = 64
@@ -39,16 +39,18 @@ def bench_jax() -> dict:
 
     from __graft_entry__ import _build_flagship
 
-    model = _build_flagship(vocab_size=VOCAB)
+    model = _build_flagship(vocab_size=VOCAB, enc_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.normal(size=(BATCH, T_MEL, F_MEL)).astype(np.float32))
     feat_lens = jnp.full((BATCH,), T_MEL, jnp.int32)
-    caps = jnp.asarray(rng.integers(4, VOCAB, size=(BATCH, 22)).astype(np.int32))
-    cap_lens = jnp.full((BATCH,), 22, jnp.int32)
 
+    # init on a small probe batch (params are batch-size independent)
+    fi = jnp.asarray(rng.normal(size=(8, 256, F_MEL)).astype(np.float32))
     variables = model.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
-        feats, feat_lens, caps, cap_lens, train=False)
+        fi, jnp.full((8,), 256, jnp.int32),
+        jnp.ones((8, 22), jnp.int32), jnp.full((8,), 22, jnp.int32),
+        train=False)
 
     @jax.jit
     def decode(variables, feats, feat_lens, key):
