@@ -121,6 +121,45 @@ class _AttnRNNBase(nn.Module):
                 "attn_weights": attn_w, "rnn_input": rnn_input}
 
 
+@DECODERS.register("RNNLuongAttnDecoder")
+class RNNLuongAttnDecoder(nn.Module):
+    """decoder.py:101-126 — post-RNN (Luong) attention: run the GRU first,
+    attend with the new state, logits from tanh(W[h; ctx])."""
+    vocab_size: int
+    enc_mem_size: int
+    embed_size: int = 256
+    hidden_size: int = 256
+    attn_hidden_size: int = 256
+    dropout: float = 0.0
+
+    def setup(self):
+        self.word_embeddings = nn.Embed(
+            self.vocab_size, self.embed_size,
+            embedding_init=nn.initializers.kaiming_uniform())
+        self.cell = GRUCell(self.hidden_size, self.embed_size)
+        self.attn = AdditiveAttention(self.attn_hidden_size)
+        self.hc2attn_h = nn.Dense(self.attn_hidden_size,
+                                  kernel_init=nn.initializers.kaiming_uniform())
+        self.classifier = nn.Dense(self.vocab_size,
+                                   kernel_init=nn.initializers.kaiming_uniform())
+        self.dropoutlayer = nn.Dropout(self.dropout)
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((batch, self.hidden_size), dtype)
+
+    def project_enc(self, enc_mem: jnp.ndarray) -> jnp.ndarray:
+        return self.attn.project_enc(enc_mem)
+
+    def step(self, word, state, enc_mem, enc_proj, enc_mask,
+             train: bool = False) -> Dict[str, Any]:
+        emb = self.dropoutlayer(self.word_embeddings(word), deterministic=not train)
+        h = self.cell(emb, state)
+        ctx, attn_w = self.attn(h, enc_mem, enc_proj, enc_mask)
+        attn_h = jnp.tanh(self.hc2attn_h(jnp.concatenate([h, ctx], axis=-1)))
+        return {"state": h, "output": attn_h,
+                "logits": self.classifier(attn_h), "attn_weights": attn_w}
+
+
 @DECODERS.register("RNNBahdanauAttnDecoder")
 class RNNBahdanauAttnDecoder(_AttnRNNBase):
     """decoder.py:129-162 — GRU over [emb; attention ctx]."""

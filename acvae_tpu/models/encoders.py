@@ -262,6 +262,161 @@ class CRNNEncoder(nn.Module, _DropoutMixin):
                 "audio_embeds_lens": lens}
 
 
+@ENCODERS.register("CNN10QEncoder")
+class CNN10QEncoder(nn.Module, _DropoutMixin):
+    """CNN10-Q (encoder.py:427-498): double-conv blocks with avg pools, final
+    freq average, masked mean+max pooled embedding; subsampling ×16."""
+    inputdim: int = 64
+    embed_size: int = 512
+    channels: Sequence[int] = (64, 128, 256, 512)
+    dtype: Any = jnp.float32
+
+    def _trunk(self, feats, feat_lens, train):
+        x = _MelBatchNorm()(feats, train)[..., None]
+        lens = feat_lens // 16
+        for i, c in enumerate(self.channels):
+            for j in (1, 2):
+                x = nn.Conv(c, (3, 3), padding="SAME", use_bias=False,
+                            kernel_init=nn.initializers.kaiming_uniform(),
+                            dtype=self.dtype, name=f"b{i}_conv{j}")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype, name=f"b{i}_bn{j}")(x)
+                x = nn.relu(x)
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            x = self._dropout(x, 0.2, train)
+        x = jnp.mean(x, axis=2)  # AdaptiveAvgPool over remaining freq
+        return x, lens
+
+    @nn.compact
+    def __call__(self, feats, feat_lens, train: bool = False) -> EncoderOutput:
+        x, lens = self._trunk(feats, feat_lens, train)
+        out = mean_with_lens(x, lens) + max_with_lens(x, lens)
+        out = self._dropout(out, 0.5, train)
+        out = nn.Dense(self.embed_size, name="embedding",
+                       kernel_init=nn.initializers.kaiming_uniform())(out)
+        return {"audio_embeds": x, "audio_embeds_pooled": out,
+                "audio_embeds_lens": lens}
+
+
+@ENCODERS.register("CNN10DEncoder")
+class CNN10DEncoder(CNN10QEncoder):
+    """CNN10-D (encoder.py:500-514): Q trunk + per-frame projection head."""
+
+    @nn.compact
+    def __call__(self, feats, feat_lens, train: bool = False) -> EncoderOutput:
+        x, lens = self._trunk(feats, feat_lens, train)
+        out = mean_with_lens(x, lens) + max_with_lens(x, lens)
+        out = self._dropout(out, 0.5, train)
+        embedding = nn.Dense(self.channels[-1], name="embedding",
+                             kernel_init=nn.initializers.kaiming_uniform())
+        out = embedding(out)
+        frames = nn.relu(embedding(x))
+        frames = self._dropout(frames, 0.5, train)
+        frames = nn.Dense(self.embed_size, name="outputlayer",
+                          kernel_init=nn.initializers.kaiming_uniform())(frames)
+        return {"audio_embeds": frames, "audio_embeds_pooled": out,
+                "audio_embeds_lens": lens}
+
+
+@ENCODERS.register("CNNEncoder")
+class CNNEncoder(nn.Module, _DropoutMixin):
+    """GLU conv stack (encoder.py:91-141): conv → BN → GLU → freq max-pool,
+    time-mean pooled into one utterance vector (no temporal embeds)."""
+    inputdim: int = 64
+    embed_size: int = 256
+    filters: Sequence[int] = (32, 32, 32)
+    filtersizes: Sequence[int] = (5, 3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, feat_lens, train: bool = False) -> EncoderOutput:
+        x = feats[..., None]
+        for i, (c, k) in enumerate(zip(self.filters, self.filtersizes)):
+            x = nn.Conv(c, (k, k), padding=k // 2, use_bias=False,
+                        kernel_init=nn.initializers.kaiming_uniform(),
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name=f"bn{i}")(x)
+            a, b = jnp.split(x, 2, axis=-1)
+            x = a * jax.nn.sigmoid(b)  # GLU over channels
+            x = nn.max_pool(x, (1, 2), strides=(1, 2))
+        x = jnp.mean(x, axis=1)  # pool time
+        x = x.reshape(x.shape[0], -1)
+        out = nn.Dense(self.embed_size, name="outputlayer",
+                       kernel_init=nn.initializers.kaiming_uniform())(x)
+        return {"audio_embeds": out[:, None, :], "audio_embeds_pooled": out,
+                "audio_embeds_lens": jnp.ones_like(feat_lens)}
+
+
+@ENCODERS.register("CRNN8_Sub4")
+class CRNN8Sub4(nn.Module, _DropoutMixin):
+    """CRNN8 (encoder.py:345-424): double-conv blocks with avg+max (MM)
+    pooling → embedding → BiGRU; subsampling ×4."""
+    inputdim: int = 64
+    embed_size: int = 512
+    channels: Sequence[int] = (64, 128, 256, 512)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, feat_lens, train: bool = False) -> EncoderOutput:
+        x = _MelBatchNorm()(feats, train)[..., None]
+        pools = [(2, 2), (2, 2), (1, 2), (1, 2)]
+        for i, (c, p) in enumerate(zip(self.channels, pools)):
+            for j in (1, 2):
+                x = nn.Conv(c, (3, 3), padding="SAME", use_bias=False,
+                            kernel_init=nn.initializers.kaiming_uniform(),
+                            dtype=self.dtype, name=f"b{i}_conv{j}")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype, name=f"b{i}_bn{j}")(x)
+                x = nn.relu(x)
+            x = nn.avg_pool(x, p, strides=p) + nn.max_pool(x, p, strides=p)
+            x = self._dropout(x, 0.2, train)
+        x = jnp.mean(x, axis=2)  # AdaptiveAvgPool((None, 1)) over freq
+        x = self._dropout(x, 0.5, train)
+        x = nn.relu(nn.Dense(self.channels[-1], name="embedding",
+                             kernel_init=nn.initializers.kaiming_uniform())(x))
+        lens = feat_lens // 4
+        x, _ = GRU(self.channels[-1] // 2, x.shape[-1], bidirectional=True,
+                   name="gru")(x, lens)
+        pooled = mean_with_lens(x, lens)
+        return {"audio_embeds": x, "audio_embeds_pooled": pooled,
+                "audio_embeds_lens": lens}
+
+
+@ENCODERS.register("TransformerEncoder")
+class TransformerAudioEncoder(nn.Module, _DropoutMixin):
+    """Projects precomputed attention features through a transformer encoder
+    (encoder.py:1256-1306; the reference's version calls an undefined helper —
+    SURVEY §7 known bugs — this is the working equivalent)."""
+    inputdim: int
+    embed_size: int = 512
+    nhead: int = 8
+    nlayers: int = 2
+    dim_feedforward: int = 2048
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, feats, feat_lens, train: bool = False) -> EncoderOutput:
+        from acvae_tpu.ops.masked import length_mask
+        x = nn.Dense(self.embed_size, name="proj",
+                     kernel_init=nn.initializers.kaiming_uniform())(feats)
+        mask = length_mask(feat_lens, x.shape[1])
+        attn_mask = (mask[:, None, :] & mask[:, :, None])[:, None]
+        for i in range(self.nlayers):
+            sa = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead, qkv_features=self.embed_size,
+                dropout_rate=self.dropout, deterministic=not train,
+                name=f"layer{i}_attn")(x, x, mask=attn_mask)
+            x = nn.LayerNorm(name=f"layer{i}_norm1")(x + sa)
+            ff = nn.Dense(self.dim_feedforward, name=f"layer{i}_ff1")(x)
+            ff = nn.Dense(self.embed_size, name=f"layer{i}_ff2")(
+                self._dropout(nn.relu(ff), self.dropout, train))
+            x = nn.LayerNorm(name=f"layer{i}_norm2")(x + ff)
+        pooled = mean_with_lens(x, feat_lens)
+        return {"audio_embeds": x, "audio_embeds_pooled": pooled,
+                "audio_embeds_lens": feat_lens}
+
+
 @ENCODERS.register("RNNEncoder")
 class RNNEncoder(nn.Module, _DropoutMixin):
     """Packed GRU encoder (encoder.py:709-762) with mean/time representation."""

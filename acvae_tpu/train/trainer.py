@@ -107,11 +107,18 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
             L = batch["caps"].shape[1]
             mask = length_mask(batch["cap_lens"] - 1, L - 1)
             ce = ce_fn(out["logits"], batch["caps"][:, 1:], mask)
-            km = mask if kl_mask == "valid" else None
-            kl = normal_kl_loss(out["q_means"], out["q_logs"],
-                                out["p_means"], out["p_logs"], km)
-            loss = ce + kl_weight * kl
-            metrics = {"ce": ce, "kl": kl}
+            metrics = {"ce": ce}
+            if "q_means" in out:
+                km = mask if kl_mask == "valid" else None
+                q_m, q_l = out["q_means"], out["q_logs"]
+                p_m, p_l = out["p_means"], out["p_logs"]
+                if q_m.ndim < 3:  # SimpleVAE: single global latent per clip
+                    km = None
+                kl = normal_kl_loss(q_m, q_l, p_m, p_l, km)
+                loss = ce + kl_weight * kl
+                metrics["kl"] = kl
+            else:  # plain captioners: CE only (pytorch_runner.py:323-335)
+                loss = ce
             if alpha is not None and "p_means_utt" in out:
                 if global_loss == "MSE":
                     g = jnp.mean((out["q_means_utt"] - out["p_means_utt"]) ** 2)

@@ -1,0 +1,92 @@
+"""Encoder zoo: shapes, lens subsampling, dict contract, LPPool math."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acvae_tpu.core.registry import ENCODERS
+from acvae_tpu.models.encoders import _lp_pool
+
+N, T, F = 2, 64, 64
+
+
+@pytest.fixture
+def feats(rng):
+    return (jnp.asarray(rng.normal(size=(N, T, F)).astype(np.float32)),
+            jnp.array([T, 32]))
+
+
+CONFIGS = [
+    ("Cnn10", {"embed_size": 16, "channels": (4, 8, 8, 16)}, 16, T // 16),
+    ("Cnn14", {"embed_size": 2048}, 2048, T // 32),
+    ("CRNNEncoder", {"embed_size": 256}, 256, T // 4),
+    ("CNN10QEncoder", {"embed_size": 16, "channels": (4, 8, 8, 16)}, 16, T // 16),
+    ("CNN10DEncoder", {"embed_size": 24, "channels": (4, 8, 8, 16)}, 16, T // 16),
+    ("CRNN8_Sub4", {"embed_size": 16, "channels": (4, 8, 8, 16)}, 16, T // 4),
+    ("RNNEncoder", {"embed_size": 12, "hidden_size": 8}, 12, T),
+    ("TransformerEncoder", {"embed_size": 16, "nhead": 2, "nlayers": 1}, 16, T),
+]
+
+
+@pytest.mark.parametrize("name,args,embed,t_out", CONFIGS)
+def test_encoder_contract(feats, name, args, embed, t_out):
+    x, lens = feats
+    enc = ENCODERS.build(name, inputdim=F, **args)
+    variables = enc.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, lens, train=False)
+    out = enc.apply(variables, x, lens, train=False)
+    assert set(out) >= {"audio_embeds", "audio_embeds_pooled",
+                        "audio_embeds_lens"}
+    assert out["audio_embeds"].shape[0] == N
+    assert out["audio_embeds"].shape[1] == t_out
+    assert out["audio_embeds_pooled"].shape[0] == N
+    assert jnp.all(jnp.isfinite(out["audio_embeds"].astype(jnp.float32)))
+    # subsampled lens
+    if name in ("Cnn10", "CNN10QEncoder", "CNN10DEncoder"):
+        assert int(out["audio_embeds_lens"][1]) == 32 // 16
+    # train mode with batch stats mutates
+    out2, updates = enc.apply(
+        variables, x, lens, train=True,
+        rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"])
+    assert "batch_stats" in updates or not variables.get("batch_stats")
+
+
+def test_cnnencoder_glu(feats):
+    x, lens = feats
+    enc = ENCODERS.build("CNNEncoder", inputdim=F, embed_size=8,
+                         filters=(8, 8, 8), filtersizes=(5, 3, 3))
+    variables = enc.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, lens, train=False)
+    out = enc.apply(variables, x, lens, train=False)
+    assert out["audio_embeds_pooled"].shape == (N, 8)
+
+
+def test_lp_pool_matches_torch(rng):
+    import torch
+    x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    ours = _lp_pool(jnp.asarray(x), 4.0, (2, 4))
+    # torch LPPool2d operates NCHW
+    tx = torch.tensor(x).permute(0, 3, 1, 2)
+    ref = torch.nn.LPPool2d(4, (2, 4))(tx).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_luong_decoder_step(rng):
+    from acvae_tpu.models.decoders import RNNLuongAttnDecoder
+    dec = RNNLuongAttnDecoder(vocab_size=17, enc_mem_size=8, embed_size=8,
+                              hidden_size=8, attn_hidden_size=8)
+    enc_mem = jnp.asarray(rng.normal(size=(3, 5, 8)).astype(np.float32))
+    enc_mask = jnp.ones((3, 5), bool)
+    word = jnp.array([1, 2, 3])
+
+    def run(dec, word):
+        proj = dec.project_enc(enc_mem)
+        return dec.step(word, dec.init_state(3), enc_mem, proj, enc_mask)
+
+    variables = jax.jit(lambda: None)  # noqa - keep simple
+    import flax.linen as nn
+    v = nn.init(run, dec)(jax.random.key(0), word)
+    out = nn.apply(run, dec)(v, word)
+    assert out["logits"].shape == (3, 17)
