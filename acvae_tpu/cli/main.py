@@ -103,7 +103,8 @@ class Runner:
             val_info = [info[i] for i in va]
             train_h5 = val_h5 = h5
         train_ds = CaptionDataset(h5file_dict=train_h5, caption_info=train_info,
-                                  vocabulary=vocabulary)
+                                  vocabulary=vocabulary,
+                                  embedding_path=conf.get("embedding_path"))
         val_ds = CaptionDataset(h5file_dict=val_h5, caption_info=val_info,
                                 vocabulary=vocabulary)
         bs = conf.get("dataloader_args", {}).get("batch_size",
@@ -164,6 +165,7 @@ class Runner:
 
         model = build_model(conf, len(vocabulary), train_ds.data_dim)
         state, _ = self._init_state(conf, model, train_loader, total_iters)
+        state = self._apply_pretrained(conf, state, logger)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         logger.info(f"{n_params} parameters in total")
 
@@ -171,7 +173,9 @@ class Runner:
         train_step = make_train_step(
             model, label_smoothing=conf["label_smoothing"],
             smoothing=conf["smoothing"], kl_mask=conf.get("kl_mask", "valid"),
-            alpha=alpha, global_loss=conf.get("global_loss", "MSE"))
+            alpha=alpha, global_loss=conf.get("global_loss", "MSE"),
+            embedding_loss=conf.get("embedding_loss"),
+            dec_par=conf.get("dec_par", 1.0))
 
         dump_config(conf, outputdir / "config.yaml")
         tb = self._tb_writer(outputdir / "run")
@@ -227,6 +231,41 @@ class Runner:
             save_checkpoint(str(outputdir), "last", state, vocabulary, conf)
         metrics_log.close()
         return str(outputdir)
+
+    def _apply_pretrained(self, conf, state, logger):
+        """Warm-start from pretrained checkpoints (pytorch_runner_vae.py:40-72):
+        shape-filtered merges for pretrained / pretrained_encoder /
+        pretrained_decoder / pretrained_global.  Accepts orbax checkpoint
+        dirs or pickled param trees."""
+        from acvae_tpu.train.pretrained import load_subtree, merge_pretrained
+
+        def load_tree(path):
+            import pickle
+            p = Path(path)
+            if p.is_dir():
+                import orbax.checkpoint as ocp
+                tree = ocp.StandardCheckpointer().restore(str(p.absolute()))
+                return tree.get("params", tree)
+            with open(p, "rb") as f:
+                tree = pickle.load(f)
+            return tree.get("params", tree) if isinstance(tree, dict) else tree
+
+        params = state.params
+        for key, subtree in (("pretrained", None),
+                             ("pretrained_encoder", "encoder"),
+                             ("pretrained_decoder", "decoder"),
+                             ("pretrained_global", None)):
+            if key not in conf:
+                continue
+            tree = load_tree(conf[key])
+            if subtree is None:
+                params, n, total = merge_pretrained(params, tree, logger.info)
+            else:
+                params, n, total = load_subtree(params, tree, subtree,
+                                                logger.info)
+            logger.info(f"{key}: loaded {n}/{total} tensors "
+                        f"from {conf[key]}")
+        return state.replace(params=params)
 
     def _tb_writer(self, logdir):
         try:
@@ -709,6 +748,98 @@ class Runner:
         with open(root / "aggregated_scores.txt", "w") as f:
             f.write(text + "\n")
         return dict(values)
+
+    # ------------------------------------------------------------------ #
+    def human_eval(self, caption_file: str, output: Optional[str] = None):
+        """Leave-one-out accuracy + diversity ceilings of the reference
+        captions (utils/human_eval.py, diverse_mutil_human.py)."""
+        from acvae_tpu.evaluation.human_eval import human_diversity, human_scores
+
+        info = load_caption_info(caption_file)
+        key2refs = {a["audio_id"]: [c["tokens"] for c in a["captions"]]
+                    for a in info}
+        results = {**human_scores(key2refs), **human_diversity(key2refs)}
+        text = "\n".join(f"{k}: {v:.4g}" for k, v in results.items())
+        print(text)
+        if output:
+            with open(output, "w") as f:
+                f.write(text + "\n")
+        return results
+
+    # ------------------------------------------------------------------ #
+    def split_dataset(self, caption_file: str, output_prefix: str):
+        """Split audios into hard/easy halves by intra-audio caption
+        similarity (utils/split_dataset.py — which uses BERT cosine; here
+        TF-IDF bag-of-words cosine stands in, documented divergence: no
+        pretrained BERT on this image)."""
+        from collections import Counter
+        import math as _math
+
+        info = load_caption_info(caption_file)
+
+        def tfidf_cos(a: str, b: str) -> float:
+            ca, cb = Counter(a.split()), Counter(b.split())
+            num = sum(ca[w] * cb[w] for w in ca)
+            na = _math.sqrt(sum(v * v for v in ca.values()))
+            nb = _math.sqrt(sum(v * v for v in cb.values()))
+            return num / (na * nb + 1e-8)
+
+        sims = []
+        for a in info:
+            caps = [c["tokens"] for c in a["captions"]]
+            pair = [tfidf_cos(caps[i], caps[j])
+                    for i in range(len(caps)) for j in range(i + 1, len(caps))]
+            sims.append(np.mean(pair) if pair else 0.0)
+        order = np.argsort(sims)  # low similarity = hard
+        half = len(order) // 2
+        for name, idxs in (("hard", order[:half]), ("easy", order[half:])):
+            with open(f"{output_prefix}_{name}.json", "w") as f:
+                json.dump({"audios": [info[i] for i in idxs]}, f, indent=1)
+        print(f"wrote {output_prefix}_hard.json / _easy.json "
+              f"({half}/{len(order) - half} audios)")
+        return output_prefix
+
+    # ------------------------------------------------------------------ #
+    def concat_json(self, *inputs, output: str):
+        """Merge annotation files (utils/concat_json.py)."""
+        audios = []
+        for path in inputs:
+            audios.extend(load_caption_info(path))
+        with open(output, "w") as f:
+            json.dump({"audios": audios}, f, indent=1)
+        return output
+
+    def concat_csv(self, *inputs, output: str):
+        """Merge feature lists (utils/concat_csv.py)."""
+        import pandas as pd
+        df = pd.concat([pd.read_csv(p, sep="\t") for p in inputs])
+        df.to_csv(output, sep="\t", index=False)
+        return output
+
+    # ------------------------------------------------------------------ #
+    def sweep(self, config: str, param: str, values: str,
+              metric: str = "val_cider", **kwargs):
+        """Hyper-parameter sweep over one config key — the reference's NNI
+        integration (nni.get_next_parameter / report, pytorch_runner_vae.py:
+        130-133,358,389) replaced by an explicit local search.
+
+        values: comma-separated list, e.g. --values=0.3,0.5,0.7
+        """
+        results = {}
+        for raw in str(values).split(","):
+            import yaml as _yaml
+            val = _yaml.safe_load(raw)
+            print(f"=== sweep {param}={val} ===")
+            exp_dir = self.train(config, **{param: val,
+                                            "remark": f"sweep_{param}_{raw}",
+                                            **kwargs})
+            last = [json.loads(l) for l in
+                    open(Path(exp_dir) / "metrics.jsonl")]
+            best = max(r[metric] for r in last)
+            results[raw] = {"best": best, "exp_dir": exp_dir}
+        best_val = max(results, key=lambda k: results[k]["best"])
+        print(json.dumps({"results": results, "best": best_val}, indent=1))
+        return results
 
     # ------------------------------------------------------------------ #
     def build_vocab(self, caption_file: str, output: str,

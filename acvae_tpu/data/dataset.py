@@ -45,10 +45,14 @@ class Batch:
     caps: np.ndarray         # [N, L] int32
     cap_lens: np.ndarray     # [N] int32
     audio_ids: List[str] = field(default_factory=list)
+    cap_embeds: Optional[np.ndarray] = None  # [N, E] (embedding_path)
 
     def arrays(self) -> Dict[str, np.ndarray]:
-        return {"feats": self.feats, "feat_lens": self.feat_lens,
-                "caps": self.caps, "cap_lens": self.cap_lens}
+        out = {"feats": self.feats, "feat_lens": self.feat_lens,
+               "caps": self.caps, "cap_lens": self.cap_lens}
+        if self.cap_embeds is not None:
+            out["cap_embeds"] = self.cap_embeds
+        return out
 
 
 class CaptionDataset:
@@ -64,12 +68,16 @@ class CaptionDataset:
                  vocabulary: Optional[Vocabulary] = None,
                  features: Optional[Dict[str, np.ndarray]] = None,
                  transform: Optional[List[Callable]] = None,
-                 max_cap_len: int = MAX_LENGTH + 2):
+                 max_cap_len: int = MAX_LENGTH + 2,
+                 embedding_path: Optional[str] = None):
         self._h5file_dict = h5file_dict or {}
         self._features = features
         self._caption_info = caption_info or []
         self._vocabulary = vocabulary
         self._transform = transform or []
+        # per-caption embedding .npy tree (caption_dataset.py:105-110):
+        # <embedding_path>/<audio_id>/<cap_idx>.npy
+        self._embedding_path = embedding_path
         self._h5_cache: Dict[str, object] = {}
         self.max_cap_len = max_cap_len
         # flat (audio_idx, cap_idx) pair index (CaptionSampler semantics)
@@ -102,6 +110,11 @@ class CaptionDataset:
         tokens = info["captions"][ci]["tokens"].split()
         cap = ([START_IDX] + [self._vocabulary(t) for t in tokens] + [END_IDX])
         cap = cap[: self.max_cap_len]
+        if self._embedding_path is not None:
+            import os
+            emb = np.load(os.path.join(self._embedding_path, audio_id,
+                                       f"{ci}.npy"))
+            return audio_id, feature, np.asarray(cap, np.int32), emb
         return audio_id, feature, np.asarray(cap, np.int32)
 
     def refs(self) -> Dict[str, List[str]]:
@@ -159,20 +172,26 @@ class CaptionLoader:
             if self.drop_last and len(chunk) < self.batch_size:
                 break
             items = [self.dataset.get(i) for i in chunk]
-            max_t = max(f.shape[0] for _, f, _ in items)
+            max_t = max(item[1].shape[0] for item in items)
             bucket = pick_bucket(max_t, self.buckets)
             N = len(items)
             F = items[0][1].shape[1]
+            has_emb = len(items[0]) == 4
             feats = np.zeros((N, bucket, F), np.float32)
             feat_lens = np.zeros((N,), np.int32)
             caps = np.full((N, L), PAD_IDX, np.int32)
             cap_lens = np.zeros((N,), np.int32)
+            embs = (np.zeros((N, items[0][3].shape[-1]), np.float32)
+                    if has_emb else None)
             ids = []
-            for i, (aid, feat, cap) in enumerate(items):
+            for i, item in enumerate(items):
+                aid, feat, cap = item[:3]
                 t = min(feat.shape[0], bucket)
                 feats[i, :t] = feat[:t]
                 feat_lens[i] = t
                 caps[i, : len(cap)] = cap
                 cap_lens[i] = len(cap)
+                if has_emb:
+                    embs[i] = item[3]
                 ids.append(aid)
-            yield Batch(feats, feat_lens, caps, cap_lens, ids)
+            yield Batch(feats, feat_lens, caps, cap_lens, ids, embs)

@@ -79,13 +79,21 @@ def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
 def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                     kl_mask: str = "valid", alpha: Optional[float] = None,
                     global_loss: str = "MSE",
+                    embedding_loss: Optional[str] = None,
+                    dec_par: float = 1.0,
                     donate: bool = True) -> Callable:
     """Build the jitted train step.
 
     kl_mask: "valid" masks the KL to real token positions; "reference"
     averages over all padded positions like the reference call site
     (pytorch_runner_vae.py:315 applies no mask).
+
+    embedding_loss: "Cosine" | "MSE" | "MAE" adds the caption-embedding
+    regression term when batches carry ``cap_embeds`` — dec_par ×
+    loss(mean+max pooled decoder outputs, caption_embedding)
+    (pytorch_runner.py:104-113,324-333).
     """
+    from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
 
     def ce_fn(logits, targets, mask):
         if label_smoothing:
@@ -119,6 +127,21 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                 metrics["kl"] = kl
             else:  # plain captioners: CE only (pytorch_runner.py:323-335)
                 loss = ce
+            if embedding_loss and "cap_embeds" in batch:
+                pooled = (mean_with_lens(out["output"], batch["cap_lens"] - 1)
+                          + max_with_lens(out["output"], batch["cap_lens"] - 1))
+                target = batch["cap_embeds"]
+                if embedding_loss == "Cosine":
+                    num = jnp.sum(pooled * target, -1)
+                    den = jnp.maximum(jnp.linalg.norm(pooled, axis=-1)
+                                      * jnp.linalg.norm(target, axis=-1), 1e-8)
+                    e_loss = jnp.mean(1.0 - num / den)
+                elif embedding_loss == "MAE":
+                    e_loss = jnp.mean(jnp.abs(pooled - target))
+                else:  # MSE
+                    e_loss = jnp.mean((pooled - target) ** 2)
+                loss = loss + dec_par * e_loss
+                metrics["embed"] = e_loss
             if alpha is not None and "p_means_utt" in out:
                 if global_loss == "MSE":
                     g = jnp.mean((out["q_means_utt"] - out["p_means_utt"]) ** 2)

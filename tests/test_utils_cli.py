@@ -1,0 +1,109 @@
+"""human_eval / split_dataset / concat / sweep-lite CLI commands + embedding
+regularization path."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acvae_tpu.cli.main import Runner
+from acvae_tpu.data import CaptionDataset, CaptionLoader, make_synthetic_clotho
+from acvae_tpu.evaluation.human_eval import human_diversity, human_scores
+
+
+@pytest.fixture(scope="module")
+def textjson(tmp_path_factory):
+    root = tmp_path_factory.mktemp("utils")
+    _, info, vocab = make_synthetic_clotho(num_audios=6)
+    with open(root / "text.json", "w") as f:
+        json.dump({"audios": info}, f)
+    return root, info, vocab
+
+
+class TestHumanEval:
+    def test_scores_and_diversity(self, textjson):
+        root, info, _ = textjson
+        key2refs = {a["audio_id"]: [c["tokens"] for c in a["captions"]]
+                    for a in info}
+        s = human_scores(key2refs)
+        assert 0 <= s["CIDEr"] <= 10
+        d = human_diversity(key2refs)
+        assert 0 < d["Div1"] <= 1
+
+    def test_cli(self, textjson, tmp_path):
+        root, _, _ = textjson
+        out = Runner().human_eval(str(root / "text.json"),
+                                  str(tmp_path / "h.txt"))
+        assert "CIDEr" in out
+
+
+class TestSplitConcat:
+    def test_split(self, textjson, tmp_path):
+        root, _, _ = textjson
+        prefix = str(tmp_path / "split")
+        Runner().split_dataset(str(root / "text.json"), prefix)
+        hard = json.load(open(prefix + "_hard.json"))["audios"]
+        easy = json.load(open(prefix + "_easy.json"))["audios"]
+        assert len(hard) + len(easy) == 6
+
+    def test_concat(self, textjson, tmp_path):
+        root, _, _ = textjson
+        out = Runner().concat_json(str(root / "text.json"),
+                                   str(root / "text.json"),
+                                   output=str(tmp_path / "cat.json"))
+        assert len(json.load(open(out))["audios"]) == 12
+
+
+class TestEmbeddingRegularization:
+    def test_loader_carries_embeddings(self, textjson, tmp_path):
+        root, info, vocab = textjson
+        feats, info2, vocab2 = make_synthetic_clotho(num_audios=4)
+        emb_root = tmp_path / "emb"
+        rng = np.random.default_rng(0)
+        for a in info2:
+            d = emb_root / a["audio_id"]
+            d.mkdir(parents=True)
+            for i in range(len(a["captions"])):
+                np.save(d / f"{i}.npy",
+                        rng.normal(size=(16,)).astype(np.float32))
+        ds = CaptionDataset(caption_info=info2, vocabulary=vocab2,
+                            features=feats, embedding_path=str(emb_root))
+        batch = next(iter(CaptionLoader(ds, batch_size=6, buckets=(256,))))
+        assert batch.cap_embeds is not None
+        assert batch.cap_embeds.shape == (6, 16)
+        assert "cap_embeds" in batch.arrays()
+
+    def test_train_step_with_embedding_loss(self, textjson, tmp_path):
+        from acvae_tpu.models.build import build_model
+        from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                             make_train_step)
+        E = 16
+        feats, info, vocab = make_synthetic_clotho(num_audios=3)
+        cfg = {"model": "VAEModel", "encodermodel": "Cnn10",
+               "encoder_args": {"embed_size": E, "channels": (4, 8, 8, E)},
+               "decoder": "VAERNNBahdanauAttnDecoder",
+               "decoder_args": {"embed_size": E, "hidden_size": E},
+               "model_args": {"posterior_model": "PosteriorRNN",
+                              "posterior_args": {"hidden_size": E},
+                              "prior_model": "PriorRNN",
+                              "prior_args": {"hidden_size": E}}}
+        model = build_model(cfg, len(vocab), 64)
+        ds = CaptionDataset(caption_info=info, vocabulary=vocab,
+                            features=feats)
+        batch = next(iter(CaptionLoader(ds, batch_size=6, buckets=(256,))))
+        arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+        # fake caption embeddings matching decoder hidden size
+        arrays["cap_embeds"] = jnp.asarray(
+            np.random.default_rng(0).normal(size=(6, E)).astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            arrays["feats"], arrays["feat_lens"], arrays["caps"],
+            arrays["cap_lens"], train=False)
+        state = TrainState.create(variables,
+                                  build_optimizer("Adam", 1e-3))
+        step = make_train_step(model, embedding_loss="Cosine", dec_par=0.5)
+        state, metrics = step(state, arrays, jax.random.key(2),
+                              1.0, 0.0, 0.5, 0.0)
+        assert "embed" in metrics and np.isfinite(float(metrics["embed"]))
