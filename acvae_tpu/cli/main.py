@@ -131,10 +131,32 @@ class Runner:
             sched_args.setdefault("total_iters", total_iters)
         if sched_name in SCHEDULES:
             schedule = SCHEDULES.build(sched_name, base_lr=base_lr, **sched_args)
-        else:  # torch scheduler names we don't model -> constant lr
+        else:  # ReduceLROnPlateau & other epoch schedulers: host-adjusted lr
             schedule = lambda step: jnp.asarray(base_lr)
+
+        # pretrained word embeddings + freezing (pytorch_runner_vae.py:51-56,
+        # model_args.freeze_encoder word_model.py:37-39)
+        params = variables["params"]
+        if "pretrained_word_embedding" in conf:
+            from acvae_tpu.data.embeddings import (load_word_embeddings,
+                                                   set_embedding_param)
+            matrix = load_word_embeddings(conf["pretrained_word_embedding"])
+            params = set_embedding_param(params, "decoder", matrix)
+            variables = dict(variables)
+            variables["params"] = params
+        frozen = []
+        if conf.get("freeze_word_embedding"):
+            frozen.append("word_embedding")
+        if conf.get("model_args", {}).get("freeze_encoder"):
+            frozen.append("encoder")
+        mask = None
+        if frozen:
+            from acvae_tpu.data.embeddings import freeze_mask
+            mask = freeze_mask(params, tuple(frozen))
+
         tx = build_optimizer(conf.get("optimizer", "Adam"), schedule,
-                             max_grad_norm=conf.get("max_grad_norm"), **opt_args)
+                             max_grad_norm=conf.get("max_grad_norm"),
+                             trainable_mask=mask, **opt_args)
         return TrainState.create(variables, tx), variables
 
     # ------------------------------------------------------------------ #
@@ -166,6 +188,12 @@ class Runner:
         model = build_model(conf, len(vocabulary), train_ds.data_dim)
         state, _ = self._init_state(conf, model, train_loader, total_iters)
         state = self._apply_pretrained(conf, state, logger)
+        start_epoch = 1
+        if conf.get("resume") and (outputdir / "last").exists():
+            state = restore_checkpoint(str(outputdir), "last", state)
+            start_epoch = int(state.step) // max(len(train_loader), 1) + 1
+            logger.info(f"resumed from {outputdir}/last at step "
+                        f"{int(state.step)} → epoch {start_epoch}")
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         logger.info(f"{n_params} parameters in total")
 
@@ -188,7 +216,7 @@ class Runner:
         logger.info("{:^10}\t{:^10}\t{:^10}".format(
             "Epoch", "Train loss", "Val score"))
 
-        for epoch in range(1, conf["epochs"] + 1):
+        for epoch in range(start_epoch, conf["epochs"] + 1):
             kl_weight = kl_weight_for_epoch(epoch, conf["epochs"], beta)
             dis_ratio = dis_ratio_for_epoch(
                 epoch, conf["epochs"], conf["dis_ration"]["freeze_epoch"],

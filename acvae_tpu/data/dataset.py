@@ -164,6 +164,31 @@ class CaptionLoader:
             idx = np.concatenate([idx, idx[:pad]])
         return idx[self.host_id::self.host_count]
 
+    def prefetch(self, depth: int = 2) -> Iterator[Batch]:
+        """Iterate with a background-thread prefetcher — the TPU-side
+        replacement for torch DataLoader workers (HDF5 reads + numpy collate
+        overlap with device compute)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self:
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
     def __iter__(self) -> Iterator[Batch]:
         idx = self._indices()
         L = self.dataset.max_cap_len

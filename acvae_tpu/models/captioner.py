@@ -29,10 +29,16 @@ from acvae_tpu.ops.masked import length_mask
 
 
 class AttnCaptionModel(nn.Module):
-    """Seq2SeqAttnModel (attn_model.py:49-126)."""
+    """Seq2SeqAttnModel (attn_model.py:49-126).
+
+    seq_output_size enables the CaptionSentenceModel head
+    (word_model.py:409-438): mean-pooled decoder hiddens projected to the
+    sentence-embedding size, returned as ``seq_outputs`` for the
+    sentence-regression loss (run_sentence.py:208-220)."""
     encoder: nn.Module
     decoder: nn.Module  # RNNBahdanauAttnDecoder
     max_length: int = MAX_LENGTH
+    seq_output_size: Optional[int] = None
 
     pad_idx = PAD_IDX
     start_idx = START_IDX
@@ -44,6 +50,13 @@ class AttnCaptionModel(nn.Module):
                                kernel_init=nn.initializers.xavier_uniform())
         else:
             self.ln = None
+        if (self.seq_output_size is not None
+                and self.seq_output_size != self.decoder.hidden_size):
+            self.output_transform = nn.Dense(
+                self.seq_output_size,
+                kernel_init=nn.initializers.kaiming_uniform())
+        else:
+            self.output_transform = None
 
     def encode(self, feats, feat_lens, train=False):
         encoded = self.encoder(feats, feat_lens, train=train)
@@ -88,7 +101,15 @@ class AttnCaptionModel(nn.Module):
                   jnp.full((N,), self.start_idx, jnp.int32))
         xs = (jnp.moveaxis(caps[:, :T], 0, 1), ss_coins, samp_keys)
         _, ys = scan_or_init(self, step, carry0, xs, T)
-        return {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
+        out = {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
+        if self.seq_output_size is not None:
+            # CaptionSentenceModel.train_process (word_model.py:421-427)
+            from acvae_tpu.ops.masked import mean_with_lens
+            seq = mean_with_lens(out["output"], cap_lens - 1)
+            if self.output_transform is not None:
+                seq = self.output_transform(seq)
+            out["seq_outputs"] = seq
+        return out
 
     def inference_forward(self, feats, feat_lens, decode_method: str = "greedy",
                           max_length: Optional[int] = None, beam_size: int = 3,

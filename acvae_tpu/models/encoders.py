@@ -417,6 +417,23 @@ class TransformerAudioEncoder(nn.Module, _DropoutMixin):
                 "audio_embeds_lens": feat_lens}
 
 
+@ENCODERS.register("E2EASREncoder")
+def _e2e_asr_stub(*args, **kwargs):
+    raise NotImplementedError(
+        "E2EASREncoder wraps a pretrained ESPnet ASR encoder (encoder.py:14-54"
+        " — an optional external dependency the reference also gates on "
+        "espnet being installed). Use Cnn10/Cnn14/ResNet38 instead, or "
+        "register a custom encoder.")
+
+
+@ENCODERS.register("M2TransformerEncoder")
+def _m2_transformer_stub(*args, **kwargs):
+    raise NotImplementedError(
+        "M2TransformerEncoder requires the meshed-memory-transformer pip "
+        "package (encoder.py:1309-1315, optional in the reference too). "
+        "Use TransformerEncoder instead.")
+
+
 @ENCODERS.register("RNNEncoder")
 class RNNEncoder(nn.Module, _DropoutMixin):
     """Packed GRU encoder (encoder.py:709-762) with mean/time representation."""

@@ -54,9 +54,14 @@ class TrainState(flax.struct.PyTreeNode):
 
 def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
                     max_grad_norm: Optional[float] = None,
+                    trainable_mask: Optional[Any] = None,
                     **kwargs) -> optax.GradientTransformation:
     """torch-style optimizer names → optax chains, with the reference's global
-    grad-norm clip (pytorch_runner_vae.py:322-323) folded in."""
+    grad-norm clip (pytorch_runner_vae.py:322-323) folded in.
+
+    trainable_mask: optional pytree of bools (True = trainable) implementing
+    freeze_encoder / freeze_word_embedding (word_model.py:37-39,
+    pytorch_runner_vae.py:55) via optax.masked."""
     opts = {
         "Adam": optax.adam, "AdamW": optax.adamw, "SGD": optax.sgd,
         "RMSprop": optax.rmsprop, "Adagrad": optax.adagrad,
@@ -73,6 +78,8 @@ def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
     if max_grad_norm:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(base)
+    if trainable_mask is not None:
+        return optax.masked(optax.chain(*chain), trainable_mask)
     return optax.chain(*chain)
 
 

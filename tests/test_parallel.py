@@ -1,0 +1,82 @@
+"""Data-parallel training on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from acvae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+class TestMesh:
+    def test_shard_batch_places_data(self):
+        mesh = make_mesh(8)
+        batch = {"feats": np.zeros((16, 32, 8), np.float32),
+                 "feat_lens": np.full((16,), 32, np.int32)}
+        sharded = shard_batch(batch, mesh)
+        shards = sharded["feats"].addressable_shards
+        assert len(shards) == 8
+        assert shards[0].data.shape == (2, 32, 8)
+
+    def test_dp_train_step_matches_single_device(self):
+        """Gradients/loss from the sharded step must equal the unsharded one."""
+        from acvae_tpu.models.build import build_model
+        from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                             make_train_step)
+
+        E, V = 16, 31
+        cfg = {"model": "VAEModel", "encodermodel": "Cnn10",
+               "encoder_args": {"embed_size": E, "channels": (4, 8, 8, E)},
+               "decoder": "VAERNNBahdanauAttnDecoder",
+               "decoder_args": {"embed_size": E, "hidden_size": E},
+               "model_args": {"posterior_model": "PosteriorRNN",
+                              "posterior_args": {"hidden_size": E},
+                              "prior_model": "PriorRNN",
+                              "prior_args": {"hidden_size": E}}}
+        model = build_model(cfg, V, 64)
+        rng = np.random.default_rng(0)
+        N = 16
+        batch = {
+            "feats": rng.normal(size=(N, 64, 64)).astype(np.float32),
+            "feat_lens": np.full((N,), 64, np.int32),
+            "caps": rng.integers(4, V, size=(N, 10)).astype(np.int32),
+            "cap_lens": np.full((N,), 10, np.int32),
+        }
+        variables = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            jnp.asarray(batch["feats"]), jnp.asarray(batch["feat_lens"]),
+            jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_lens"]),
+            train=False)
+        tx = build_optimizer("Adam", 1e-3, max_grad_norm=1.0)
+        step = make_train_step(model, donate=False)
+
+        # single device
+        state1 = TrainState.create(variables, tx)
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+        s1, m1 = step(state1, arrays, jax.random.key(3), 1.0, 0.0, 0.5, 0.0)
+
+        # 8-device data parallel
+        mesh = make_mesh(8)
+        state8 = replicate(TrainState.create(variables, tx), mesh)
+        sharded = shard_batch(batch, mesh)
+        s8, m8 = step(state8, sharded, jax.random.key(3), 1.0, 0.0, 0.5, 0.0)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=2e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)
+        l8 = jax.tree_util.tree_leaves(s8.params)
+        for a, b in zip(l1, l8):
+            # all-reduce reduction order differs; Adam amplifies tiny grad
+            # deltas near zero — tolerance reflects that, not a logic gap
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-4)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
