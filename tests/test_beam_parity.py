@@ -1,0 +1,235 @@
+"""Beam / DBS parity: the batched engines must reproduce the reference's
+per-instance python loops exactly.
+
+A deterministic toy "model" (logits = table lookup on (prev word, t) plus a
+per-beam state contribution) drives both our jitted engines and a straight
+numpy transcription of the reference algorithms
+(word_model.py:209-256, 297-394; vae_model.py:220-252)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acvae_tpu.decoding.beam import BeamConfig, batched_beam_search
+from acvae_tpu.decoding.dbs import DBSConfig, diverse_beam_search
+
+V = 13       # vocab (incl. 0 pad, 1 start, 2 end)
+N = 3        # instances
+T = 8        # max length
+END, START = 2, 1
+
+
+def make_tables(seed):
+    rng = np.random.default_rng(seed)
+    word_table = rng.normal(size=(V, V)).astype(np.float32) * 2.0
+    time_table = rng.normal(size=(T + 8, V)).astype(np.float32)
+    inst_table = rng.normal(size=(N, V)).astype(np.float32)
+    return word_table, time_table, inst_table
+
+
+def toy_logits(word_table, time_table, inst_bias, words, t, state):
+    """words: [..](int), state: cumulative int state per beam."""
+    return (word_table[words] + time_table[t][None, :]
+            + inst_bias + 0.1 * state[..., None])
+
+
+class TestBeamParityWordModel:
+    """word_model.py:209-256 flavor: row-0 first step, done counting,
+    −1000 kill, stop when done_beams >= beam_size."""
+
+    def test_matches_reference(self):
+        wt, tt, it = make_tables(0)
+        beam_size = 3
+        inst_rep = np.repeat(it, beam_size, axis=0)
+
+        # state = running sum of input words (a stand-in for RNN state that
+        # the engine must gather along beam parents correctly)
+        def engine_step(state, words, t):
+            state = state + jnp.where(t > 0, words, 0)
+            logits = (jnp.asarray(wt)[words] + jnp.asarray(tt)[t][None]
+                      + jnp.asarray(inst_rep) + 0.1 * state[:, None])
+            return logits, state
+
+        init_state = jnp.zeros((N * beam_size,), jnp.int32)
+
+        cfg = BeamConfig(beam_size=beam_size, max_length=T,
+                         first_step_row0=True, end_handling=True)
+        out = batched_beam_search(engine_step, init_state, N, cfg)
+        ref = self._numpy_reference_v2(wt, tt, it, beam_size)
+        np.testing.assert_array_equal(np.asarray(out["seqs"]), ref)
+
+    def _numpy_reference_v2(self, wt, tt, inst_bias, beam_size):
+        """Same as _numpy_reference but with the engine's state timing:
+        state accumulates the input word at each step (t>0)."""
+        out_seqs = np.full((N, beam_size, T), END, np.int64)
+        for i in range(N):
+            top_k_logprobs = np.zeros(beam_size)
+            seqs = None
+            state = np.zeros(beam_size, np.int64)
+            words = np.full(beam_size, START, np.int64)
+            done = 0
+            stopped_at = None
+            for t in range(T):
+                if done >= beam_size:
+                    break
+                if t > 0:
+                    state = state + words
+                logits = (wt[words] + tt[t][None, :] + inst_bias[i][None, :]
+                          + 0.1 * state[:, None])
+                logprobs = logits - np.log(
+                    np.exp(logits).sum(-1, keepdims=True))
+                total = top_k_logprobs[:, None] + logprobs
+                if t == 0:
+                    flat = total[0]
+                    idx = np.argsort(-flat, kind="stable")[:beam_size]
+                    prev = np.zeros(beam_size, np.int64)
+                else:
+                    flat = total.reshape(-1)
+                    idx = np.argsort(-flat, kind="stable")[:beam_size]
+                    prev = idx // V
+                top_k_logprobs = flat[idx]
+                nxt = idx % V if t > 0 else idx
+                seqs = (nxt[:, None] if t == 0 else
+                        np.concatenate([seqs[prev], nxt[:, None]], 1))
+                state = state[prev]
+                is_end = nxt == END
+                done += int(is_end.sum())
+                top_k_logprobs = np.where(is_end, top_k_logprobs - 1000,
+                                          top_k_logprobs)
+                words = nxt
+            out_seqs[i, :, :seqs.shape[1]] = seqs
+        return out_seqs
+
+
+class TestBeamParityVAEFlavor:
+    """vae_model.py:220-252 flavor: flat top-k from step 0, no end handling,
+    all T steps run."""
+
+    def test_matches_reference(self):
+        wt, tt, it = make_tables(1)
+        beam_size = 4
+        inst_rep = np.repeat(it, beam_size, axis=0)
+        # per-beam deterministic "z" drawn from beam index makes row logits
+        # differ at t=0 like the VAE's per-beam prior samples
+        beam_bias = np.linspace(0, 1, N * beam_size)[:, None].astype(
+            np.float32) * np.arange(V)[None, :].astype(np.float32) * 0.3
+
+        # the per-beam bias is engine *state* so beam reordering gathers it
+        # (like the VAE's carried z)
+        def engine_step(state, words, t):
+            logits = (jnp.asarray(wt)[words] + jnp.asarray(tt)[t][None]
+                      + jnp.asarray(inst_rep) + state)
+            return logits, state
+
+        cfg = BeamConfig(beam_size=beam_size, max_length=T,
+                         first_step_row0=False, end_handling=False)
+        out = batched_beam_search(engine_step, jnp.asarray(beam_bias),
+                                  N, cfg)
+
+        # numpy reference
+        ref_seqs = np.full((N, beam_size, T), END, np.int64)
+        for i in range(N):
+            top_k = np.zeros(beam_size)
+            words = np.full(beam_size, START, np.int64)
+            seqs = None
+            bb = beam_bias[i * beam_size:(i + 1) * beam_size]
+            for t in range(T):
+                logits = wt[words] + tt[t][None] + it[i][None] + bb
+                logprobs = logits - np.log(
+                    np.exp(logits).sum(-1, keepdims=True))
+                total = (top_k[:, None] + logprobs).reshape(-1)
+                idx = np.argsort(-total, kind="stable")[:beam_size]
+                top_k = total[idx]
+                prev, nxt = idx // V, idx % V
+                seqs = (nxt[:, None] if t == 0 else
+                        np.concatenate([seqs[prev], nxt[:, None]], 1))
+                bb = bb[prev]
+                words = nxt
+            ref_seqs[i] = seqs
+        np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_seqs)
+
+
+class TestDBSParity:
+    """word_model.py:297-394: staggered groups, Hamming penalty, double
+    log-softmax with temperature, done-beam sorting."""
+
+    def test_matches_reference(self):
+        wt, tt, it = make_tables(2)
+        beam_size, group_size, lam, temp = 4, 2, 0.7, 1.3
+        bdash = beam_size // group_size
+
+        def make_step_fn(g):
+            def fn(state, words, t):
+                logits = (jnp.asarray(wt)[words]
+                          + jnp.asarray(tt)[t][None]
+                          + jnp.repeat(jnp.asarray(it), bdash, axis=0)
+                          + 0.05 * g)
+                return logits, state
+            return fn
+
+        cfg = DBSConfig(beam_size=beam_size, group_size=group_size,
+                        max_length=T, diversity_lambda=lam, temperature=temp,
+                        group_nbest=True)
+        out = diverse_beam_search(make_step_fn, lambda: jnp.zeros(N * bdash),
+                                  N, cfg)
+
+        # numpy transcription of the reference loop
+        def logsoftmax(x):
+            return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+        ref_out = np.full((N, beam_size, T), END, np.int64)
+        for i in range(N):
+            seq_table = [np.zeros((bdash, 0), np.int64)
+                         for _ in range(group_size)]
+            logprob_table = [np.zeros(bdash) for _ in range(group_size)]
+            done_table = [[] for _ in range(group_size)]
+            words_g = [np.full(bdash, START, np.int64)
+                       for _ in range(group_size)]
+            for t in range(T + group_size - 1):
+                for g in range(group_size):
+                    if not (g <= t <= T + g - 1):
+                        continue
+                    lt = t - g
+                    logits = (wt[words_g[g]] + tt[t][None] + it[i][None]
+                              + 0.05 * g)
+                    lp = logsoftmax(logsoftmax(logits) / temp)
+                    if g > 0:
+                        change = np.zeros(V)
+                        for prev_g in range(g):
+                            for b in range(bdash):
+                                change[seq_table[prev_g][b, lt]] += 1
+                        lp = lp - lam * change[None, :]
+                    total = logprob_table[g][:, None] + lp
+                    if lt == 0:
+                        flat = total[0]
+                        idx = np.argsort(-flat, kind="stable")[:bdash]
+                        prev = np.zeros(bdash, np.int64)
+                        nxt = idx
+                    else:
+                        flat = total.reshape(-1)
+                        idx = np.argsort(-flat, kind="stable")[:bdash]
+                        prev = idx // V
+                        nxt = idx % V
+                    logprob_table[g] = flat[idx]
+                    if lt > 0:
+                        seq_table[g] = seq_table[g][prev]
+                    seq_table[g] = np.concatenate(
+                        [seq_table[g], nxt[:, None]], 1)
+                    is_end = seq_table[g][:, lt] == END
+                    if t == T + g - 1:
+                        is_end = np.ones_like(is_end)
+                    for b in range(bdash):
+                        if is_end[b]:
+                            done_table[g].append(
+                                (seq_table[g][b].copy(),
+                                 logprob_table[g][b] / (lt + 1)))
+                    logprob_table[g] = np.where(
+                        is_end, logprob_table[g] - 1000, logprob_table[g])
+                    words_g[g] = nxt
+            row = 0
+            for g in range(group_size):
+                best = sorted(done_table[g], key=lambda x: -x[1])[:bdash]
+                for seq, score in best:
+                    ref_out[i, row, :len(seq)] = seq
+                    row += 1
+        np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_out)
