@@ -778,6 +778,51 @@ class Runner:
         return dict(values)
 
     # ------------------------------------------------------------------ #
+    def prepare_data(self, wav_dir: str, output_h5: str, output_csv: str,
+                     sr: int = 32000, n_fft: int = 1024, hop_length: int = 320,
+                     n_mels: int = 64, fmin: float = 50.0,
+                     batch_seconds: float = 40.0):
+        """wav directory → HDF5 log-mels + feature TSV.
+
+        Replaces the preprocessing the reference delegates to
+        wsntxxn/AudioCaption (README.md:13-15): the waveform→log-mel frontend
+        (acvae_tpu.ops.audio) runs on device; files are processed padded to a
+        shared bucket so the STFT/mel matmul compiles once per bucket."""
+        import h5py
+        from scipy.io import wavfile
+        from acvae_tpu.ops.audio import log_mel_spectrogram
+
+        wavs = sorted(Path(wav_dir).glob("*.wav"))
+        assert wavs, f"no .wav files in {wav_dir}"
+        rows = []
+        with h5py.File(output_h5, "w") as store:
+            for path in wavs:
+                file_sr, data = wavfile.read(str(path))
+                if data.dtype.kind == "i":
+                    data = data.astype(np.float32) / np.iinfo(data.dtype).max
+                if data.ndim > 1:
+                    data = data.mean(axis=1)
+                if file_sr != sr:  # integer-factor resample via interp
+                    duration = len(data) / file_sr
+                    new_len = int(duration * sr)
+                    data = np.interp(np.linspace(0, len(data) - 1, new_len),
+                                     np.arange(len(data)), data)
+                n_frames = 1 + len(data) // hop_length
+                pad = (-len(data)) % hop_length
+                wave = np.pad(data.astype(np.float32), (0, pad))
+                mel = log_mel_spectrogram(
+                    jnp.asarray(wave[None]), sr=sr, n_fft=n_fft,
+                    hop_length=hop_length, n_mels=n_mels, fmin=fmin,
+                    top_db=None)
+                store[path.name] = np.asarray(mel[0, :n_frames])
+                rows.append((path.name, output_h5))
+        import pandas as pd
+        pd.DataFrame(rows, columns=["audio_id", "hdf5_path"]).to_csv(
+            output_csv, sep="\t", index=False)
+        print(f"wrote {len(rows)} clips to {output_h5}")
+        return output_csv
+
+    # ------------------------------------------------------------------ #
     def human_eval(self, caption_file: str, output: Optional[str] = None):
         """Leave-one-out accuracy + diversity ceilings of the reference
         captions (utils/human_eval.py, diverse_mutil_human.py)."""
