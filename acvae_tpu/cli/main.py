@@ -198,12 +198,19 @@ class Runner:
         logger.info(f"{n_params} parameters in total")
 
         alpha = conf.get("alpha")
+        augment = None
+        if conf.get("augments"):
+            from acvae_tpu.ops.specaug import build_augment
+            # crop to a bucket-compatible size (subsampling divisibility)
+            augment = build_augment(conf["augments"],
+                                    crop_size=conf.get("crop_size", 992),
+                                    **conf.get("augment_args", {}))
         train_step = make_train_step(
             model, label_smoothing=conf["label_smoothing"],
             smoothing=conf["smoothing"], kl_mask=conf.get("kl_mask", "valid"),
             alpha=alpha, global_loss=conf.get("global_loss", "MSE"),
             embedding_loss=conf.get("embedding_loss"),
-            dec_par=conf.get("dec_par", 1.0))
+            dec_par=conf.get("dec_par", 1.0), augment=augment)
 
         dump_config(conf, outputdir / "config.yaml")
         tb = self._tb_writer(outputdir / "run")

@@ -125,6 +125,37 @@ def time_roll(x: jnp.ndarray, key: jax.Array, mean: float = 0.0,
                                axis=1)
 
 
+def build_augment(augment_list, crop_size: int = 1000, crop_p: float = 0.2,
+                  roll_std: float = 10.0, **spec_kwargs):
+    """Config strings → one fused on-device augmentation fn
+    (``parse_augments``, utils/train_util.py:92-114): "timemask" /
+    "freqmask" / "timewarp" enable the corresponding SpecAugment parts;
+    "randomcrop" and "timeroll" are applied first like the reference's
+    transform list.
+
+    Returns fn(feats [N,T,F], lens [N], key) -> (feats, lens), jit-safe.
+    """
+    timemask = "timemask" in augment_list
+    freqmask = "freqmask" in augment_list
+    timewarp = "timewarp" in augment_list
+    use_crop = "randomcrop" in augment_list
+    use_roll = "timeroll" in augment_list
+
+    def fn(feats, lens, key):
+        k_crop, k_roll, k_spec = jax.random.split(key, 3)
+        if use_crop:
+            feats, lens = random_crop(feats, lens, k_crop, size=crop_size,
+                                      p=crop_p)
+        if use_roll:
+            feats = time_roll(feats, k_roll, std=roll_std)
+        feats = spec_augment(feats, k_spec, lens=lens, timemask=timemask,
+                             freqmask=freqmask, timewarp=timewarp,
+                             **spec_kwargs)
+        return feats, lens
+
+    return fn
+
+
 def gaussian_noise(x: jnp.ndarray, key: jax.Array, snr: float = 30.0,
                    mean: float = 0.0) -> jnp.ndarray:
     """Additive noise at the given SNR (augment.py:85-91)."""

@@ -88,6 +88,7 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                     global_loss: str = "MSE",
                     embedding_loss: Optional[str] = None,
                     dec_par: float = 1.0,
+                    augment: Optional[Callable] = None,
                     donate: bool = True) -> Callable:
     """Build the jitted train step.
 
@@ -109,7 +110,13 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng,
                 ss_ratio, dis_ratio, kl_weight, global_alpha):
-        k_sample, k_dropout = jax.random.split(rng)
+        k_sample, k_dropout, k_aug = jax.random.split(rng, 3)
+        if augment is not None:
+            # on-device SpecAugment fused into the step (the reference runs
+            # per-sample numpy in DataLoader workers, SURVEY §2.6)
+            feats, feat_lens = augment(batch["feats"], batch["feat_lens"],
+                                       k_aug)
+            batch = dict(batch, feats=feats, feat_lens=feat_lens)
 
         def loss_fn(params):
             out, updates = model.apply(
