@@ -309,16 +309,31 @@ class Runner:
         except Exception:
             return None
 
+    def _decode_fn(self, model, **decode_kwargs):
+        """Jitted decode closure (per-bucket shapes compile once and cache
+        on the jit; decode kwargs are baked in)."""
+        @jax.jit
+        def decode(variables, feats, feat_lens, key):
+            return model.apply(variables, feats, feat_lens,
+                               rngs={"sample": key}, **decode_kwargs)
+        return decode
+
     def _validate(self, model, state, val_loader, vocabulary, key2refs, key,
                   beam_size: int = 3) -> float:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        cache = getattr(self, "_val_decode_cache", None)
+        if cache is None:
+            cache = self._val_decode_cache = {}
+        ck = (id(model), beam_size)
+        if ck not in cache:
+            cache[ck] = self._decode_fn(model, decode_method="beam",
+                                        beam_size=beam_size)
+        decode = cache[ck]
         key2pred = {}
         for batch in val_loader:
             key, sub = jax.random.split(key)
-            out = model.apply(variables, jnp.asarray(batch.feats),
-                              jnp.asarray(batch.feat_lens),
-                              decode_method="beam", beam_size=beam_size,
-                              rngs={"sample": sub})
+            out = decode(variables, jnp.asarray(batch.feats),
+                         jnp.asarray(batch.feat_lens), sub)
             seqs = np.asarray(out["seqs"])[:, 0]  # top beam
             for i, aid in enumerate(batch.audio_ids):
                 key2pred[aid] = [" ".join(vocabulary.decode(seqs[i]))]
@@ -359,6 +374,9 @@ class Runner:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         key = jax.random.key(seed)
+        decode = self._decode_fn(model, decode_method=decode_method,
+                                 beam_size=beam_size, max_length=max_length,
+                                 **decode_kwargs)
         key2pred: Dict[str, List[str]] = {}
         for batch in loader:
             feats = jnp.asarray(batch.feats)
@@ -370,10 +388,7 @@ class Runner:
                 ids = [i for i in batch.audio_ids
                        for _ in range(num_candidates)]
             key, sub = jax.random.split(key)
-            out = model.apply(variables, feats, feat_lens,
-                              decode_method=decode_method,
-                              beam_size=beam_size, max_length=max_length,
-                              rngs={"sample": sub}, **decode_kwargs)
+            out = decode(variables, feats, feat_lens, sub)
             seqs = np.asarray(out["seqs"])
             if seqs.ndim == 3:
                 seqs = seqs[:, 0] if decode_method == "beam" else \
@@ -429,12 +444,12 @@ class Runner:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         rows = []
         key = jax.random.key(seed)
+        decode = self._decode_fn(model, decode_method=decode_method,
+                                 beam_size=beam_size)
         for batch in loader:
             key, sub = jax.random.split(key)
-            out = model.apply(variables, jnp.asarray(batch.feats),
-                              jnp.asarray(batch.feat_lens),
-                              decode_method=decode_method, beam_size=beam_size,
-                              rngs={"sample": sub})
+            out = decode(variables, jnp.asarray(batch.feats),
+                         jnp.asarray(batch.feat_lens), sub)
             seqs = np.asarray(out["seqs"])
             if seqs.ndim == 3:
                 seqs = seqs[:, 0]
