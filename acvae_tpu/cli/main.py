@@ -800,6 +800,27 @@ class Runner:
         return dict(values)
 
     # ------------------------------------------------------------------ #
+    def export_embeddings(self, embedding_dir: str, output_prefix: str):
+        """Dump caption embeddings + labels as TSVs for the TensorBoard
+        embedding projector (the reference's utils/show_tsne.py plotted these
+        with sklearn t-SNE; the projector does the same interactively)."""
+        root = Path(embedding_dir)
+        vecs, labels = [], []
+        for audio_dir in sorted(root.iterdir()):
+            if not audio_dir.is_dir():
+                continue
+            for npy in sorted(audio_dir.glob("[0-9]*.npy")):
+                vecs.append(np.load(npy))
+                labels.append(f"{audio_dir.name}\t{npy.stem}")
+        np.savetxt(f"{output_prefix}_vectors.tsv", np.stack(vecs),
+                   delimiter="\t")
+        with open(f"{output_prefix}_metadata.tsv", "w") as f:
+            f.write("audio_id\tcap_idx\n")
+            f.write("\n".join(labels) + "\n")
+        print(f"wrote {len(vecs)} embeddings")
+        return output_prefix
+
+    # ------------------------------------------------------------------ #
     def prepare_data(self, wav_dir: str, output_h5: str, output_csv: str,
                      sr: int = 32000, n_fft: int = 1024, hop_length: int = 320,
                      n_mels: int = 64, fmin: float = 50.0,
