@@ -271,8 +271,13 @@ class Runner:
         """Warm-start from pretrained checkpoints (pytorch_runner_vae.py:40-72):
         shape-filtered merges for pretrained / pretrained_encoder /
         pretrained_decoder / pretrained_global.  Accepts orbax checkpoint
-        dirs or pickled param trees."""
-        from acvae_tpu.train.pretrained import load_subtree, merge_pretrained
+        dirs, pickled param trees, or torch .pth/.pt checkpoints — PANN
+        audio-tagger checkpoints (the reference's pretrained encoder
+        backbones) are converted automatically, including BatchNorm running
+        stats."""
+        from acvae_tpu.train.pretrained import (_looks_like_pann,
+                                                load_subtree, merge_pretrained,
+                                                pann_to_flax)
 
         def load_tree(path):
             import pickle
@@ -280,12 +285,23 @@ class Runner:
             if p.is_dir():
                 import orbax.checkpoint as ocp
                 tree = ocp.StandardCheckpointer().restore(str(p.absolute()))
-                return tree.get("params", tree)
+                return tree
+            if p.suffix in (".pth", ".pt"):
+                import torch
+                sd = torch.load(p, map_location="cpu", weights_only=False)
+                sd = sd.get("model", sd) if isinstance(sd, dict) else sd
+                if hasattr(sd, "state_dict"):
+                    sd = sd.state_dict()
+                if _looks_like_pann(sd):
+                    return pann_to_flax(sd)
+                raise ValueError(
+                    f"{path}: torch checkpoint is not a recognized PANN "
+                    "backbone; convert it to a pickled flax tree instead")
             with open(p, "rb") as f:
                 tree = pickle.load(f)
-            return tree.get("params", tree) if isinstance(tree, dict) else tree
+            return tree if isinstance(tree, dict) else {"params": tree}
 
-        params = state.params
+        params, batch_stats = state.params, state.batch_stats
         for key, subtree in (("pretrained", None),
                              ("pretrained_encoder", "encoder"),
                              ("pretrained_decoder", "decoder"),
@@ -293,14 +309,30 @@ class Runner:
             if key not in conf:
                 continue
             tree = load_tree(conf[key])
-            if subtree is None:
-                params, n, total = merge_pretrained(params, tree, logger.info)
-            else:
-                params, n, total = load_subtree(params, tree, subtree,
-                                                logger.info)
-            logger.info(f"{key}: loaded {n}/{total} tensors "
-                        f"from {conf[key]}")
-        return state.replace(params=params)
+            if isinstance(tree, dict) and "params" in tree:
+                tree = {"params": tree["params"],
+                        "batch_stats": tree.get("batch_stats") or {}}
+            elif not (isinstance(tree, dict)
+                      and set(tree) <= {"params", "batch_stats"}):
+                tree = {"params": tree}
+            for col, target in (("params", params),
+                                ("batch_stats", batch_stats)):
+                src = tree.get(col)
+                if not src:
+                    continue
+                if subtree is None:
+                    merged, n, total = merge_pretrained(target, src,
+                                                        logger.info)
+                else:
+                    merged, n, total = load_subtree(target, src, subtree,
+                                                    logger.info)
+                if col == "params":
+                    params = merged
+                else:
+                    batch_stats = merged
+                logger.info(f"{key}[{col}]: loaded {n}/{total} tensors "
+                            f"from {conf[key]}")
+        return state.replace(params=params, batch_stats=batch_stats)
 
     def _tb_writer(self, logdir):
         try:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import copy
 import json
+import re
 from typing import Any, Dict, Mapping
 
 import yaml
@@ -60,6 +61,23 @@ def _coerce(value: str) -> Any:
         return value
 
 
+_YAML11_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _fix_yaml11_floats(node: Any) -> Any:
+    """YAML 1.1 (pyyaml) parses ``1e-3`` as a *string* (the spec demands
+    ``1.0e-3``); every YAML-1.2 reader and every human treats it as a float.
+    Coerce exactly that shape — bare scientific notation — so ``lr: 1e-3``
+    doesn't surface as a string deep inside the jitted optimizer."""
+    if isinstance(node, dict):
+        return {k: _fix_yaml11_floats(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_fix_yaml11_floats(v) for v in node]
+    if isinstance(node, str) and _YAML11_FLOAT.match(node):
+        return float(node)
+    return node
+
+
 def load_config(config_file: str | None = None, **overrides) -> Config:
     """Load YAML then apply overrides (dotted keys reach nested dicts)."""
     cfg = Config()
@@ -68,9 +86,9 @@ def load_config(config_file: str | None = None, **overrides) -> Config:
             loaded = yaml.safe_load(f) or {}
         if not isinstance(loaded, dict):
             raise ValueError(f"{config_file} must contain a YAML mapping")
-        cfg.update(copy.deepcopy(loaded))
+        cfg.update(_fix_yaml11_floats(copy.deepcopy(loaded)))
     for key, value in overrides.items():
-        cfg.set_path(key, _coerce(value))
+        cfg.set_path(key, _fix_yaml11_floats(_coerce(value)))
     return cfg
 
 

@@ -19,6 +19,14 @@ from acvae_tpu.models.vae import SimpleVAECaptionModel, VAECaptionModel
 def _build_encoder(cfg: Dict[str, Any], data_dim: int):
     args = dict(cfg.get("encoder_args", {}))
     name = cfg.get("encodermodel", "Cnn10")
+    # composite encoders take sub-encoder specs: PreTrainedCNN(trunk=...),
+    # CNN10CRNNEncoder(crnn=..., cnn=...) — the reference composes these
+    # in-code (encoder.py:148-160,577-583); here they are config-addressable.
+    for key in ("trunk", "crnn", "cnn"):
+        if isinstance(args.get(key), dict):
+            sub = dict(args[key])
+            args[key] = ENCODERS.build(sub.pop("name"), inputdim=data_dim,
+                                       **sub)
     return ENCODERS.build(name, inputdim=data_dim, **args)
 
 
@@ -49,8 +57,13 @@ def build_model(cfg: Dict[str, Any], vocab_size: int, data_dim: int):
     name = cfg.get("model", "Hybrid_VAEModel")
     model_args = dict(cfg.get("model_args", {}))
     encoder = _build_encoder(cfg, data_dim)
-    decoder = _build_decoder(cfg, vocab_size, cfg.get(
-        "encoder_args", {}).get("embed_size", encoder.embed_size))
+    enc_embed = cfg.get("encoder_args", {}).get("embed_size",
+                                                encoder.embed_size)
+    # every model family adapts the encoder memory to the decoder embed size
+    # when they differ (the reference's self.ln, vae_model.py:30-32), so the
+    # decoder always sees decoder-embed-sized memory.
+    dec_embed = cfg.get("decoder_args", {}).get("embed_size", enc_embed)
+    decoder = _build_decoder(cfg, vocab_size, dec_embed)
     embed = decoder.embed_size
 
     if name in ("VAEModel", "Hybrid_VAEModel"):

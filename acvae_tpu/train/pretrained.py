@@ -62,3 +62,92 @@ def load_subtree(params: Any, pretrained: Any, subtree: str, log=print):
     out = dict(params)
     out[subtree] = merged
     return out, n, total
+
+
+# --------------------------------------------------------------------- #
+# PANN torch checkpoint conversion
+# --------------------------------------------------------------------- #
+
+def _looks_like_pann(state_dict: Dict[str, Any]) -> bool:
+    return any(k.startswith("conv_block") or k.startswith("resnet.")
+               for k in state_dict)
+
+
+def pann_to_flax(state_dict: Dict[str, Any],
+                 arch: str | None = None) -> Dict[str, Any]:
+    """Convert a torch PANN audio-tagger checkpoint (Cnn10 / Cnn14_16k /
+    ResNet38 — the pretrained backbones the reference warm-starts from,
+    ``models/encoder.py:651-707,871-964,1169-1232`` and the smoke test's
+    ``ResNet38_mAP=0.434.pth``, ``encoder.py:1351-1362``) into flax variable
+    trees ``{"params": ..., "batch_stats": ...}`` matching our encoders.
+
+    Conv weights transpose OIHW→HWIO, linear weights [out,in]→[in,out];
+    BatchNorm weight/bias→scale/bias and running stats→batch_stats.
+    Keys with no counterpart here (spectrogram frontend, ``fc_audioset``
+    tagger head) are skipped — the same thing the reference's shape-filtered
+    loader does (``utils/train_util.py:17-30``).
+    """
+    sd = state_dict.get("model", state_dict)
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()
+                        if hasattr(v, "numpy") else v)
+          for k, v in sd.items()}
+    if arch is None:
+        if any(k.startswith("resnet.") for k in sd):
+            arch = "ResNet38"
+        elif any(k.startswith("conv_block6") for k in sd):
+            arch = "Cnn14"
+        else:
+            arch = "Cnn10"
+
+    params: Dict[Tuple[str, ...], Any] = {}
+    stats: Dict[Tuple[str, ...], Any] = {}
+
+    def conv(tkey: str, path: Tuple[str, ...]):
+        if tkey in sd:
+            params[path + ("kernel",)] = sd[tkey].transpose(2, 3, 1, 0)
+
+    def bn(tprefix: str, path: Tuple[str, ...]):
+        if tprefix + ".weight" in sd:
+            params[path + ("scale",)] = sd[tprefix + ".weight"]
+            params[path + ("bias",)] = sd[tprefix + ".bias"]
+            stats[path + ("mean",)] = sd[tprefix + ".running_mean"]
+            stats[path + ("var",)] = sd[tprefix + ".running_var"]
+
+    def linear(tprefix: str, path: Tuple[str, ...]):
+        if tprefix + ".weight" in sd:
+            params[path + ("kernel",)] = sd[tprefix + ".weight"].T
+            if tprefix + ".bias" in sd:
+                params[path + ("bias",)] = sd[tprefix + ".bias"]
+
+    def conv_block(tname: str, ours: str):
+        for j in (1, 2):
+            conv(f"{tname}.conv{j}.weight", (ours, f"conv{j}"))
+            bn(f"{tname}.bn{j}", (ours, f"bn{j}"))
+
+    bn("bn0", ("_MelBatchNorm_0", "bn0"))
+    if arch == "Cnn10":
+        for i, c in enumerate((64, 128, 256, 512)):
+            conv_block(f"conv_block{i + 1}", f"block{i}_{c}")
+        # the reference renames PANN's fc1 head to embed_pooled
+        linear("embed_pooled", ("embed_pooled",))
+        linear("fc1", ("embed_pooled",))
+    elif arch == "Cnn14":
+        for i, c in enumerate((64, 128, 256, 512, 1024, 2048)):
+            conv_block(f"conv_block{i + 1}", f"block{c}")
+        linear("fc1", ("fc1",))
+    elif arch == "ResNet38":
+        conv_block("conv_block1", "block64")
+        for layer, blocks in enumerate((3, 4, 6, 3), start=1):
+            for b in range(blocks):
+                t, ours = f"resnet.layer{layer}.{b}", f"layer{layer}_{b}"
+                for j in (1, 2):
+                    conv(f"{t}.conv{j}.weight", (ours, f"conv{j}"))
+                    bn(f"{t}.bn{j}", (ours, f"bn{j}"))
+                conv(f"{t}.downsample.0.weight", (ours, "ds_conv"))
+                bn(f"{t}.downsample.1", (ours, "ds_bn"))
+        conv_block("conv_block_after1", "block2048")
+        linear("fc1", ("fc1",))
+    else:
+        raise ValueError(f"unknown PANN arch {arch!r}")
+    return {"params": unflatten_params(params),
+            "batch_stats": unflatten_params(stats)}

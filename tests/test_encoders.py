@@ -25,6 +25,12 @@ CONFIGS = [
     ("CRNN8_Sub4", {"embed_size": 16, "channels": (4, 8, 8, 16)}, 16, T // 4),
     ("RNNEncoder", {"embed_size": 12, "hidden_size": 8}, 12, T),
     ("TransformerEncoder", {"embed_size": 16, "nhead": 2, "nlayers": 1}, 16, T),
+    ("CNN10Encoder", {"embed_size": 512}, 512, T // 4),
+    ("E2EASREncoder", {"embed_size": 24, "hidden_size": 16, "nlayers": 1},
+     24, T // 4),
+    ("M2TransformerEncoder", {"embed_size": 16, "nhead": 2, "nlayers": 1,
+                              "dim_feedforward": 32, "memory_slots": 5},
+     16, T),
 ]
 
 
@@ -50,6 +56,42 @@ def test_encoder_contract(feats, name, args, embed, t_out):
         variables, x, lens, train=True,
         rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"])
     assert "batch_stats" in updates or not variables.get("batch_stats")
+
+
+def test_pretrained_cnn_frozen_trunk(feats):
+    """PreTrainedCNN: frozen trunk (no grads reach it), fresh head trains."""
+    from acvae_tpu.models.encoders import CNN10Encoder, PreTrainedCNN
+    x, lens = feats
+    enc = PreTrainedCNN(trunk=CNN10Encoder(), embed_size=8)
+    v = enc.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 x, lens, train=False)
+
+    def loss(params):
+        out = enc.apply({"params": params,
+                         "batch_stats": v.get("batch_stats", {})},
+                        x, lens, train=False)
+        return jnp.sum(out["audio_embeds_pooled"] ** 2)
+
+    grads = jax.grad(loss)(v["params"])
+    trunk_norm = sum(float(jnp.abs(g).sum())
+                     for g in jax.tree.leaves(grads["trunk"]))
+    head_norm = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree.leaves(grads["outputlayer"]))
+    assert trunk_norm == 0.0 and head_norm > 0.0
+
+
+def test_cnn10crnn_fusion(feats):
+    from acvae_tpu.models.encoders import (CNN10CRNNEncoder, CNN10Encoder,
+                                           CRNNEncoder)
+    x, lens = feats
+    enc = CNN10CRNNEncoder(crnn=CRNNEncoder(embed_size=256),
+                           cnn=CNN10Encoder())
+    assert enc.embed_size == 256 + 512
+    v = enc.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 x, lens, train=False)
+    out = enc.apply(v, x, lens, train=False)
+    assert out["audio_embeds"].shape[-1] == 768
+    assert out["audio_embeds_pooled"].shape == (N, 768)
 
 
 def test_cnnencoder_glu(feats):
