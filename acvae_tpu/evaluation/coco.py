@@ -219,6 +219,11 @@ def score_captions(key2refs: Dict[str, List[str]],
                 {k: v for k, v in key2pred.items()})
         except Exception:
             meteor = None
+        if meteor is None:
+            # native exact+stem METEOR (evaluation/meteor.py) — always
+            # available; slightly below the jar on synonym-heavy text.
+            from acvae_tpu.evaluation.meteor import meteor_score
+            meteor, _ = meteor_score(key2refs, key2pred)
         try:
             from pycocoevalcap.spice.spice import Spice
             spice, _ = Spice().compute_score(key2refs, key2pred)

@@ -8,6 +8,7 @@ through orbax; vocabulary and config are stored beside it.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Optional
 
@@ -32,8 +33,19 @@ def save_checkpoint(exp_dir: str, name: str, state, vocabulary: Optional[Vocabul
 
 
 def restore_checkpoint(exp_dir: str, name: str, state):
-    """Restore into the structure of `state` (a freshly created TrainState)."""
+    """Restore into the structure of `state` (a freshly created TrainState).
+
+    A run whose validation score never beat 0 writes no ``best`` checkpoint
+    (the reference's criterion_improver starts at 0, train_util.py:119 — same
+    here); fall back to ``last`` with a warning instead of crashing."""
     path = os.path.join(os.path.abspath(exp_dir), name)
+    if name == "best" and not os.path.isdir(path):
+        last = os.path.join(os.path.abspath(exp_dir), "last")
+        if os.path.isdir(last):
+            logging.getLogger("acvae_tpu").warning(
+                "no 'best' checkpoint in %s (validation never improved); "
+                "using 'last'", exp_dir)
+            path = last
     ckptr = ocp.StandardCheckpointer()
     template = {"step": state.step, "params": state.params,
                 "batch_stats": state.batch_stats, "opt_state": state.opt_state}

@@ -92,3 +92,31 @@ class TestSyntheticPipeline:
                             vocabulary=vocab)
         aid, feat, cap = ds.get(0)
         np.testing.assert_array_equal(feat, feats[aid])
+
+
+class TestKaldiIO:
+    """data/kaldi.py: binary ark/scp matrix round-trip (the reference vendors
+    utils/kaldi_io.py for this legacy path)."""
+
+    def test_roundtrip_ark_and_scp(self, tmp_path, rng):
+        from acvae_tpu.data.kaldi import (read_mat_ark, read_mat_scp,
+                                          write_mat_ark)
+        mats = {"utt1": rng.normal(size=(5, 4)).astype("float32"),
+                "utt2": rng.normal(size=(3, 4)).astype("float64")}
+        ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "f.scp")
+        write_mat_ark(ark, mats, scp_path=scp)
+        for reader in (read_mat_ark(ark), read_mat_scp(scp)):
+            got = dict(reader)
+            assert set(got) == {"utt1", "utt2"}
+            for k in mats:
+                assert got[k].dtype == mats[k].dtype
+                import numpy as np
+                np.testing.assert_array_equal(got[k], mats[k])
+
+    def test_unsupported_header_errors(self, tmp_path):
+        import pytest
+        from acvae_tpu.data.kaldi import read_mat_ark
+        p = tmp_path / "bad.ark"
+        p.write_bytes(b"utt \x00BCM \x04")  # compressed matrix header
+        with pytest.raises(ValueError, match="unsupported kaldi matrix"):
+            list(read_mat_ark(str(p)))

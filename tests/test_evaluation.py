@@ -122,3 +122,42 @@ class TestDiversity:
         rich = ngram_richness(["a b c", "d e f", "g h i"])
         poor = ngram_richness(["a b c", "a b c", "a b c"])
         assert rich > poor
+
+
+class TestMeteor:
+    """Native METEOR (evaluation/meteor.py): hand-computed values."""
+
+    def test_hand_computed(self):
+        from acvae_tpu.evaluation.meteor import sentence_meteor
+        # h matches all 6 tokens; ref has 7; alignment breaks into 2 chunks
+        s = sentence_meteor("the cat sat on the mat",
+                            ["the cat was sat on the mat"])
+        p, r = 1.0, 6 / 7
+        fmean = 10 * p * r / (r + 9 * p)
+        penalty = 0.5 * (2 / 6) ** 3
+        assert abs(s - fmean * (1 - penalty)) < 1e-9
+
+    def test_identical_is_near_one(self):
+        from acvae_tpu.evaluation.meteor import sentence_meteor
+        s = sentence_meteor("a dog barks", ["a dog barks"])
+        # one chunk, all matched: penalty = 0.5*(1/3)^3
+        assert abs(s - (1.0 - 0.5 * (1 / 3) ** 3)) < 1e-9
+
+    def test_stem_stage_matches(self):
+        from acvae_tpu.evaluation.meteor import sentence_meteor
+        assert sentence_meteor("dogs barking", ["dog barks"]) > 0.5
+        assert sentence_meteor("cats meow", ["dog barks"]) == 0.0
+
+    def test_max_over_refs_and_corpus(self):
+        from acvae_tpu.evaluation.meteor import meteor_score, sentence_meteor
+        refs = {"k": ["a dog barks", "completely different text"]}
+        assert sentence_meteor("a dog barks", refs["k"]) == \
+            sentence_meteor("a dog barks", ["a dog barks"])
+        mean, per = meteor_score(refs, {"k": ["a dog barks"]})
+        assert mean == per[0] > 0.9
+
+    def test_wired_into_score_captions(self):
+        from acvae_tpu.evaluation.coco import score_captions
+        out = score_captions({"k": ["a dog barks loudly"]},
+                             {"k": ["a dog barks loudly"]})
+        assert out["METEOR"] is not None and out["METEOR"] > 0.9
