@@ -990,6 +990,26 @@ class Runner:
         return results
 
     # ------------------------------------------------------------------ #
+    def tokenize_caption(self, caption_file: str,
+                         output: Optional[str] = None):
+        """Write ``tokens`` into each caption of text.json without building a
+        vocabulary (utils/tokenize_caption.py; English path — the reference's
+        zh/character modes need a CoreNLP server).  In-place when no output
+        path is given, like the reference."""
+        from acvae_tpu.data.vocab import tokenize
+
+        info = load_caption_info(caption_file)
+        n = 0
+        for audio in info:
+            for cap in audio["captions"]:
+                cap["tokens"] = " ".join(tokenize(cap["caption"]))
+                n += 1
+        with open(output or caption_file, "w") as f:
+            json.dump({"audios": info}, f, indent=1)
+        print(f"tokenized {n} captions")
+        return output or caption_file
+
+    # ------------------------------------------------------------------ #
     def build_vocab(self, caption_file: str, output: str,
                     threshold: int = 1):
         """Build vocab.pkl from text.json (utils/build_vocab.py CLI)."""

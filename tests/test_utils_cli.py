@@ -107,3 +107,16 @@ class TestEmbeddingRegularization:
         state, metrics = step(state, arrays, jax.random.key(2),
                               1.0, 0.0, 0.5, 0.0)
         assert "embed" in metrics and np.isfinite(float(metrics["embed"]))
+
+
+def test_tokenize_caption(tmp_path):
+    """cli tokenize_caption writes tokens in place (utils/tokenize_caption.py)."""
+    import json
+    from acvae_tpu.cli.main import Runner
+    p = tmp_path / "text.json"
+    p.write_text(json.dumps({"audios": [
+        {"audio_id": "a.wav", "captions": [
+            {"caption": "A Dog, barks LOUDLY!", "cap_id": "1"}]}]}))
+    Runner().tokenize_caption(str(p))
+    info = json.loads(p.read_text())
+    assert info["audios"][0]["captions"][0]["tokens"] == "a dog barks loudly"
