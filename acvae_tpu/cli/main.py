@@ -990,6 +990,43 @@ class Runner:
         return results
 
     # ------------------------------------------------------------------ #
+    def extract_sentence_embedding(self, caption_file: str, vocab_file: str,
+                                   embedding_source: str, output_dir: str):
+        """Per-caption sentence embeddings as the mean of word vectors
+        (utils/word2vec/create_embedding.py, utils/Glove — the reference's
+        mean-of-words sentence path; its BERT variant needs bert-as-service).
+        Writes ``<output_dir>/<audio_id>/<i>.npy`` plus the per-audio mean
+        ``caption.npy`` — the tree ``CaptionDataset(embedding_path=...)`` and
+        the ``embedding_path`` config key consume.  ``embedding_source`` is
+        any backend ``data/embeddings.py`` understands (gensim model, GloVe
+        txt, pickled matrix)."""
+        from acvae_tpu.data.embeddings import load_word_embeddings
+        from acvae_tpu.data.vocab import Vocabulary, tokenize
+
+        vocab = Vocabulary.load(vocab_file)
+        matrix = load_word_embeddings(embedding_source, vocab)
+        info = load_caption_info(caption_file)
+        out_root = Path(output_dir)
+        n = 0
+        for audio in info:
+            aid_dir = out_root / audio["audio_id"]
+            aid_dir.mkdir(parents=True, exist_ok=True)
+            embs = []
+            for i, cap in enumerate(audio["captions"]):
+                words = (cap.get("tokens") or " ".join(
+                    tokenize(cap["caption"]))).split()
+                ids = [vocab(w) for w in words]
+                emb = (matrix[ids].mean(0) if ids
+                       else np.zeros(matrix.shape[1], np.float32))
+                np.save(aid_dir / f"{i}.npy", emb.astype(np.float32))
+                embs.append(emb)
+                n += 1
+            np.save(aid_dir / "caption.npy",
+                    np.mean(embs, axis=0).astype(np.float32))
+        print(f"wrote {n} caption embeddings under {output_dir}")
+        return output_dir
+
+    # ------------------------------------------------------------------ #
     def tokenize_caption(self, caption_file: str,
                          output: Optional[str] = None):
         """Write ``tokens`` into each caption of text.json without building a

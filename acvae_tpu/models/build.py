@@ -93,9 +93,11 @@ def build_model(cfg: Dict[str, Any], vocab_size: int, data_dim: int):
         return TransVAECaptionModel(encoder=encoder, decoder=decoder,
                                     qnet=qnet, pnet=pnet)
     if name == "Seq2SeqAttnModel":
-        return AttnCaptionModel(encoder=encoder, decoder=decoder)
+        return AttnCaptionModel(encoder=encoder, decoder=decoder,
+                                **model_args)
     if name == "TransformerModel":
-        return TransformerCaptionModel(encoder=encoder, decoder=decoder)
+        return TransformerCaptionModel(encoder=encoder, decoder=decoder,
+                                       **model_args)
     if name in MODELS:
         return MODELS.build(name, encoder=encoder, decoder=decoder,
                             **model_args)

@@ -142,9 +142,25 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
             else:  # plain captioners: CE only (pytorch_runner.py:323-335)
                 loss = ce
             if embedding_loss and "cap_embeds" in batch:
-                pooled = (mean_with_lens(out["output"], batch["cap_lens"] - 1)
-                          + max_with_lens(out["output"], batch["cap_lens"] - 1))
+                if "seq_outputs" in out:
+                    # CaptionSentenceModel head: projected sentence output
+                    # (run_sentence.py:208-220 regresses this directly)
+                    pooled = out["seq_outputs"]
+                else:
+                    pooled = (mean_with_lens(out["output"],
+                                             batch["cap_lens"] - 1)
+                              + max_with_lens(out["output"],
+                                              batch["cap_lens"] - 1))
                 target = batch["cap_embeds"]
+                if pooled.shape[-1] != target.shape[-1]:
+                    raise ValueError(
+                        f"embedding_loss dimension mismatch: decoder pooled "
+                        f"output is {pooled.shape[-1]}-dim but the caption "
+                        f"embeddings are {target.shape[-1]}-dim; either match "
+                        f"decoder hidden_size to the embeddings or use a "
+                        f"model with seq_output_size={target.shape[-1]} "
+                        f"(the CaptionSentenceModel projection head, "
+                        f"word_model.py:409-438)")
                 if embedding_loss == "Cosine":
                     num = jnp.sum(pooled * target, -1)
                     den = jnp.maximum(jnp.linalg.norm(pooled, axis=-1)

@@ -120,3 +120,33 @@ def test_tokenize_caption(tmp_path):
     Runner().tokenize_caption(str(p))
     info = json.loads(p.read_text())
     assert info["audios"][0]["captions"][0]["tokens"] == "a dog barks loudly"
+
+
+def test_extract_sentence_embedding(tmp_path):
+    """Mean-of-words sentence embedding trees (utils/word2vec, utils/Glove):
+    tree layout consumed by CaptionDataset(embedding_path=...)."""
+    import json
+    import numpy as np
+    from acvae_tpu.cli.main import Runner
+    from acvae_tpu.data.vocab import Vocabulary
+
+    vocab = Vocabulary()
+    for w in ("a", "dog", "barks"):
+        vocab.add_word(w)
+    vocab.save(str(tmp_path / "vocab.pkl"))
+    # GloVe-style text embeddings
+    (tmp_path / "glove.txt").write_text(
+        "a 1 0\ndog 0 2\nbarks 0 4\n")
+    (tmp_path / "text.json").write_text(json.dumps({"audios": [
+        {"audio_id": "x.wav", "captions": [
+            {"caption": "a dog", "tokens": "a dog"},
+            {"caption": "a barks", "tokens": "a barks"}]}]}))
+    Runner().extract_sentence_embedding(
+        str(tmp_path / "text.json"), str(tmp_path / "vocab.pkl"),
+        str(tmp_path / "glove.txt"), str(tmp_path / "emb"))
+    e0 = np.load(tmp_path / "emb" / "x.wav" / "0.npy")
+    e1 = np.load(tmp_path / "emb" / "x.wav" / "1.npy")
+    mean = np.load(tmp_path / "emb" / "x.wav" / "caption.npy")
+    np.testing.assert_allclose(e0, [0.5, 1.0])
+    np.testing.assert_allclose(e1, [0.5, 2.0])
+    np.testing.assert_allclose(mean, (e0 + e1) / 2)
