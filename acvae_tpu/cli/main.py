@@ -104,7 +104,9 @@ class Runner:
             train_h5 = val_h5 = h5
         train_ds = CaptionDataset(h5file_dict=train_h5, caption_info=train_info,
                                   vocabulary=vocabulary,
-                                  embedding_path=conf.get("embedding_path"))
+                                  embedding_path=conf.get("embedding_path"),
+                                  embedding_scaler=conf.get(
+                                      "embedding_scaler", False))
         val_ds = CaptionDataset(h5file_dict=val_h5, caption_info=val_info,
                                 vocabulary=vocabulary)
         bs = conf.get("dataloader_args", {}).get("batch_size",

@@ -69,7 +69,8 @@ class CaptionDataset:
                  features: Optional[Dict[str, np.ndarray]] = None,
                  transform: Optional[List[Callable]] = None,
                  max_cap_len: int = MAX_LENGTH + 2,
-                 embedding_path: Optional[str] = None):
+                 embedding_path: Optional[str] = None,
+                 embedding_scaler: bool = False):
         self._h5file_dict = h5file_dict or {}
         self._features = features
         self._caption_info = caption_info or []
@@ -78,6 +79,22 @@ class CaptionDataset:
         # per-caption embedding .npy tree (caption_dataset.py:105-110):
         # <embedding_path>/<audio_id>/<cap_idx>.npy
         self._embedding_path = embedding_path
+        # standard-scaler fit over the caption embeddings (the reference's
+        # sklearn StandardScaler pass, run_sentence.py:54-73)
+        self._emb_mean = self._emb_std = None
+        if embedding_scaler and embedding_path is not None:
+            import os
+            embs = []
+            for info in self._caption_info:
+                for ci in range(len(info["captions"])):
+                    p = os.path.join(embedding_path, info["audio_id"],
+                                     f"{ci}.npy")
+                    if os.path.exists(p):
+                        embs.append(np.load(p))
+            if embs:
+                stack = np.stack(embs)
+                self._emb_mean = stack.mean(0)
+                self._emb_std = np.maximum(stack.std(0), 1e-8)
         self._h5_cache: Dict[str, object] = {}
         self.max_cap_len = max_cap_len
         # flat (audio_idx, cap_idx) pair index (CaptionSampler semantics)
@@ -114,6 +131,8 @@ class CaptionDataset:
             import os
             emb = np.load(os.path.join(self._embedding_path, audio_id,
                                        f"{ci}.npy"))
+            if self._emb_mean is not None:
+                emb = (emb - self._emb_mean) / self._emb_std
             return audio_id, feature, np.asarray(cap, np.int32), emb
         return audio_id, feature, np.asarray(cap, np.int32)
 

@@ -120,3 +120,27 @@ class TestKaldiIO:
         p.write_bytes(b"utt \x00BCM \x04")  # compressed matrix header
         with pytest.raises(ValueError, match="unsupported kaldi matrix"):
             list(read_mat_ark(str(p)))
+
+
+def test_embedding_scaler(tmp_path, rng):
+    """Standard-scaler fit over caption embeddings (run_sentence.py:54-73)."""
+    import numpy as np
+    from acvae_tpu.data.dataset import CaptionDataset
+    from acvae_tpu.data.vocab import Vocabulary
+
+    vocab = Vocabulary()
+    vocab.add_word("x")
+    info = [{"audio_id": "a", "captions": [
+        {"caption": "x", "tokens": "x"}, {"caption": "x", "tokens": "x"}]}]
+    emb_dir = tmp_path / "emb" / "a"
+    emb_dir.mkdir(parents=True)
+    np.save(emb_dir / "0.npy", np.array([1.0, 10.0], np.float32))
+    np.save(emb_dir / "1.npy", np.array([3.0, 30.0], np.float32))
+    ds = CaptionDataset(caption_info=info, vocabulary=vocab,
+                        features={"a": rng.normal(size=(8, 4)).astype("float32")},
+                        embedding_path=str(tmp_path / "emb"),
+                        embedding_scaler=True)
+    _, _, _, e0 = ds.get(0)
+    _, _, _, e1 = ds.get(1)
+    np.testing.assert_allclose(e0, [-1.0, -1.0])
+    np.testing.assert_allclose(e1, [1.0, 1.0])
