@@ -709,6 +709,59 @@ class Runner:
         return str(outdir)
 
     # ------------------------------------------------------------------ #
+    def stage1_test(self, stage1_dir: str, caption_file: str,
+                    vocab_file: str, audios_per_batch: int = 16,
+                    uttnumbers: int = 4, epochs: int = 1,
+                    embed_size: int = 512, seed: int = 1) -> float:
+        """Caption-verification EER of a trained stage-1 embedder
+        (stage1_runner.py:137-211): per batch, each audio's captions are
+        split into enrollment/verification halves; verification embeddings
+        are scored against enrollment centroids and a 100-point threshold
+        sweep finds where FAR == FRR.  Returns the mean EER over batches
+        (and over ``epochs`` reshuffles).  The reference's perm/unperm
+        shuffle before the eval-mode encoder is an order no-op and is
+        omitted.  ``uttnumbers`` must be even (it is chunked in half)."""
+        import pickle
+
+        from acvae_tpu.data.aux_datasets import Stage1Dataset
+        from acvae_tpu.models.stage1 import (Stage1Encoder, equal_error_rate,
+                                             get_centroids, get_cossim)
+
+        if uttnumbers % 2:
+            raise ValueError("uttnumbers must be even for enroll/verify "
+                             "halves (stage1_runner.py:160)")
+        vocabulary = Vocabulary.load(vocab_file)
+        info = load_caption_info(caption_file)
+        ds = Stage1Dataset(info, vocabulary, uttnumbers=uttnumbers)
+        with open(Path(stage1_dir) / "stage1_params.pkl", "rb") as f:
+            variables = pickle.load(f)
+        enc = Stage1Encoder(vocab_size=len(vocabulary), embed_size=embed_size)
+        half = uttnumbers // 2
+
+        @jax.jit
+        def embed_halves(caps, lens):
+            caps = caps.reshape(audios_per_batch, uttnumbers, -1)
+            lens = lens.reshape(audios_per_batch, uttnumbers)
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])
+            enr = enc.apply(variables, flat(caps[:, :half]),
+                            flat(lens[:, :half]), train=False)
+            ver = enc.apply(variables, flat(caps[:, half:]),
+                            flat(lens[:, half:]), train=False)
+            enr = enr.reshape(audios_per_batch, half, -1)
+            ver = ver.reshape(audios_per_batch, half, -1)
+            return get_cossim(ver, get_centroids(enr))
+
+        eers = []
+        for epoch in range(epochs):
+            for caps, lens in ds.batches(audios_per_batch, seed, epoch):
+                sim = embed_halves(jnp.asarray(caps), jnp.asarray(lens))
+                eer, thr = equal_error_rate(sim)
+                eers.append(eer)
+        avg = float(np.mean(eers)) if eers else float("nan")
+        print(f"avg EER over {len(eers)} batches: {avg:.4f}")
+        return avg
+
+    # ------------------------------------------------------------------ #
     def extract_embedding(self, stage1_dir: str, caption_file: str,
                           vocab_file: str, output_dir: str,
                           embed_size: int = 512):
@@ -853,6 +906,49 @@ class Runner:
             f.write("\n".join(labels) + "\n")
         print(f"wrote {len(vecs)} embeddings")
         return output_prefix
+
+    # ------------------------------------------------------------------ #
+    def tsne(self, *embedding_dirs, output_prefix: str = "tsne",
+             num_audios: int = 20, seed: int = 0):
+        """t-SNE scatter of per-caption embedding trees
+        (utils/show_tsne.py): sample ``num_audios`` audio ids, project each
+        directory's caption embeddings to 2-D and save one PNG per
+        directory, points colored by audio id.  Accepts one or more
+        ``<dir>/<audio_id>/<i>.npy`` trees (the reference compared the BERT
+        tree against the learned stage-1 tree side by side)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from sklearn.manifold import TSNE
+
+        if not embedding_dirs:
+            raise ValueError("pass at least one embedding directory")
+        rng = np.random.default_rng(seed)
+        roots = [Path(d) for d in embedding_dirs]
+        audio_ids = sorted(p.name for p in roots[0].iterdir() if p.is_dir())
+        if len(audio_ids) > num_audios:
+            audio_ids = list(rng.choice(audio_ids, num_audios,
+                                        replace=False))
+        outputs = []
+        for root in roots:
+            vecs, labels = [], []
+            for li, aid in enumerate(audio_ids):
+                for npy in sorted((root / aid).glob("[0-9]*.npy")):
+                    vecs.append(np.load(npy).ravel())
+                    labels.append(li)
+            x = np.stack(vecs)
+            emb = TSNE(n_components=2, init="pca", random_state=seed,
+                       perplexity=min(30.0, len(x) - 1)).fit_transform(x)
+            fig, ax = plt.subplots(figsize=(6, 5))
+            ax.scatter(emb[:, 0], emb[:, 1], c=labels, cmap="hsv", s=18)
+            ax.set_title(f"t-SNE caption embeddings — {root.name}")
+            out = f"{output_prefix}_{root.name}.png"
+            fig.savefig(out, dpi=200, bbox_inches="tight")
+            plt.close(fig)
+            outputs.append(out)
+            print(f"wrote {out} ({len(vecs)} points, "
+                  f"{len(audio_ids)} audios)")
+        return outputs
 
     # ------------------------------------------------------------------ #
     def prepare_data(self, wav_dir: str, output_h5: str, output_csv: str,

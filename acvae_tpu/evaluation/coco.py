@@ -12,9 +12,11 @@ host↔JVM boundary:
   gaussian penalty (sigma=6), document frequencies from the evaluation refs.
 * :class:`RougeScorer` — ROUGE-L F-measure (beta=1.2, max over refs).
 
-METEOR and SPICE require external Java models; ``score_captions`` reports
-them as ``None`` when unavailable (documented divergence — SPIDEr falls back
-to CIDEr when SPICE is missing).
+METEOR and SPICE are scored through their Java backends when present and
+otherwise fall back to the native implementations in
+:mod:`acvae_tpu.evaluation.meteor` (exact+stem alignment) and
+:mod:`acvae_tpu.evaluation.spice` (rule-based scene-graph tuple F1);
+SPIDEr = (CIDEr + SPICE)/2 in either case.
 """
 from __future__ import annotations
 
@@ -229,6 +231,12 @@ def score_captions(key2refs: Dict[str, List[str]],
             spice, _ = Spice().compute_score(key2refs, key2pred)
         except Exception:
             spice = None
+        if spice is None:
+            # native rule-based scene-graph SPICE (evaluation/spice.py) —
+            # consistent semantic-tuple F1; absolute values differ from the
+            # Java parser+WordNet pipeline (documented divergence).
+            from acvae_tpu.evaluation.spice import SpiceScorer
+            spice, _ = SpiceScorer().compute_score(key2refs, key2pred)
     out["METEOR"] = meteor
     out["SPICE"] = spice
     out["SPIDEr"] = ((out["CIDEr"] + spice) / 2 if spice is not None

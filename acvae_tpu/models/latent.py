@@ -45,6 +45,21 @@ def reparameterize(mean: jnp.ndarray, log: jnp.ndarray, eps: jnp.ndarray) -> jnp
     return eps * jnp.exp(0.5 * log) + mean
 
 
+_MAX_LOGVAR = 10.0
+
+
+def split_mean_log(ml: jnp.ndarray):
+    """Split a stacked (μ, log σ²) projection and clamp the log-variance to
+    ±10.  The reference leaves it unclamped (text_encoder.py:141-148), which
+    makes the posterior z-chain ``z → Linear → ε·exp(½ log σ²) → z`` blow up
+    to inf/nan at init for unlucky noise draws (the recursion is
+    exponentially unstable; observed readily at small embed dims).  Inside
+    the trained regime |log σ²| ≪ 10, so the clamp is inactive — documented
+    stability divergence (COVERAGE.md)."""
+    mean, log = jnp.split(ml, 2, axis=-1)
+    return mean, jnp.clip(log, -_MAX_LOGVAR, _MAX_LOGVAR)
+
+
 @LATENTS.register("PosteriorRNN")
 class PosteriorRNN(nn.Module):
     """q(z_t | x, z_{<t}) with sequential z-chaining."""
@@ -75,7 +90,7 @@ class PosteriorRNN(nn.Module):
         def chain(z_prev, inputs):
             h_t, eps_t = inputs
             ml = self.mean_log_out(jnp.concatenate([h_t, z_prev], axis=-1))
-            mean, log = jnp.split(ml, 2, axis=-1)
+            mean, log = split_mean_log(ml)
             z_t = reparameterize(mean, log, eps_t)
             return z_t, (mean, log, z_t)
 
@@ -109,7 +124,7 @@ class PosteriorRNNHybrid(nn.Module):
         lens = cap_lens - 1
         hidden_o, _ = self.network(x, lens)
         ml = self.token_mean_log(hidden_o)
-        means, logs = jnp.split(ml, 2, axis=-1)
+        means, logs = split_mean_log(ml)
         z = reparameterize(means, logs, eps)
         # utterance embedding = masked mean + masked max of BiGRU states
         hidden = mean_with_lens(hidden_o, lens) + max_with_lens(hidden_o, lens)
@@ -143,7 +158,7 @@ class PosteriorSentence(nn.Module):
         hidden_o, _ = self.network(x, lens)
         hidden = mean_with_lens(hidden_o, lens) + max_with_lens(hidden_o, lens)
         ml = self.utterance_mean_log(hidden)
-        mean, log = jnp.split(ml, 2, axis=-1)
+        mean, log = split_mean_log(ml)
         z = reparameterize(mean, log, eps)
         return {"q_means": mean, "q_logs": log, "q_z": z}
 
@@ -187,7 +202,7 @@ class PriorRNN(nn.Module):
         ctx, attn_w = self.word_attn(x, enc_mem, enc_proj, enc_mask)
         h, c = self.network(jnp.concatenate([x, ctx, last_z], axis=-1), state)
         ml = self.mean_log_out(h)
-        mean, log = jnp.split(ml, 2, axis=-1)
+        mean, log = split_mean_log(ml)
         z = reparameterize(mean, log, eps)
         return {"mean": mean, "log": log, "z": z, "state": (h, c),
                 "attn_weights": attn_w}
@@ -233,8 +248,9 @@ class GMMPriorRNN(nn.Module):
         ml = self.mean_log_out(h)  # [N, 2*K*E]
         K, E = self.gmm_kernel, self.embed_size
         ml = ml.reshape(-1, K, 2 * E)
-        mean = jnp.moveaxis(ml[..., :E], 1, 0)   # [K, N, E]
-        log = jnp.moveaxis(ml[..., E:], 1, 0)    # [K, N, E]
+        mean = jnp.moveaxis(ml[..., :E], 1, 0)            # [K, N, E]
+        log = jnp.clip(jnp.moveaxis(ml[..., E:], 1, 0),
+                       -_MAX_LOGVAR, _MAX_LOGVAR)         # [K, N, E]
         probs = jax.nn.softmax(self.mixture_logits)
         if component_u is None:
             comp = jnp.argmax(probs)

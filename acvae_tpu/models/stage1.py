@@ -94,19 +94,28 @@ class GE2ELoss(nn.Module):
         return jnp.sum(-(pos - neg))
 
 
-def equal_error_rate(scores_same: jnp.ndarray, scores_diff: jnp.ndarray,
-                     num_thresholds: int = 100) -> Tuple[float, float]:
-    """EER sweep (stage1_runner.py:137-211): threshold where FAR == FRR."""
+def equal_error_rate(sim_matrix: jnp.ndarray) -> Tuple[float, float]:
+    """EER of a verification similarity matrix — the reference's threshold
+    sweep (stage1_runner.py:190-207) exactly: thresholds 0.00..0.99, strict
+    ``sim > thr``; FAR = off-diagonal accepts / ((A−1)·Mv·A), FRR = diagonal
+    rejects / (Mv·A); pick the threshold minimizing \\|FAR − FRR\\| and report
+    EER = (FAR + FRR)/2 there.
+
+    ``sim_matrix``: [A, Mv, A] cosine similarities of A audios × Mv
+    verification captions against the A enrollment centroids (diagonal
+    [i, :, i] = genuine trials).  Returns ``(eer, threshold)``.
+    """
     import numpy as np
-    ss = np.asarray(scores_same).ravel()
-    sd = np.asarray(scores_diff).ravel()
-    thresholds = np.linspace(min(ss.min(), sd.min()),
-                             max(ss.max(), sd.max()), num_thresholds)
-    best_eer, best_thr = 1.0, thresholds[0]
-    for thr in thresholds:
-        frr = np.mean(ss < thr)      # false reject
-        far = np.mean(sd >= thr)     # false accept
-        eer = (frr + far) / 2
-        if abs(frr - far) < 0.1 and eer < best_eer:
-            best_eer, best_thr = eer, thr
-    return float(best_eer), float(best_thr)
+    sim = np.asarray(sim_matrix)
+    a, mv, _ = sim.shape
+    diag = sim[np.arange(a), :, np.arange(a)]        # [A, Mv] genuine
+    best = (1.0, 0.0, 0.0)                           # (diff, eer, thr)
+    for thr in (0.01 * i for i in range(100)):
+        acc = sim > thr
+        diag_acc = diag > thr
+        far = (acc.sum() - diag_acc.sum()) / (a - 1.0) / mv / a
+        frr = (mv * a - diag_acc.sum()) / mv / a
+        diff = abs(far - frr)
+        if diff < best[0]:
+            best = (diff, (far + frr) / 2, thr)
+    return float(best[1]), float(best[2])

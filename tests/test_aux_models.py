@@ -228,3 +228,25 @@ class TestPretrained:
         assert n == 1 and total == 3
         np.testing.assert_array_equal(merged["a"]["w"], np.ones((3, 3)))
         np.testing.assert_array_equal(merged["a"]["b"], np.zeros((3,)))
+
+
+class TestEqualErrorRate:
+    def test_separable_scores_zero_eer(self):
+        from acvae_tpu.models.stage1 import equal_error_rate
+        # A=2 audios, Mv=2 verify caps: genuine 0.9, impostor 0.1
+        sim = np.full((2, 2, 2), 0.1)
+        sim[0, :, 0] = sim[1, :, 1] = 0.9
+        eer, thr = equal_error_rate(jnp.asarray(sim))
+        assert eer == 0.0
+        assert 0.1 <= thr < 0.9
+
+    def test_overlapping_scores_hand_computed(self):
+        from acvae_tpu.models.stage1 import equal_error_rate
+        # genuine [0.8, 0.4], impostor [0.6, 0.2]: FAR=FRR=0.5 on
+        # thresholds [0.4, 0.6) -> EER 0.5 at the first such threshold
+        sim = np.zeros((2, 1, 2))
+        sim[0, 0] = [0.8, 0.6]
+        sim[1, 0] = [0.2, 0.4]
+        eer, thr = equal_error_rate(jnp.asarray(sim))
+        assert eer == 0.5
+        assert abs(thr - 0.4) < 1e-9

@@ -114,6 +114,15 @@ class TestAuxCommands:
                                            "0.npy"))
         assert os.path.exists(os.path.join(emb_dir, first["audio_id"],
                                            "caption.npy"))
+        eer = Runner().stage1_test(out, str(workspace / "text.json"),
+                                   str(workspace / "vocab.pkl"),
+                                   audios_per_batch=3, uttnumbers=4,
+                                   embed_size=8)
+        assert 0.0 <= eer <= 1.0
+        pngs = Runner().tsne(emb_dir,
+                             output_prefix=str(tmp_path / "tsne"),
+                             num_audios=4)
+        assert all(os.path.exists(p) for p in pngs)
 
     def test_global_vae_pretrain(self, workspace, tmp_path):
         out = Runner().global_vae(str(workspace / "text.json"),

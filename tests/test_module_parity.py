@@ -247,3 +247,28 @@ class TestVAEDecoderParity:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(out["state"]), t2n(h_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestZChainStability:
+    def test_posterior_chain_finite_under_extreme_noise(self):
+        """The z-chain z → Linear → ε·exp(½ log σ²) → z is exponentially
+        unstable without the ±10 log-variance clamp (split_mean_log): at
+        small dims an unlucky ε draw overflowed exp() within 20 steps and
+        poisoned training with nan.  Drive the chain with extreme noise and
+        assert everything stays finite."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        V, E, L, N = 30, 16, 22, 8
+        qnet = PosteriorRNN(vocab_size=V, word_dim=E, embed_size=E,
+                            hidden_size=E)
+        caps = jnp.asarray(
+            np.random.default_rng(0).integers(3, V, size=(N, L)))
+        lens = jnp.full((N,), L)
+        eps = 8.0 * jax.random.normal(jax.random.key(1), (N, L - 1, E))
+        variables = qnet.init(jax.random.key(0), caps, lens, eps)
+        out = qnet.apply(variables, caps, lens, eps)
+        for k in ("q_means", "q_logs", "q_z"):
+            assert np.isfinite(np.asarray(out[k])).all(), k
+        assert float(jnp.max(jnp.abs(out["q_logs"]))) <= 10.0
