@@ -221,6 +221,9 @@ class Runner:
         ss_ratio = conf["ss_args"]["ss_ratio"]
         key = jax.random.key(seed + 2)
         iteration = 0
+        # profile_dir: trace steps 5-15 into a TensorBoard-viewable profile
+        # (train/profiling.py — the reference has no profiling at all)
+        profile_dir = conf.get("profile_dir")
         metrics_log = open(outputdir / "metrics.jsonl", "a")
         logger.info("{:^10}\t{:^10}\t{:^10}".format(
             "Epoch", "Train loss", "Val score"))
@@ -238,22 +241,39 @@ class Runner:
                     ss_ratio, conf["ss_args"]["ss_mode"], total_iters,
                     conf["ss_args"].get("final_ss_ratio", 0.7))
                 key, sub = jax.random.split(key)
+                if profile_dir and iteration == 1:
+                    jax.profiler.start_trace(str(profile_dir))
                 arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
                 state, metrics = train_step(state, arrays, sub, ss_ratio,
                                             dis_ratio, kl_weight,
                                             alpha if alpha is not None else 0.0)
+                if profile_dir and iteration >= 15:
+                    np.asarray(metrics["loss"])  # force completion
+                    jax.profiler.stop_trace()
+                    profile_dir = None
                 n = int(np.sum(batch.cap_lens - 1))
-                losses.append(float(metrics["loss"]) * n)
+                # keep the loss as a device scalar: a float() here would
+                # force a host sync every step (25-40 ms over the tunneled
+                # runtime); everything is fetched once at epoch end
+                losses.append((iteration, metrics["loss"], ss_ratio))
                 nsamples.append(n)
-                if tb:
-                    tb.add_scalar("loss/train", float(metrics["loss"]), iteration)
-                    tb.add_scalar("scheduled_sampling_prob", ss_ratio, iteration)
+
+            if profile_dir and iteration >= 1:
+                # short epochs: close the trace at first-epoch end
+                jax.profiler.stop_trace()
+                profile_dir = None
+            loss_vals = jax.device_get([l for _, l, _ in losses])
+            if tb:
+                for (it, _, ss), lv in zip(losses, loss_vals):
+                    tb.add_scalar("loss/train", float(lv), it)
+                    tb.add_scalar("scheduled_sampling_prob", ss, it)
 
             # validation: beam=3 + CIDEr (pytorch_runner_vae.py:344-357)
             key, sub = jax.random.split(key)
             score = self._validate(model, state, val_loader, vocabulary,
                                    val_key2refs, sub)
-            train_loss = float(np.sum(losses) / max(np.sum(nsamples), 1))
+            train_loss = float(np.sum(np.asarray(loss_vals) * nsamples)
+                               / max(np.sum(nsamples), 1))
             logger.info(f"{epoch:^10}\t{train_loss:^10.3g}\t{score:^10.3g}")
             if tb:
                 tb.add_scalar("score/val", score, epoch)
@@ -1126,7 +1146,7 @@ class Runner:
 
     # ------------------------------------------------------------------ #
     def tokenize_caption(self, caption_file: str,
-                         output: Optional[str] = None):
+                         output: Optional[str] = None, zh: bool = False):
         """Write ``tokens`` into each caption of text.json without building a
         vocabulary (utils/tokenize_caption.py; English path — the reference's
         zh/character modes need a CoreNLP server).  In-place when no output
@@ -1137,7 +1157,7 @@ class Runner:
         n = 0
         for audio in info:
             for cap in audio["captions"]:
-                cap["tokens"] = " ".join(tokenize(cap["caption"]))
+                cap["tokens"] = " ".join(tokenize(cap["caption"], zh))
                 n += 1
         with open(output or caption_file, "w") as f:
             json.dump({"audios": info}, f, indent=1)
@@ -1146,10 +1166,12 @@ class Runner:
 
     # ------------------------------------------------------------------ #
     def build_vocab(self, caption_file: str, output: str,
-                    threshold: int = 1):
-        """Build vocab.pkl from text.json (utils/build_vocab.py CLI)."""
+                    threshold: int = 1, zh: bool = False):
+        """Build vocab.pkl from text.json (utils/build_vocab.py CLI;
+        zh=True uses character-level CJK tokens — documented fallback for
+        the reference's CoreNLP word segmentation)."""
         info = load_caption_info(caption_file)
-        vocab = _build_vocab(info, threshold)
+        vocab = _build_vocab(info, threshold, zh=zh)
         # write tokens back like the reference (build_vocab.py:95)
         with open(caption_file, "w") as f:
             json.dump({"audios": info}, f, indent=1)

@@ -20,9 +20,33 @@ from acvae_tpu import END_IDX, PAD_IDX, START_IDX, UNK_IDX
 _PUNCT = re.compile(r"[,.!?;:\"']")
 
 
-def tokenize(caption: str) -> List[str]:
-    """Lowercase + strip punctuation + whitespace split (build_vocab.py:74-78)."""
-    return _PUNCT.sub("", caption.lower()).split()
+def tokenize(caption: str, zh: bool = False) -> List[str]:
+    """Lowercase + strip punctuation + whitespace split (build_vocab.py:74-78).
+
+    ``zh=True``: character-level CJK tokenization — the reference's Chinese
+    path segments words through a CoreNLP server (build_vocab.py:106-118),
+    which isn't available offline; character tokens are the standard
+    server-free fallback (documented divergence).  Latin spans inside the
+    text stay whole words."""
+    if not zh:
+        return _PUNCT.sub("", caption.lower()).split()
+    out: List[str] = []
+    word = ""
+    for ch in caption.lower():
+        if "一" <= ch <= "鿿":
+            if word:
+                out.append(word)
+                word = ""
+            out.append(ch)
+        elif ch.isspace() or _PUNCT.match(ch):
+            if word:
+                out.append(word)
+                word = ""
+        else:
+            word += ch
+    if word:
+        out.append(word)
+    return out
 
 
 class Vocabulary:
@@ -80,14 +104,15 @@ class Vocabulary:
         return vocab
 
 
-def build_vocab(caption_info: List[dict], threshold: int = 1) -> Vocabulary:
+def build_vocab(caption_info: List[dict], threshold: int = 1,
+                zh: bool = False) -> Vocabulary:
     """Build from text.json 'audios' list; writes `tokens` back into each
     caption dict like the reference does (build_vocab.py:95)."""
     counter: Counter = Counter()
     for audio in caption_info:
         for cap in audio["captions"]:
             tokens = cap.get("tokens")
-            tokens = tokens.split() if tokens else tokenize(cap["caption"])
+            tokens = tokens.split() if tokens else tokenize(cap["caption"], zh)
             cap["tokens"] = " ".join(tokens)
             counter.update(tokens)
     vocab = Vocabulary()

@@ -150,3 +150,15 @@ def test_extract_sentence_embedding(tmp_path):
     np.testing.assert_allclose(e0, [0.5, 1.0])
     np.testing.assert_allclose(e1, [0.5, 2.0])
     np.testing.assert_allclose(mean, (e0 + e1) / 2)
+
+
+def test_zh_character_tokenization():
+    """zh=True: CJK chars become single tokens, latin spans stay words
+    (character fallback for the reference's CoreNLP path)."""
+    from acvae_tpu.data.vocab import build_vocab, tokenize
+    assert tokenize("狗在叫, dog barks!", zh=True) == [
+        "狗", "在", "叫", "dog", "barks"]
+    info = [{"audio_id": "a", "captions": [{"caption": "狗叫"}]}]
+    vocab = build_vocab(info, zh=True)
+    assert info[0]["captions"][0]["tokens"] == "狗 叫"
+    assert len(vocab) == 6  # 4 specials + 2 chars
