@@ -1112,12 +1112,19 @@ class Runner:
                                    embedding_source: str, output_dir: str):
         """Per-caption sentence embeddings as the mean of word vectors
         (utils/word2vec/create_embedding.py, utils/Glove — the reference's
-        mean-of-words sentence path; its BERT variant needs bert-as-service).
-        Writes ``<output_dir>/<audio_id>/<i>.npy`` plus the per-audio mean
-        ``caption.npy`` — the tree ``CaptionDataset(embedding_path=...)`` and
-        the ``embedding_path`` config key consume.  ``embedding_source`` is
-        any backend ``data/embeddings.py`` understands (gensim model, GloVe
-        txt, pickled matrix)."""
+        mean-of-words sentence path).  Writes ``<output_dir>/<audio_id>/
+        <i>.npy`` plus the per-audio mean ``caption.npy`` — the tree
+        ``CaptionDataset(embedding_path=...)`` and the ``embedding_path``
+        config key consume.  ``embedding_source`` is any backend
+        ``data/embeddings.py`` understands (gensim model, GloVe txt, pickled
+        matrix) — or a local HuggingFace transformer directory (the
+        reference's BERT/SentenceTransformer variant, utils/bert/*: here
+        mean-pooled last hidden states; needs local weights, this image has
+        no network egress)."""
+        if (Path(embedding_source).is_dir()
+                and (Path(embedding_source) / "config.json").exists()):
+            return self._extract_hf_sentence_embedding(
+                caption_file, embedding_source, output_dir)
         from acvae_tpu.data.embeddings import load_word_embeddings
         from acvae_tpu.data.vocab import Vocabulary, tokenize
 
@@ -1142,6 +1149,38 @@ class Runner:
             np.save(aid_dir / "caption.npy",
                     np.mean(embs, axis=0).astype(np.float32))
         print(f"wrote {n} caption embeddings under {output_dir}")
+        return output_dir
+
+    def _extract_hf_sentence_embedding(self, caption_file: str,
+                                       model_dir: str, output_dir: str):
+        """Contextual sentence embeddings from a local HF transformer:
+        mean-pooled last hidden states over real tokens (the
+        SentenceTransformer pooling the reference's utils/bert path uses)."""
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_dir)
+        mdl = AutoModel.from_pretrained(model_dir).eval()
+        info = load_caption_info(caption_file)
+        out_root = Path(output_dir)
+        n = 0
+        with torch.no_grad():
+            for audio in info:
+                aid_dir = out_root / audio["audio_id"]
+                aid_dir.mkdir(parents=True, exist_ok=True)
+                texts = [c.get("caption") or c["tokens"]
+                         for c in audio["captions"]]
+                enc = tok(texts, return_tensors="pt", padding=True,
+                          truncation=True)
+                hidden = mdl(**enc).last_hidden_state
+                m = enc["attention_mask"].unsqueeze(-1).float()
+                emb = (hidden * m).sum(1) / m.sum(1).clamp(min=1)
+                emb = emb.numpy().astype(np.float32)
+                for i in range(emb.shape[0]):
+                    np.save(aid_dir / f"{i}.npy", emb[i])
+                    n += 1
+                np.save(aid_dir / "caption.npy", emb.mean(0))
+        print(f"wrote {n} HF caption embeddings under {output_dir}")
         return output_dir
 
     # ------------------------------------------------------------------ #

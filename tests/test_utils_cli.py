@@ -162,3 +162,39 @@ def test_zh_character_tokenization():
     vocab = build_vocab(info, zh=True)
     assert info[0]["captions"][0]["tokens"] == "狗 叫"
     assert len(vocab) == 6  # 4 specials + 2 chars
+
+
+def test_hf_sentence_embedding_local_model(tmp_path):
+    """extract_sentence_embedding detects a local HF model dir and writes
+    mean-pooled contextual embeddings (the reference's bert path)."""
+    transformers = pytest.importorskip("transformers")
+    import json as _json
+
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    mdir = tmp_path / "tinybert"
+    mdir.mkdir()
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "a", "dog", "barks", "water", "flows"]
+    (mdir / "vocab.txt").write_text("\n".join(words))
+    tok = BertTokenizerFast(vocab_file=str(mdir / "vocab.txt"))
+    tok.save_pretrained(str(mdir))
+    cfg = BertConfig(vocab_size=len(tok), hidden_size=16,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_position_embeddings=32)
+    BertModel(cfg).save_pretrained(str(mdir))
+
+    caps = {"audios": [{"audio_id": "a1", "captions": [
+        {"caption": "a dog barks", "cap_id": "1"},
+        {"caption": "water flows", "cap_id": "2"}]}]}
+    cap_file = tmp_path / "text.json"
+    cap_file.write_text(_json.dumps(caps))
+
+    from acvae_tpu.cli.main import Runner
+    out = Runner().extract_sentence_embedding(
+        str(cap_file), "unused", str(mdir), str(tmp_path / "emb"))
+    import numpy as np
+    e0 = np.load(tmp_path / "emb" / "a1" / "0.npy")
+    mean = np.load(tmp_path / "emb" / "a1" / "caption.npy")
+    assert e0.shape == (16,) and mean.shape == (16,)
+    assert np.isfinite(e0).all()
