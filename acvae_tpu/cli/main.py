@@ -54,6 +54,25 @@ DEFAULTS = dict(
 )
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the flagship train/beam programs
+    take minutes to compile per shape bucket; caching makes repeated CLI
+    invocations (train → evaluate → scst, re-runs, seed sweeps) skip them.
+    Override the location with ACVAE_XLA_CACHE; set it empty to disable."""
+    cache_dir = os.environ.get(
+        "ACVAE_XLA_CACHE", os.path.expanduser("~/.cache/acvae_tpu/xla"))
+    if not cache_dir:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
+
+
+_enable_compilation_cache()
+
+
 def _setup_logger(logfile: Optional[str]) -> logging.Logger:
     logger = logging.getLogger("acvae_tpu")
     logger.setLevel(logging.INFO)
@@ -221,8 +240,9 @@ class Runner:
         ss_ratio = conf["ss_args"]["ss_ratio"]
         key = jax.random.key(seed + 2)
         iteration = 0
-        # profile_dir: trace steps 5-15 into a TensorBoard-viewable profile
-        # (train/profiling.py — the reference has no profiling at all)
+        # profile_dir: trace steps 1-15 (or the first epoch, if shorter)
+        # into a TensorBoard-viewable profile (train/profiling.py — the
+        # reference has no profiling at all)
         profile_dir = conf.get("profile_dir")
         metrics_log = open(outputdir / "metrics.jsonl", "a")
         logger.info("{:^10}\t{:^10}\t{:^10}".format(
@@ -235,7 +255,9 @@ class Runner:
                 conf["dis_ration"]["final_ratio"])
             train_loader.set_epoch(epoch)
             losses, nsamples = [], []
-            for batch in train_loader:
+            # background-thread prefetch: HDF5 reads + collate overlap with
+            # device compute (the reference's DataLoader workers, SURVEY §2.6)
+            for batch in train_loader.prefetch():
                 iteration += 1
                 ss_ratio = update_ss_ratio(
                     ss_ratio, conf["ss_args"]["ss_mode"], total_iters,
@@ -641,7 +663,7 @@ class Runner:
         for epoch in range(1, epochs + 1):
             train_loader.set_epoch(epoch)
             rewards = []
-            for batch in train_loader:
+            for batch in train_loader.prefetch():
                 key, sub = jax.random.split(key)
                 state, metrics = scst_train_step(
                     state, rollout, step,

@@ -192,11 +192,14 @@ class CaptionLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
+        error: list = []
 
         def producer():
             try:
                 for batch in self:
                     q.put(batch)
+            except BaseException as e:  # re-raised on the consumer side
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -205,6 +208,8 @@ class CaptionLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item
 

@@ -1,5 +1,6 @@
 """Data pipeline: vocabulary, bucketing collate, host sharding, synthetic set."""
 import numpy as np
+import pytest
 
 from acvae_tpu import END_IDX, PAD_IDX, START_IDX
 from acvae_tpu.data import (CaptionDataset, CaptionLoader, Vocabulary,
@@ -144,3 +145,39 @@ def test_embedding_scaler(tmp_path, rng):
     _, _, _, e1 = ds.get(1)
     np.testing.assert_allclose(e0, [-1.0, -1.0])
     np.testing.assert_allclose(e1, [1.0, 1.0])
+
+
+def test_prefetch_matches_direct_iteration(tmp_path):
+    """loader.prefetch() yields the same batches as direct iteration and
+    re-raises producer errors (it feeds the CLI train loop)."""
+    import h5py
+
+    from acvae_tpu.data.dataset import CaptionDataset, CaptionLoader
+    from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+    feats, info, vocab = make_synthetic_clotho(num_audios=5, mel_frames=128)
+    h5 = str(tmp_path / "m.h5")
+    with h5py.File(h5, "w") as f:
+        for aid, mel in feats.items():
+            f[aid] = mel
+    ds = CaptionDataset(h5file_dict={a: h5 for a in feats},
+                        caption_info=info, vocabulary=vocab)
+    loader = CaptionLoader(ds, 4, shuffle=True, seed=3)
+    loader.set_epoch(2)
+    direct = list(loader)
+    fetched = list(loader.prefetch())
+    assert len(direct) == len(fetched)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a.feats, b.feats)
+        np.testing.assert_array_equal(a.caps, b.caps)
+
+    class Boom(CaptionLoader):
+        def __iter__(self):
+            yield direct[0]
+            raise RuntimeError("producer boom")
+
+    boom = Boom(ds, 4)
+    it = boom.prefetch()
+    next(it)
+    with pytest.raises(RuntimeError, match="producer boom"):
+        list(it)
