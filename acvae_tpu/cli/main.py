@@ -209,6 +209,14 @@ class Runner:
         model = build_model(conf, len(vocabulary), train_ds.data_dim)
         state, _ = self._init_state(conf, model, train_loader, total_iters)
         state = self._apply_pretrained(conf, state, logger)
+        plateau = None
+        if conf.get("scheduler") == "ReduceLROnPlateau":
+            # epoch scheduler stepped with the val score
+            # (pytorch_runner_vae.py:364-365)
+            from acvae_tpu.train.trainer import ReduceLROnPlateau
+            plateau = ReduceLROnPlateau(
+                **{k: v for k, v in conf.get("scheduler_args", {}).items()
+                   if k in ("mode", "factor", "patience", "threshold")})
         start_epoch = 1
         if conf.get("resume") and (outputdir / "last").exists():
             state = restore_checkpoint(str(outputdir), "last", state)
@@ -294,6 +302,12 @@ class Runner:
             key, sub = jax.random.split(key)
             score = self._validate(model, state, val_loader, vocabulary,
                                    val_key2refs, sub)
+            if plateau is not None:
+                before = plateau.scale
+                state = plateau.step(state, score)
+                if plateau.scale != before:
+                    logger.info(f"ReduceLROnPlateau: lr scale -> "
+                                f"{plateau.scale:.3g}")
             train_loss = float(np.sum(np.asarray(loss_vals) * nsamples)
                                / max(np.sum(nsamples), 1))
             logger.info(f"{epoch:^10}\t{train_loss:^10.3g}\t{score:^10.3g}")

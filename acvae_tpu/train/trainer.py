@@ -52,6 +52,77 @@ class TrainState(flax.struct.PyTreeNode):
                    opt_state=tx.init(params), tx=tx)
 
 
+class _LRScaleState(flax.struct.PyTreeNode):
+    scale: jnp.ndarray
+
+
+def lr_scale() -> optax.GradientTransformation:
+    """Update scaling whose factor lives in the *optimizer state*, so a
+    host-side epoch scheduler (ReduceLROnPlateau) can adjust the effective
+    learning rate between jitted steps without recompiling — optax schedules
+    are traced into the step and cannot react to validation scores."""
+    def init_fn(params):
+        return _LRScaleState(scale=jnp.asarray(1.0, jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        return (jax.tree_util.tree_map(lambda u: u * state.scale, updates),
+                state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def set_lr_scale(state: "TrainState", value: float) -> "TrainState":
+    """Replace the lr_scale factor inside a TrainState's optimizer state."""
+    is_scale = lambda n: isinstance(n, _LRScaleState)
+    new_opt = jax.tree_util.tree_map(
+        lambda n: (_LRScaleState(scale=jnp.asarray(value, jnp.float32))
+                   if is_scale(n) else n),
+        state.opt_state, is_leaf=is_scale)
+    return state.replace(opt_state=new_opt)
+
+
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics — the
+    reference's epoch scheduler, stepped with the validation score
+    (``scheduler.step(score)``, pytorch_runner_vae.py:364-365): after
+    ``patience`` epochs without (relative-threshold) improvement, the
+    effective lr is multiplied by ``factor``.  Acts through
+    :func:`set_lr_scale` on the TrainState."""
+
+    def __init__(self, mode: str = "max", factor: float = 0.1,
+                 patience: int = 10, threshold: float = 1e-4,
+                 min_scale: float = 1e-8):
+        self.mode, self.factor = mode, factor
+        self.patience, self.threshold = patience, threshold
+        self.min_scale = min_scale
+        self.best: Optional[float] = None
+        self.num_bad = 0
+        self.scale = 1.0
+
+    def _is_better(self, a: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "max":
+            thr = self.best * (1 + self.threshold) if self.best >= 0 \
+                else self.best * (1 - self.threshold)
+            return a > thr
+        thr = self.best * (1 - self.threshold) if self.best >= 0 \
+            else self.best * (1 + self.threshold)
+        return a < thr
+
+    def step(self, state: "TrainState", metric: float) -> "TrainState":
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+            return state
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            state = set_lr_scale(state, self.scale)
+        return state
+
+
 def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
                     max_grad_norm: Optional[float] = None,
                     trainable_mask: Optional[Any] = None,
@@ -78,8 +149,16 @@ def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
     if max_grad_norm:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(base)
+    chain.append(lr_scale())  # identity until ReduceLROnPlateau adjusts it
     if trainable_mask is not None:
-        return optax.masked(optax.chain(*chain), trainable_mask)
+        # NOTE: optax.masked is the wrong tool here — it passes masked-out
+        # updates through *unchanged* (raw gradients would be added to the
+        # "frozen" params).  multi_transform + set_to_zero actually freezes.
+        labels = jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", trainable_mask)
+        return optax.multi_transform(
+            {"train": optax.chain(*chain), "freeze": optax.set_to_zero()},
+            labels)
     return optax.chain(*chain)
 
 

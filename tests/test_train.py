@@ -124,3 +124,61 @@ class TestTrainStep:
         seqs = np.asarray(out["seqs"])
         words = vocab.decode(seqs[0])
         assert all(w != "<unk>" for w in words)
+
+
+class TestReduceLROnPlateau:
+    def test_scale_applied_to_updates(self):
+        """lr_scale lives in the optimizer state so the host can halve the
+        effective lr between jitted steps (torch ReduceLROnPlateau parity,
+        pytorch_runner_vae.py:364-365)."""
+        import optax
+
+        from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                             set_lr_scale)
+
+        tx = build_optimizer("SGD", 1.0)
+        params = {"w": jnp.asarray(2.0)}
+        state = TrainState.create({"params": params}, tx)
+        grads = {"w": jnp.asarray(1.0)}
+
+        @jax.jit
+        def step(state):
+            return state.apply_gradients(grads, state.batch_stats)
+
+        s1 = step(state)
+        assert float(s1.params["w"]) == 1.0          # full lr
+        s1 = set_lr_scale(s1, 0.25)
+        s2 = step(s1)
+        assert float(s2.params["w"]) == 0.75          # 1.0 - 0.25·1.0
+
+    def test_plateau_semantics(self):
+        from acvae_tpu.train.trainer import (ReduceLROnPlateau, TrainState,
+                                             build_optimizer)
+
+        tx = build_optimizer("SGD", 1.0)
+        state = TrainState.create({"params": {"w": jnp.asarray(0.0)}}, tx)
+        pl = ReduceLROnPlateau(mode="max", factor=0.5, patience=1)
+        state = pl.step(state, 1.0)     # best = 1.0
+        state = pl.step(state, 0.9)     # bad 1
+        assert pl.scale == 1.0
+        state = pl.step(state, 0.9)     # bad 2 > patience -> scale 0.5
+        assert pl.scale == 0.5
+        state = pl.step(state, 2.0)     # improvement resets counter
+        assert pl.scale == 0.5 and pl.best == 2.0
+
+    def test_masked_optimizer_scale_reachable(self):
+        """set_lr_scale finds the scale leaf through optax.masked."""
+        from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                             set_lr_scale)
+
+        params = {"w": jnp.asarray(2.0), "frozen": jnp.asarray(3.0)}
+        tx = build_optimizer("SGD", 1.0,
+                             trainable_mask={"w": True, "frozen": False})
+        state = TrainState.create({"params": params}, tx)
+        state = set_lr_scale(state, 0.5)
+        grads = {"w": jnp.asarray(1.0), "frozen": jnp.asarray(1.0)}
+        s1 = state.apply_gradients(grads, state.batch_stats)
+        assert float(s1.params["w"]) == 1.5           # scaled update
+        # regression: optax.masked passed raw gradients through to
+        # "frozen" params (they moved by +grad); multi_transform freezes
+        assert float(s1.params["frozen"]) == 3.0
