@@ -184,6 +184,14 @@ class Runner:
     def train(self, config: str, **kwargs) -> str:
         conf = Config(dict(DEFAULTS))
         conf.update(load_config(config, **kwargs))
+        if conf.get("distributed"):
+            # multi-host runtime init (must precede first backend use;
+            # auto-detects coordination on TPU pods).  The reference's
+            # init_process_group (pytorch_runner_vae.py:155-161).
+            try:
+                jax.distributed.initialize()
+            except Exception:
+                pass  # single process or already initialized
         seed = conf["seed"]
         random.seed(seed)
         np.random.seed(seed)
@@ -209,6 +217,19 @@ class Runner:
         model = build_model(conf, len(vocabulary), train_ds.data_dim)
         state, _ = self._init_state(conf, model, train_loader, total_iters)
         state = self._apply_pretrained(conf, state, logger)
+        mesh = None
+        if conf.get("distributed"):
+            # reference key (pytorch_runner_vae.py:155-161: NCCL DDP);
+            # here: 1-D data mesh over all visible devices, params
+            # replicated, batches sharded — XLA inserts the grad all-reduce
+            from acvae_tpu.parallel.mesh import make_mesh, replicate
+            if jax.process_count() == 1 and len(jax.devices()) == 1:
+                logger.info("distributed=true with a single device: "
+                            "running unsharded")
+            else:
+                mesh = make_mesh()
+                state = replicate(state, mesh)
+                logger.info(f"data-parallel mesh: {dict(mesh.shape)}")
         plateau = None
         if conf.get("scheduler") == "ReduceLROnPlateau":
             # epoch scheduler stepped with the val score
@@ -274,6 +295,11 @@ class Runner:
                 if profile_dir and iteration == 1:
                     jax.profiler.start_trace(str(profile_dir))
                 arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+                if mesh is not None:
+                    from acvae_tpu.parallel.mesh import (pad_to_multiple,
+                                                         shard_batch)
+                    arrays = shard_batch(
+                        pad_to_multiple(arrays, mesh.size), mesh)
                 state, metrics = train_step(state, arrays, sub, ss_ratio,
                                             dis_ratio, kl_weight,
                                             alpha if alpha is not None else 0.0)

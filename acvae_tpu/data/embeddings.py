@@ -92,7 +92,7 @@ def set_embedding_param(params: dict, module: str, matrix: np.ndarray,
 
 
 def freeze_mask(params, frozen_paths: tuple) -> dict:
-    """optax.masked-compatible pytree: True = trainable, False = frozen.
+    """Trainable-mask pytree: True = trainable, False = frozen.
     Used for freeze_word_embedding / freeze_encoder
     (pytorch_runner_vae.py:55, word_model.py:37-39)."""
     import jax

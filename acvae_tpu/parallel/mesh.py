@@ -38,3 +38,16 @@ def replicate(tree: Any, mesh: Mesh):
     """Fully replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def pad_to_multiple(batch: Dict[str, Any], m: int) -> Dict[str, Any]:
+    """Pad every array's leading (batch) dim to a multiple of ``m`` by
+    repeating the first rows — the reference's
+    ``CaptionDistributedSampler`` pad-to-divisible trick
+    (datasets/caption_dataset.py:262-275)."""
+    import jax.numpy as jnp
+    n = next(iter(batch.values())).shape[0]
+    pad = (-n) % m
+    if pad == 0:
+        return batch
+    return {k: jnp.concatenate([v, v[:pad]], axis=0) for k, v in batch.items()}

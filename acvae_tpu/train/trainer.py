@@ -132,7 +132,7 @@ def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
 
     trainable_mask: optional pytree of bools (True = trainable) implementing
     freeze_encoder / freeze_word_embedding (word_model.py:37-39,
-    pytorch_runner_vae.py:55) via optax.masked."""
+    pytorch_runner_vae.py:55) via multi_transform + set_to_zero."""
     opts = {
         "Adam": optax.adam, "AdamW": optax.adamw, "SGD": optax.sgd,
         "RMSprop": optax.rmsprop, "Adagrad": optax.adagrad,

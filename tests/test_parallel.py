@@ -80,3 +80,53 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+
+class TestDistributedCLI:
+    def test_train_distributed_flag(self, tmp_path):
+        """`distributed: true` trains data-parallel over all (virtual CPU)
+        devices through the real CLI path and produces finite metrics."""
+        import json as _json
+
+        import h5py
+        import yaml
+
+        from acvae_tpu.cli.main import Runner
+        from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+        feats, info, vocab = make_synthetic_clotho(num_audios=6,
+                                                   mel_frames=128)
+        h5 = str(tmp_path / "m.h5")
+        with h5py.File(h5, "w") as f:
+            for aid, mel in feats.items():
+                f[aid] = mel
+        import pandas as pd
+        pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
+            tmp_path / "m.csv", sep="\t", index=False)
+        (tmp_path / "text.json").write_text(_json.dumps({"audios": info}))
+        vocab.save(str(tmp_path / "vocab.pkl"))
+        E = 16
+        cfg = {
+            "model": "VAEModel", "encodermodel": "Cnn10",
+            "encoder_args": {"embed_size": E, "channels": [4, 8, 8, E]},
+            "decoder": "VAERNNBahdanauAttnDecoder",
+            "decoder_args": {"embed_size": E, "hidden_size": E},
+            "model_args": {"posterior_model": "PosteriorRNN",
+                           "posterior_args": {"hidden_size": E},
+                           "prior_model": "PriorRNN",
+                           "prior_args": {"hidden_size": E}},
+            "h5_csv": str(tmp_path / "m.csv"),
+            "caption_file": str(tmp_path / "text.json"),
+            "vocab_file": str(tmp_path / "vocab.pkl"),
+            "outputpath": str(tmp_path / "exp"),
+            "epochs": 1, "batch_size": 8, "train_percent": 80,
+            "scheduler": "constant", "scheduler_args": {},
+            "distributed": True,
+        }
+        with open(tmp_path / "c.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        exp = Runner().train(str(tmp_path / "c.yaml"))
+        rec = _json.loads(open(f"{exp}/metrics.jsonl").readline())
+        assert np.isfinite(rec["train_loss"])
+        log = open(f"{exp}/train_caption.log").read()
+        assert "data-parallel mesh" in log
