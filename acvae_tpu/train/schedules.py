@@ -32,6 +32,17 @@ Schedule = Callable[[jnp.ndarray], jnp.ndarray]
 def exponential_decay_schedule(base_lr: float, total_iters: int, final_lr: float,
                                warmup_iters: int = 3000,
                                linear_warmup: bool = False) -> Schedule:
+    if warmup_iters >= total_iters:
+        # The reference formula evaluates exp(((it − warmup)/total) ·
+        # log(final/base)) with it ≪ warmup; when total_iters < warmup_iters
+        # the exponent reaches +|log(final/base)|·warmup/total and the lr
+        # explodes (~1e14 observed for a 1-epoch run with the default 3000
+        # warmup — instant nan).  Shrink warmup to 10% of the run in that
+        # degenerate regime; sane-regime (warmup < total) values are
+        # untouched.  Documented divergence — the reference has the same
+        # blow-up (utils/lr_scheduler.py:16-26).
+        warmup_iters = max(1, total_iters // 10)
+
     def schedule(step):
         it = step + 1
         warmup = jnp.minimum(it / warmup_iters, 1.0)

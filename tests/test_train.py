@@ -182,3 +182,23 @@ class TestReduceLROnPlateau:
         # regression: optax.masked passed raw gradients through to
         # "frozen" params (they moved by +grad); multi_transform freezes
         assert float(s1.params["frozen"]) == 3.0
+
+
+def test_exponential_decay_short_run_bounded():
+    """Regression: with total_iters < warmup_iters the reference formula
+    explodes (lr ~1e14 → instant nan on 1-epoch runs); the shrunk-warmup
+    fallback keeps the lr bounded and decaying to final_lr."""
+    from acvae_tpu.train.schedules import SCHEDULES
+
+    sch = SCHEDULES.build("ExponentialDecayScheduler", base_lr=5e-4,
+                          final_lr=5e-7, warmup_iters=3000, total_iters=421)
+    lrs = [float(sch(s)) for s in range(0, 421, 20)]
+    assert max(lrs) < 5e-3, lrs
+    assert lrs[-1] < lrs[5]
+    # sane regime (warmup < total) unchanged: exact reference formula
+    import math
+    sch2 = SCHEDULES.build("ExponentialDecayScheduler", base_lr=5e-4,
+                           final_lr=5e-7, warmup_iters=10, total_iters=1000)
+    it = 501
+    expect = 1.0 * 5e-4 * math.exp(((it - 10) / 1000) * math.log(5e-7 / 5e-4))
+    assert abs(float(sch2(500)) - expect) / expect < 1e-5
