@@ -687,8 +687,12 @@ class Runner:
         model = build_model(conf, len(vocabulary), train_ds.data_dim)
         conf["optimizer_args"] = {"lr": lr}
         conf["scheduler"] = "constant"
+        conf["scheduler_args"] = {}  # drop the train run's scheduler kwargs
         state, _ = self._init_state(conf, model, train_loader, 1)
-        state = restore_checkpoint(str(exp), checkpoint, state)
+        # fine-tuning starts a fresh optimizer; only weights come from the
+        # checkpoint (run_scst.py warm-starts the same way)
+        state = restore_checkpoint(str(exp), checkpoint, state,
+                                   params_only=True)
 
         rollout = make_rollout(model, sample_n=sample_n,
                                max_length=max_length)

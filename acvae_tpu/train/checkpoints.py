@@ -32,12 +32,11 @@ def save_checkpoint(exp_dir: str, name: str, state, vocabulary: Optional[Vocabul
         dump_config(config, os.path.join(exp_dir, "config.yaml"))
 
 
-def restore_checkpoint(exp_dir: str, name: str, state):
-    """Restore into the structure of `state` (a freshly created TrainState).
-
-    A run whose validation score never beat 0 writes no ``best`` checkpoint
-    (the reference's criterion_improver starts at 0, train_util.py:119 — same
-    here); fall back to ``last`` with a warning instead of crashing."""
+def _resolve_checkpoint_path(exp_dir: str, name: str) -> str:
+    """A run whose validation score never beat 0 writes no ``best``
+    checkpoint (the reference's criterion_improver starts at 0,
+    train_util.py:119 — same here); fall back to ``last`` with a warning
+    instead of crashing."""
     path = os.path.join(os.path.abspath(exp_dir), name)
     if name == "best" and not os.path.isdir(path):
         last = os.path.join(os.path.abspath(exp_dir), "last")
@@ -46,11 +45,34 @@ def restore_checkpoint(exp_dir: str, name: str, state):
                 "no 'best' checkpoint in %s (validation never improved); "
                 "using 'last'", exp_dir)
             path = last
+    return path
+
+
+def restore_checkpoint(exp_dir: str, name: str, state, params_only=False):
+    """Restore into the structure of `state` (a freshly created TrainState).
+
+    ``params_only=True`` restores just params/batch_stats (fresh optimizer)
+    — what fine-tuning stages (scst) and inference want.  A full restore
+    whose optimizer-state *structure* no longer matches (checkpoint written
+    by a different optimizer chain/version) falls back to params-only with
+    a warning instead of crashing."""
+    path = _resolve_checkpoint_path(exp_dir, name)
     ckptr = ocp.StandardCheckpointer()
-    template = {"step": state.step, "params": state.params,
-                "batch_stats": state.batch_stats, "opt_state": state.opt_state}
-    restored = ckptr.restore(path, template)
-    return state.replace(**restored)
+    if not params_only:
+        template = {"step": state.step, "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state}
+        try:
+            restored = ckptr.restore(path, template)
+            return state.replace(**restored)
+        except ValueError as e:
+            logging.getLogger("acvae_tpu").warning(
+                "checkpoint %s has an incompatible optimizer-state layout "
+                "(%s); restoring params/batch_stats only and resetting the "
+                "optimizer", path, str(e).splitlines()[0])
+    restored = ckptr.restore(path)
+    return state.replace(params=restored["params"],
+                         batch_stats=restored.get("batch_stats", {}))
 
 
 def restore_params(exp_dir: str, name: str, template: Any) -> Any:

@@ -48,7 +48,11 @@ def workspace(tmp_path_factory):
         "vocab_file": str(root / "vocab.pkl"),
         "outputpath": str(root / "experiments"),
         "epochs": 1, "batch_size": 8, "train_percent": 80,
-        "scheduler": "constant", "scheduler_args": {},
+        # real scheduler + args: the scst command must drop these when it
+        # switches to a constant fine-tuning lr (regression for the
+        # constant_schedule(final_lr=...) TypeError)
+        "scheduler": "ExponentialDecayScheduler",
+        "scheduler_args": {"final_lr": 5.0e-7, "warmup_iters": 2},
     }
     with open(root / "config.yaml", "w") as f:
         yaml.safe_dump(config, f)
