@@ -139,11 +139,15 @@ class Runner:
 
     def _init_state(self, conf, model, loader, total_iters):
         batch = next(iter(loader))
-        variables = model.init(
-            {"params": jax.random.key(conf["seed"]),
-             "sample": jax.random.key(conf["seed"] + 1)},
-            jnp.asarray(batch.feats), jnp.asarray(batch.feat_lens),
-            jnp.asarray(batch.caps), jnp.asarray(batch.cap_lens), train=False)
+        # jit the init: unjitted flax init dispatches op-by-op, which costs
+        # ~2 min of round trips on the tunneled TPU runtime
+        feats, feat_lens = jnp.asarray(batch.feats), jnp.asarray(batch.feat_lens)
+        caps, cap_lens = jnp.asarray(batch.caps), jnp.asarray(batch.cap_lens)
+        variables = jax.jit(lambda k1, k2: model.init(
+            {"params": k1, "sample": k2},
+            feats, feat_lens, caps, cap_lens, train=False))(
+                jax.random.key(conf["seed"]),
+                jax.random.key(conf["seed"] + 1))
         opt_args = dict(conf.get("optimizer_args", {}))
         base_lr = opt_args.pop("lr", 5e-4)
         sched_name = conf.get("scheduler", "constant")
