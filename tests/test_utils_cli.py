@@ -198,3 +198,20 @@ def test_hf_sentence_embedding_local_model(tmp_path):
     mean = np.load(tmp_path / "emb" / "a1" / "caption.npy")
     assert e0.shape == (16,) and mean.shape == (16,)
     assert np.isfinite(e0).all()
+
+
+def test_export_embeddings_projector_tsvs(tmp_path):
+    """export_embeddings writes TB-projector vector/metadata TSV pairs from
+    a <dir>/<audio_id>/<i>.npy tree."""
+    root = tmp_path / "emb"
+    for aid in ("a1", "a2"):
+        (root / aid).mkdir(parents=True)
+        for i in range(3):
+            np.save(root / aid / f"{i}.npy", np.full((4,), i, np.float32))
+    from acvae_tpu.cli.main import Runner
+    prefix = str(tmp_path / "proj")
+    Runner().export_embeddings(str(root), prefix)
+    vecs = np.loadtxt(prefix + "_vectors.tsv", delimiter="\t")
+    assert vecs.shape == (6, 4)
+    meta = open(prefix + "_metadata.tsv").read().splitlines()
+    assert meta[0] == "audio_id\tcap_idx" and len(meta) == 7
