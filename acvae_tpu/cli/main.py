@@ -583,6 +583,25 @@ class Runner:
         return output
 
     # ------------------------------------------------------------------ #
+    def serve(self, experiment_path: str, host: str = "127.0.0.1",
+              port: int = 8976, decode_method: str = "beam",
+              beam_size: int = 3, max_length: int = 20,
+              batch_size: int = 16, mel_bucket: int = 1024,
+              max_wait_ms: float = 20.0, checkpoint: str = "best"):
+        """Micro-batching caption inference server (new — deployment
+        surface the reference lacks).  POST /caption with {"mel": [[T×F]]}
+        or {"wav": [...], "sr": N}; GET /health.  Requests are batched up
+        to batch_size or max_wait_ms before one fixed-shape decode."""
+        from acvae_tpu.serve import CaptionService, run_server
+
+        service = CaptionService(
+            experiment_path, checkpoint=checkpoint,
+            decode_method=decode_method, beam_size=beam_size,
+            max_length=max_length, batch_size=batch_size,
+            mel_bucket=mel_bucket)
+        run_server(service, host=host, port=port, max_wait_ms=max_wait_ms)
+
+    # ------------------------------------------------------------------ #
     def diversity(self, eval_output: str, train_corpus: Optional[str] = None,
                   output: Optional[str] = None):
         """Diversity suite over eval_output.json (utils/diverse_mutil.py CLI)."""

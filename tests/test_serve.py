@@ -1,0 +1,101 @@
+"""Serving surface: CaptionService batching + HTTP round trips."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    """A tiny trained experiment dir (train once, reuse)."""
+    import h5py
+    import yaml
+
+    from acvae_tpu.cli.main import Runner
+    from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+    root = tmp_path_factory.mktemp("serve")
+    feats, info, vocab = make_synthetic_clotho(num_audios=6, mel_frames=128)
+    h5 = str(root / "m.h5")
+    with h5py.File(h5, "w") as f:
+        for aid, mel in feats.items():
+            f[aid] = mel
+    import pandas as pd
+    pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
+        root / "m.csv", sep="\t", index=False)
+    (root / "text.json").write_text(json.dumps({"audios": info}))
+    vocab.save(str(root / "vocab.pkl"))
+    E = 16
+    cfg = {
+        "model": "VAEModel", "encodermodel": "Cnn10",
+        "encoder_args": {"embed_size": E, "channels": [4, 8, 8, E]},
+        "decoder": "VAERNNBahdanauAttnDecoder",
+        "decoder_args": {"embed_size": E, "hidden_size": E},
+        "model_args": {"posterior_model": "PosteriorRNN",
+                       "posterior_args": {"hidden_size": E},
+                       "prior_model": "PriorRNN",
+                       "prior_args": {"hidden_size": E}},
+        "h5_csv": str(root / "m.csv"),
+        "caption_file": str(root / "text.json"),
+        "vocab_file": str(root / "vocab.pkl"),
+        "outputpath": str(root / "exp"),
+        "epochs": 1, "batch_size": 8, "train_percent": 80,
+        "scheduler": "constant", "scheduler_args": {},
+    }
+    with open(root / "c.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp = Runner().train(str(root / "c.yaml"))
+    return exp, feats
+
+
+def test_caption_service_batches(experiment):
+    from acvae_tpu.serve import CaptionService
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=4, mel_bucket=128, max_length=8,
+                        checkpoint="last")
+    mels = list(feats.values())[:3]
+    captions = svc.caption(mels)
+    assert len(captions) == 3
+    assert all(isinstance(c, str) for c in captions)
+    with pytest.raises(ValueError):
+        svc.caption([np.zeros((16, 7), np.float32)])  # wrong mel dim
+    with pytest.raises(ValueError):
+        svc.caption(list(feats.values())[:5] + mels)  # > batch_size
+
+
+def test_http_server_round_trip(experiment):
+    from acvae_tpu.serve import CaptionService, run_server
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
+                        checkpoint="last")
+    server = run_server(svc, port=0, block=False, max_wait_ms=5.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30).read())
+        assert health["status"] == "ok"
+
+        mel = next(iter(feats.values()))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption",
+            data=json.dumps({"mel": mel.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert isinstance(out["caption"], str)
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption",
+            data=json.dumps({"nope": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        server._acvae_stop()
+        thread.join(timeout=10)
