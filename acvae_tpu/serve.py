@@ -40,8 +40,7 @@ class CaptionService:
         from acvae_tpu.core.config import load_config
         from acvae_tpu.data.vocab import Vocabulary
         from acvae_tpu.models.build import build_model
-        from acvae_tpu.train.checkpoints import (_resolve_checkpoint_path,
-                                                 restore_checkpoint)
+        from acvae_tpu.train.checkpoints import _resolve_checkpoint_path
         import orbax.checkpoint as ocp
 
         exp = Path(experiment_path)

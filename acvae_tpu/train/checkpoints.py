@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import orbax.checkpoint as ocp
 
@@ -73,19 +73,6 @@ def restore_checkpoint(exp_dir: str, name: str, state, params_only=False):
     restored = ckptr.restore(path)
     return state.replace(params=restored["params"],
                          batch_stats=restored.get("batch_stats", {}))
-
-
-def restore_params(exp_dir: str, name: str, template: Any) -> Any:
-    """Restore only params/batch_stats for inference."""
-    path = os.path.join(os.path.abspath(exp_dir), name)
-    ckptr = ocp.StandardCheckpointer()
-    sub = {"params": template["params"],
-           "batch_stats": template.get("batch_stats", {})}
-    full = {"step": 0, "opt_state": None, **sub}
-    # partial restore: orbax StandardCheckpointer restores the named subtree
-    restored = ckptr.restore(path)
-    return {"params": restored["params"],
-            "batch_stats": restored.get("batch_stats", {})}
 
 
 def criterion_improver(mode: str):
