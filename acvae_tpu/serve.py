@@ -174,8 +174,18 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length))
-                if "mel" in req:
+                ctype = self.headers.get("Content-Type", "")
+                if ctype == "application/octet-stream":
+                    # binary fast path: raw little-endian float32 [T, F]
+                    # with X-Mel-Frames/X-Mel-Bins headers — JSON-encoding
+                    # a [1024, 64] mel costs more host time than the decode
+                    t = int(self.headers["X-Mel-Frames"])
+                    f = int(self.headers["X-Mel-Bins"])
+                    mel = np.frombuffer(self.rfile.read(length),
+                                        dtype="<f4").reshape(t, f)
+                    req = {}
+                elif (req := json.loads(self.rfile.read(length))) \
+                        and "mel" in req:
                     mel = np.asarray(req["mel"], np.float32)
                 elif "wav" in req:
                     from acvae_tpu.ops.audio import log_mel_spectrogram

@@ -89,6 +89,18 @@ def test_http_server_round_trip(experiment):
         out = json.loads(urllib.request.urlopen(req, timeout=120).read())
         assert isinstance(out["caption"], str)
 
+        # binary fast path: raw float32 + shape headers
+        mel32 = np.ascontiguousarray(mel, dtype="<f4")
+        breq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=mel32.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Mel-Frames": str(mel32.shape[0]),
+                     "X-Mel-Bins": str(mel32.shape[1])})
+        bout = json.loads(urllib.request.urlopen(breq, timeout=120).read())
+        # prior-z sampling makes decodes stochastic across calls; just
+        # check the binary path produced a caption
+        assert isinstance(bout["caption"], str)
+
         bad = urllib.request.Request(
             f"http://127.0.0.1:{port}/caption",
             data=json.dumps({"nope": 1}).encode(),
