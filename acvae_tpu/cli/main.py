@@ -194,8 +194,12 @@ class Runner:
             # init_process_group (pytorch_runner_vae.py:155-161).
             try:
                 jax.distributed.initialize()
-            except Exception:
-                pass  # single process or already initialized
+            except Exception as e:
+                # legitimate for single-process runs; on a real pod a
+                # failure here means each worker would train independently, so
+                # surface it loudly instead of swallowing it
+                print(f"[distributed] jax.distributed.initialize() not "
+                      f"used: {e}", file=sys.stderr)
         seed = conf["seed"]
         random.seed(seed)
         np.random.seed(seed)
@@ -1042,12 +1046,20 @@ class Runner:
         for root in roots:
             vecs, labels = [], []
             for li, aid in enumerate(audio_ids):
-                for npy in sorted((root / aid).glob("[0-9]*.npy")):
+                adir = root / aid
+                if not adir.is_dir():
+                    continue  # id sampled from the first dir may be absent
+                for npy in sorted(adir.glob("[0-9]*.npy")):
                     vecs.append(np.load(npy).ravel())
                     labels.append(li)
+            if len(vecs) < 3:
+                print(f"skipping {root}: only {len(vecs)} embeddings for "
+                      f"the sampled audio ids (need >= 3 for t-SNE)")
+                continue
             x = np.stack(vecs)
             emb = TSNE(n_components=2, init="pca", random_state=seed,
-                       perplexity=min(30.0, len(x) - 1)).fit_transform(x)
+                       perplexity=max(1.0, min(30.0, len(x) - 1))
+                       ).fit_transform(x)
             fig, ax = plt.subplots(figsize=(6, 5))
             ax.scatter(emb[:, 0], emb[:, 1], c=labels, cmap="hsv", s=18)
             ax.set_title(f"t-SNE caption embeddings — {root.name}")

@@ -38,7 +38,9 @@ def tokenize(caption: str, zh: bool = False) -> List[str]:
                 out.append(word)
                 word = ""
             out.append(ch)
-        elif ch.isspace() or _PUNCT.match(ch):
+        elif (ch.isspace() or _PUNCT.match(ch)
+              or "　" <= ch <= "〿"      # CJK punctuation （、。）
+              or "＀" <= ch <= "￯"):    # fullwidth forms （，！？）
             if word:
                 out.append(word)
                 word = ""

@@ -108,8 +108,14 @@ def equal_error_rate(sim_matrix: jnp.ndarray) -> Tuple[float, float]:
     import numpy as np
     sim = np.asarray(sim_matrix)
     a, mv, _ = sim.shape
+    if a < 2:
+        raise ValueError("EER needs at least 2 audios (FAR divides by A-1)")
     diag = sim[np.arange(a), :, np.arange(a)]        # [A, Mv] genuine
-    best = (1.0, 0.0, 0.0)                           # (diff, eer, thr)
+    # (diff, eer, thr); diff starts at inf so degenerate matrices (every
+    # threshold gives |FAR-FRR| == 1) still report their true EER of 0.5
+    # instead of the reference's silent 0.0 (stage1_runner.py:190 inits
+    # diff=1 with a strict comparison — documented divergence)
+    best = (float("inf"), 0.5, 0.0)
     for thr in (0.01 * i for i in range(100)):
         acc = sim > thr
         diag_acc = diag > thr

@@ -50,4 +50,7 @@ def pad_to_multiple(batch: Dict[str, Any], m: int) -> Dict[str, Any]:
     pad = (-n) % m
     if pad == 0:
         return batch
-    return {k: jnp.concatenate([v, v[:pad]], axis=0) for k, v in batch.items()}
+    # tile first: pad can exceed n (e.g. 3 rows on an 8-device mesh needs 5)
+    reps = -(-pad // n)
+    return {k: jnp.concatenate([v] + [v] * reps, axis=0)[: n + pad]
+            for k, v in batch.items()}

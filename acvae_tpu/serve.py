@@ -51,14 +51,7 @@ class CaptionService:
         self.data_dim = int(self.conf.get("data_dim", 64))
         model = build_model(self.conf, len(self.vocab), self.data_dim)
 
-        feats = jnp.zeros((batch_size, mel_bucket, self.data_dim))
-        feat_lens = jnp.full((batch_size,), mel_bucket, jnp.int32)
-        caps = jnp.ones((batch_size, 4), jnp.int32)
-        cap_lens = jnp.full((batch_size,), 4, jnp.int32)
-        variables = jax.jit(lambda k1, k2: model.init(
-            {"params": k1, "sample": k2}, feats, feat_lens, caps, cap_lens,
-            train=False))(jax.random.key(seed), jax.random.key(seed + 1))
-
+        # no model.init needed: the checkpoint provides the full param tree
         path = _resolve_checkpoint_path(str(exp), checkpoint)
         restored = ocp.StandardCheckpointer().restore(path)
         self.variables = {"params": restored["params"],
@@ -79,10 +72,18 @@ class CaptionService:
         # warm the program so the first request doesn't pay the compile
         self.caption([np.zeros((64, self.data_dim), np.float32)])
 
-    def _prep(self, mel: np.ndarray):
+    def validate(self, mel) -> np.ndarray:
+        """Shape-check one request's mel (called per request, *before*
+        batching, so one malformed request cannot fail its whole
+        micro-batch)."""
         mel = np.asarray(mel, np.float32)
         if mel.ndim != 2 or mel.shape[1] != self.data_dim:
-            raise ValueError(f"mel must be [T, {self.data_dim}]")
+            raise ValueError(f"mel must be [T, {self.data_dim}], "
+                             f"got {mel.shape}")
+        return mel
+
+    def _prep(self, mel: np.ndarray):
+        mel = self.validate(mel)
         T = min(mel.shape[0], self.bucket)
         out = np.zeros((self.bucket, self.data_dim), np.float32)
         out[:T] = mel[:T]
@@ -196,6 +197,7 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                 else:
                     self._reply(400, {"error": "need 'mel' or 'wav'"})
                     return
+                mel = service.validate(mel)
             except Exception as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return

@@ -65,7 +65,11 @@ def restore_checkpoint(exp_dir: str, name: str, state, params_only=False):
         try:
             restored = ckptr.restore(path, template)
             return state.replace(**restored)
-        except ValueError as e:
+        except Exception as e:  # orbax surfaces template mismatches as
+            # ValueError today, but other versions raise different types;
+            # any failure of the *templated* restore falls back to the
+            # template-free params-only path (which raises normally if the
+            # checkpoint itself is unreadable)
             logging.getLogger("acvae_tpu").warning(
                 "checkpoint %s has an incompatible optimizer-state layout "
                 "(%s); restoring params/batch_stats only and resetting the "

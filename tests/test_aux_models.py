@@ -250,3 +250,14 @@ class TestEqualErrorRate:
         eer, thr = equal_error_rate(jnp.asarray(sim))
         assert eer == 0.5
         assert abs(thr - 0.4) < 1e-9
+
+    def test_degenerate_similarities_report_half(self):
+        """Regression: a collapsed embedder (all similarities identical and
+        high) must report EER 0.5, not a perfect 0.0 (the reference's
+        diff=1 init bug, stage1_runner.py:190)."""
+        from acvae_tpu.models.stage1 import equal_error_rate
+        sim = np.full((2, 2, 2), 0.995)
+        eer, _ = equal_error_rate(jnp.asarray(sim))
+        assert eer == 0.5
+        with pytest.raises(ValueError):
+            equal_error_rate(jnp.full((1, 2, 1), 0.5))

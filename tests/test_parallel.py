@@ -130,3 +130,19 @@ class TestDistributedCLI:
         assert np.isfinite(rec["train_loss"])
         log = open(f"{exp}/train_caption.log").read()
         assert "data-parallel mesh" in log
+
+
+def test_pad_to_multiple_exceeding_batch():
+    """Regression: pad > n (3 rows on an 8-way mesh) must tile, not
+    silently under-pad to a non-divisible batch."""
+    import jax.numpy as jnp
+
+    from acvae_tpu.parallel.mesh import pad_to_multiple
+
+    batch = {"feats": jnp.arange(3 * 4).reshape(3, 4),
+             "lens": jnp.array([5, 6, 7])}
+    out = pad_to_multiple(batch, 8)
+    assert out["feats"].shape == (8, 4)
+    assert out["lens"].shape == (8,)
+    np.testing.assert_array_equal(np.asarray(out["lens"])[:3], [5, 6, 7])
+    np.testing.assert_array_equal(np.asarray(out["lens"])[3:6], [5, 6, 7])
