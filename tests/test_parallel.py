@@ -130,6 +130,11 @@ class TestDistributedCLI:
         assert np.isfinite(rec["train_loss"])
         log = open(f"{exp}/train_caption.log").read()
         assert "data-parallel mesh" in log
+        # batch 6 over 8 virtual devices: every batch needs pad tiling
+        exp2 = Runner().train(str(tmp_path / "c.yaml"), batch_size=6,
+                              seed=4, remark="uneven")
+        rec2 = _json.loads(open(f"{exp2}/metrics.jsonl").readline())
+        assert np.isfinite(rec2["train_loss"])
 
 
 def test_pad_to_multiple_exceeding_batch():
