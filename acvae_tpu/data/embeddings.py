@@ -69,7 +69,10 @@ def load_word_embeddings(path: str, vocabulary: Optional[Vocabulary] = None
     runner consumes, pytorch_runner_vae.py:52)."""
     if path.endswith(".npy"):
         return np.load(path)
-    if path.endswith(".txt"):
+    if path.endswith((".txt", ".vec")):
+        # GloVe txt and fastText .vec share the word-per-line text format
+        # (the reference's utils/fasttext path uses gensim over .bin; the
+        # .bin subword model needs gensim, absent on this image)
         assert vocabulary is not None
         return from_glove_txt(vocabulary, path)
     assert vocabulary is not None

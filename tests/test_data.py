@@ -181,3 +181,18 @@ def test_prefetch_matches_direct_iteration(tmp_path):
     next(it)
     with pytest.raises(RuntimeError, match="producer boom"):
         list(it)
+
+
+def test_fasttext_vec_text_format(tmp_path):
+    """fastText .vec (text) loads through the GloVe path, skipping the
+    'count dim' header line."""
+    from acvae_tpu.data.embeddings import load_word_embeddings
+    from acvae_tpu.data.vocab import Vocabulary
+
+    vocab = Vocabulary()
+    vocab.add_word("dog")
+    vec = tmp_path / "ft.vec"
+    vec.write_text("2 3\ndog 1.0 2.0 3.0\ncat 4.0 5.0 6.0\n")
+    m = load_word_embeddings(str(vec), vocab)
+    assert m.shape == (len(vocab), 3)
+    np.testing.assert_array_equal(m[vocab("dog")], [1.0, 2.0, 3.0])
