@@ -454,7 +454,7 @@ class Runner:
                                         beam_size=beam_size)
         decode = cache[ck]
         key2pred = {}
-        for batch in val_loader:
+        for batch in val_loader.prefetch():
             key, sub = jax.random.split(key)
             out = decode(variables, jnp.asarray(batch.feats),
                          jnp.asarray(batch.feat_lens), sub)
@@ -502,7 +502,7 @@ class Runner:
                                  beam_size=beam_size, max_length=max_length,
                                  **decode_kwargs)
         key2pred: Dict[str, List[str]] = {}
-        for batch in loader:
+        for batch in loader.prefetch():
             feats = jnp.asarray(batch.feats)
             feat_lens = jnp.asarray(batch.feat_lens)
             ids = batch.audio_ids
@@ -570,7 +570,7 @@ class Runner:
         key = jax.random.key(seed)
         decode = self._decode_fn(model, decode_method=decode_method,
                                  beam_size=beam_size)
-        for batch in loader:
+        for batch in loader.prefetch():
             key, sub = jax.random.split(key)
             out = decode(variables, jnp.asarray(batch.feats),
                          jnp.asarray(batch.feat_lens), sub)
@@ -676,7 +676,7 @@ class Runner:
                                     "batch_stats": state.batch_stats}))
         key = jax.random.key(seed)
         key2pred: Dict[str, List[str]] = {}
-        for batch in loader:
+        for batch in loader.prefetch():
             key, sub = jax.random.split(key)
             out = ensemble_decode(members, jnp.asarray(batch.feats),
                                   jnp.asarray(batch.feat_lens), sub,
