@@ -216,6 +216,93 @@ class ResNet38(nn.Module, _DropoutMixin):
                 "audio_embeds_lens": lens}
 
 
+class _TorchvisionBasicBlock(nn.Module):
+    """torchvision-style BasicBlock (encoder.py:769-806): strided 3×3 conv
+    downsampling with a 1×1-conv shortcut — distinct from PANN's
+    avg-pool-before-conv variant (`_ResnetBasicBlock` above)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      kernel_init=nn.initializers.kaiming_normal(),
+                      dtype=self.dtype, name="conv1")(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           dtype=jnp.float32, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False,
+                      kernel_init=nn.initializers.kaiming_normal(),
+                      dtype=self.dtype, name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           dtype=jnp.float32, name="bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False,
+                               kernel_init=nn.initializers.kaiming_normal(),
+                               dtype=self.dtype, name="ds_conv")(x)
+            identity = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, dtype=jnp.float32,
+                                    name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+@ENCODERS.register("ResNetEncoder")
+class ResNetEncoder(nn.Module, _DropoutMixin):
+    """torchvision-style ResNet18 trunk (encoder.py:808-863): 7×7/2 stem →
+    3×3/2 max-pool → 4 stages of 2 BasicBlocks (stride 2 from stage 2) →
+    mean over the mel axis (the reference's AdaptiveAvgPool2d((1, None))).
+
+    Five stride-2 halvings ⇒ the reference's distinctive length arithmetic
+    ``lens = (lens - 1) // 2 + 1`` applied five times (encoder.py:855-856).
+    Layout is NHWC with H=time, W=mel (the reference runs NCHW with H=mel,
+    W=time — both axes are strided identically, so only the weight transpose
+    differs); pooled embedding uses the masked time mean per module
+    convention (reference pools padding too, encoder.py:860)."""
+    inputdim: int = 64
+    embed_size: int = 512
+    channels: Sequence[int] = (64, 128, 256, 512)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
+                 train: bool = False) -> EncoderOutput:
+        assert self.embed_size == self.channels[-1], \
+            "ResNetEncoder temporal embeds have channels[-1] dims"
+        x = feats[..., None].astype(self.dtype)  # [N, T, F, 1]
+        x = nn.Conv(self.channels[0], (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False,
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        in_planes = self.channels[0]
+        for stage, planes in enumerate(self.channels):
+            stride = 1 if stage == 0 else 2
+            for b in range(2):
+                s = stride if b == 0 else 1
+                ds = (b == 0) and (s != 1 or in_planes != planes)
+                x = _TorchvisionBasicBlock(planes, s, ds, dtype=self.dtype,
+                                           name=f"layer{stage + 1}_{b}")(
+                                               x, train)
+            in_planes = planes
+        x = jnp.mean(x.astype(jnp.float32), axis=2)  # collapse mel → [N, T', C]
+        lens = feat_lens
+        for _ in range(5):
+            lens = (lens - 1) // 2 + 1
+        return {"audio_embeds": x,
+                "audio_embeds_pooled": mean_with_lens(x, lens),
+                "audio_embeds_lens": lens}
+
+
 def _lp_pool(x: jnp.ndarray, p: float, window: Tuple[int, int]) -> jnp.ndarray:
     """torch nn.LPPool2d: (sum over window of x^p)^(1/p) (encoder.py:280-286)."""
     s = jax.lax.reduce_window(

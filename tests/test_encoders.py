@@ -31,6 +31,7 @@ CONFIGS = [
     ("M2TransformerEncoder", {"embed_size": 16, "nhead": 2, "nlayers": 1,
                               "dim_feedforward": 32, "memory_slots": 5},
      16, T),
+    ("ResNetEncoder", {"embed_size": 16, "channels": (4, 8, 8, 16)}, 16, 2),
 ]
 
 
@@ -132,3 +133,117 @@ def test_luong_decoder_step(rng):
     v = nn.init(run, dec)(jax.random.key(0), word)
     out = nn.apply(run, dec)(v, word)
     assert out["logits"].shape == (3, 17)
+
+
+class TestResNetEncoderParity:
+    """Torch-golden parity for ResNetEncoder (encoder.py:808-863): the torch
+    network below re-expresses the reference's torchvision-style trunk; our
+    flax module must reproduce it numerically with copied weights, and the
+    (lens-1)//2+1 x5 length arithmetic exactly."""
+
+    CH = (4, 8, 8, 16)
+
+    def _torch_model(self):
+        import torch
+        import torch.nn as tnn
+
+        def conv3x3(i, o, s=1):
+            return tnn.Conv2d(i, o, 3, stride=s, padding=1, bias=False)
+
+        class BasicBlock(tnn.Module):
+            def __init__(self, i, o, stride=1, downsample=None):
+                super().__init__()
+                self.conv1 = conv3x3(i, o, stride)
+                self.bn1 = tnn.BatchNorm2d(o)
+                self.conv2 = conv3x3(o, o)
+                self.bn2 = tnn.BatchNorm2d(o)
+                self.downsample = downsample
+
+            def forward(self, x):
+                idt = x
+                out = torch.relu(self.bn1(self.conv1(x)))
+                out = self.bn2(self.conv2(out))
+                if self.downsample is not None:
+                    idt = self.downsample(x)
+                return torch.relu(out + idt)
+
+        c = self.CH
+        layers = [
+            tnn.Conv2d(1, c[0], 7, stride=2, padding=3, bias=False),
+            tnn.BatchNorm2d(c[0]),
+            tnn.ReLU(),
+            tnn.MaxPool2d(3, stride=2, padding=1),
+            tnn.Sequential(BasicBlock(c[0], c[0]), BasicBlock(c[0], c[0])),
+        ]
+        inp = c[0]
+        for o in c[1:]:
+            ds = tnn.Sequential(tnn.Conv2d(inp, o, 1, stride=2, bias=False),
+                                tnn.BatchNorm2d(o))
+            layers.append(tnn.Sequential(BasicBlock(inp, o, 2, ds),
+                                         BasicBlock(o, o)))
+            inp = o
+        net = tnn.Sequential(*layers)
+        # randomize BN running stats so eval-mode normalization is nontrivial
+        g = torch.Generator().manual_seed(5)
+        for m in net.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean = torch.randn(m.num_features, generator=g) * .3
+                m.running_var = torch.rand(m.num_features, generator=g) + .5
+                with torch.no_grad():
+                    m.weight.copy_(torch.rand(m.num_features, generator=g) + .5)
+                    m.bias.copy_(torch.randn(m.num_features, generator=g) * .1)
+        return net
+
+    @staticmethod
+    def _bn_vars(m):
+        return ({"scale": m.weight.detach().numpy(),
+                 "bias": m.bias.detach().numpy()},
+                {"mean": m.running_mean.numpy(), "var": m.running_var.numpy()})
+
+    @staticmethod
+    def _conv_kernel(m):
+        # torch [O, I, KF, KT] (H=mel, W=time) -> flax HWIO with H=time, W=mel
+        return m.weight.detach().numpy().transpose(3, 2, 1, 0)
+
+    def _copy(self, net):
+        params, stats = {}, {}
+        params["stem_conv"] = {"kernel": self._conv_kernel(net[0])}
+        params["stem_bn"], stats["stem_bn"] = self._bn_vars(net[1])
+        for stage in range(4):
+            for b in range(2):
+                blk = net[4 + stage][b]
+                name = f"layer{stage + 1}_{b}"
+                p = {"conv1": {"kernel": self._conv_kernel(blk.conv1)},
+                     "conv2": {"kernel": self._conv_kernel(blk.conv2)}}
+                s = {}
+                p["bn1"], s["bn1"] = self._bn_vars(blk.bn1)
+                p["bn2"], s["bn2"] = self._bn_vars(blk.bn2)
+                if blk.downsample is not None:
+                    p["ds_conv"] = {"kernel": self._conv_kernel(blk.downsample[0])}
+                    p["ds_bn"], s["ds_bn"] = self._bn_vars(blk.downsample[1])
+                params[name], stats[name] = p, s
+        return {"params": params, "batch_stats": stats}
+
+    def test_matches_torch_reference(self, rng):
+        import torch
+        from acvae_tpu.models.encoders import ResNetEncoder
+
+        torch.manual_seed(3)
+        net = self._torch_model().eval()
+        Nn, Tt, Ff = 2, 70, 64  # odd-ish T exercises the padding arithmetic
+        x = rng.normal(size=(Nn, Tt, Ff)).astype(np.float32)
+        with torch.no_grad():
+            tx = torch.tensor(x).unsqueeze(1).transpose(2, 3)  # [N,1,F,T]
+            ty = net(tx)
+            ty = torch.nn.AdaptiveAvgPool2d((1, None))(ty)
+            ty = ty.squeeze(2).transpose(-1, -2).numpy()  # [N, T', C]
+
+        enc = ResNetEncoder(inputdim=Ff, embed_size=self.CH[-1],
+                            channels=self.CH)
+        lens = jnp.array([Tt, 37])
+        out = enc.apply(self._copy(net), jnp.asarray(x), lens, train=False)
+        np.testing.assert_allclose(np.asarray(out["audio_embeds"]), ty,
+                                   rtol=2e-4, atol=2e-4)
+        # (lens-1)//2+1 applied 5 times: 70->35->18->9->5->3, 37->...->2
+        np.testing.assert_array_equal(np.asarray(out["audio_embeds_lens"]),
+                                      [3, 2])
