@@ -88,6 +88,23 @@ def _setup_logger(logfile: Optional[str]) -> logging.Logger:
     return logger
 
 
+def _feature_source(path: str) -> Dict[str, Dict]:
+    """CaptionDataset kwargs for a feature manifest.
+
+    ``*.scp`` / ``*.ark`` are kaldi matrix tables (the legacy data path the
+    reference's ensemble runner consumed, runners/ensemble.py:23-218;
+    reader: ``data/kaldi.py``) — loaded into an in-memory features dict.
+    Anything else is the standard TSV audio_id→hdf5_path manifest."""
+    p = str(path)
+    if p.endswith(".scp"):
+        from acvae_tpu.data.kaldi import read_mat_scp
+        return {"features": {k: m for k, m in read_mat_scp(p)}}
+    if p.endswith(".ark"):
+        from acvae_tpu.data.kaldi import read_mat_ark
+        return {"features": {k: m for k, m in read_mat_ark(p)}}
+    return {"h5file_dict": _read_h5_csv(p)}
+
+
 def _read_h5_csv(path: str) -> Dict[str, str]:
     """TSV with audio_id / hdf5_path columns (base_runner.py:41-47)."""
     import pandas as pd
@@ -192,14 +209,26 @@ class Runner:
             # multi-host runtime init (must precede first backend use;
             # auto-detects coordination on TPU pods).  The reference's
             # init_process_group (pytorch_runner_vae.py:155-161).
+            dist_kw = {k: conf[k] for k in ("coordinator_address",
+                                            "num_processes", "process_id")
+                       if k in conf}
+            # multi-process launch is *intended* when coordination is
+            # configured (config keys or launcher env) — failing to
+            # initialize then would leave each worker training independently,
+            # so raise instead of warn-and-continue
+            multiproc_intended = (
+                dist_kw.get("num_processes", 1) > 1
+                or any(os.environ.get(v) for v in
+                       ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+                or any(int(os.environ.get(v) or 1) > 1 for v in
+                       ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE")))
             try:
-                jax.distributed.initialize()
+                jax.distributed.initialize(**dist_kw)
             except Exception as e:
-                # legitimate for single-process runs; on a real pod a
-                # failure here means each worker would train independently, so
-                # surface it loudly instead of swallowing it
+                if multiproc_intended:
+                    raise
                 print(f"[distributed] jax.distributed.initialize() not "
-                      f"used: {e}", file=sys.stderr)
+                      f"used (single-process run): {e}", file=sys.stderr)
         seed = conf["seed"]
         random.seed(seed)
         np.random.seed(seed)
@@ -211,7 +240,12 @@ class Runner:
             remark += f"_{conf['alpha']}"
         outputdir = Path(conf["outputpath"]) / model_name / remark / f"seed_{seed}"
         outputdir.mkdir(parents=True, exist_ok=True)
-        logger = _setup_logger(str(outputdir / "train_caption.log"))
+        # rank-0 gating for log file / TB / metrics / config dump (the
+        # reference's local_rank==0 checks, pytorch_runner_vae.py:166-234);
+        # checkpoints are NOT gated — orbax coordinates all processes itself
+        is_primary = jax.process_index() == 0
+        logger = _setup_logger(str(outputdir / "train_caption.log")
+                               if is_primary else None)
         logger.info(f"Storing files in: {outputdir}")
 
         vocabulary = Vocabulary.load(conf["vocab_file"])
@@ -248,7 +282,8 @@ class Runner:
                    if k in ("mode", "factor", "patience", "threshold")})
         start_epoch = 1
         if conf.get("resume") and (outputdir / "last").exists():
-            state = restore_checkpoint(str(outputdir), "last", state)
+            state = restore_checkpoint(str(outputdir), "last", state,
+                                       on_mismatch="raise")
             start_epoch = int(state.step) // max(len(train_loader), 1) + 1
             logger.info(f"resumed from {outputdir}/last at step "
                         f"{int(state.step)} → epoch {start_epoch}")
@@ -263,25 +298,50 @@ class Runner:
             augment = build_augment(conf["augments"],
                                     crop_size=conf.get("crop_size", 992),
                                     **conf.get("augment_args", {}))
+        adversarial = None
+        if conf.get("adverse_loss"):
+            # AdverseLossWrapper path (loss.py:279-319): + alpha · BCE from a
+            # frozen pretrained discriminator (cli train_discriminator)
+            adv_conf = dict(conf["adverse_loss"])
+            dsc_dir = adv_conf.pop("discriminator")
+            from acvae_tpu.models.discriminator import DiscriminatorModel
+            from acvae_tpu.train.checkpoints import load_raw_checkpoint
+            dsc_conf = load_config(str(Path(dsc_dir) / "config.yaml"))
+            dm = DiscriminatorModel(
+                vocab_size=len(vocabulary),
+                audio_dim=dsc_conf.get("discriminator_audio_dim", 512),
+                **dsc_conf.get("discriminator_args", {}))
+            dtree = load_raw_checkpoint(
+                dsc_dir, adv_conf.pop("checkpoint", "best"))
+            dparams = dtree["params"]["dscrm"]
+            adversarial = {
+                "apply": lambda b: dm.apply({"params": dparams}, b),
+                **adv_conf}
+            logger.info(f"adverse_loss: discriminator from {dsc_dir} "
+                        f"(alpha={adversarial.get('alpha', 1.0)})")
         train_step = make_train_step(
             model, label_smoothing=conf["label_smoothing"],
             smoothing=conf["smoothing"], kl_mask=conf.get("kl_mask", "valid"),
             alpha=alpha, global_loss=conf.get("global_loss", "MSE"),
             embedding_loss=conf.get("embedding_loss"),
-            dec_par=conf.get("dec_par", 1.0), augment=augment)
+            dec_par=conf.get("dec_par", 1.0), augment=augment,
+            adversarial=adversarial)
 
-        dump_config(conf, outputdir / "config.yaml")
-        tb = self._tb_writer(outputdir / "run")
+        if is_primary:
+            dump_config(conf, outputdir / "config.yaml")
+        tb = self._tb_writer(outputdir / "run") if is_primary else None
         crtrn_imprvd = criterion_improver(conf["improvecriterion"])
 
         ss_ratio = conf["ss_args"]["ss_ratio"]
         key = jax.random.key(seed + 2)
         iteration = 0
+        compiled_sigs: set = set()  # multi-process compile/execute alignment
         # profile_dir: trace steps 1-15 (or the first epoch, if shorter)
         # into a TensorBoard-viewable profile (train/profiling.py — the
         # reference has no profiling at all)
         profile_dir = conf.get("profile_dir")
-        metrics_log = open(outputdir / "metrics.jsonl", "a")
+        metrics_log = (open(outputdir / "metrics.jsonl", "a")
+                       if is_primary else None)
         logger.info("{:^10}\t{:^10}\t{:^10}".format(
             "Epoch", "Train loss", "Val score"))
 
@@ -304,10 +364,27 @@ class Runner:
                     jax.profiler.start_trace(str(profile_dir))
                 arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
                 if mesh is not None:
-                    from acvae_tpu.parallel.mesh import (pad_to_multiple,
+                    from acvae_tpu.parallel.mesh import (coordination_barrier,
+                                                         pad_to_multiple,
                                                          shard_batch)
+                    # pad this host's rows to its local device count; the
+                    # global batch is their concatenation over processes
                     arrays = shard_batch(
-                        pad_to_multiple(arrays, mesh.size), mesh)
+                        pad_to_multiple(arrays, mesh.local_mesh.size), mesh)
+                    if jax.process_count() > 1:
+                        # AOT-compile each new shape signature, then
+                        # re-align all hosts before executing: compile-time
+                        # skew must not reach the Gloo rendezvous (30 s cap)
+                        sig = tuple(sorted((k, v.shape)
+                                           for k, v in arrays.items()))
+                        if sig not in compiled_sigs:
+                            train_step.lower(
+                                state, arrays, sub, ss_ratio, dis_ratio,
+                                kl_weight,
+                                alpha if alpha is not None else 0.0).compile()
+                            coordination_barrier(
+                                f"train_step_compile_{len(compiled_sigs)}")
+                            compiled_sigs.add(sig)
                 state, metrics = train_step(state, arrays, sub, ss_ratio,
                                             dis_ratio, kl_weight,
                                             alpha if alpha is not None else 0.0)
@@ -315,18 +392,20 @@ class Runner:
                     np.asarray(metrics["loss"])  # force completion
                     jax.profiler.stop_trace()
                     profile_dir = None
-                n = int(np.sum(batch.cap_lens - 1))
-                # keep the loss as a device scalar: a float() here would
+                # keep loss/ntokens as device scalars: a float() here would
                 # force a host sync every step (25-40 ms over the tunneled
-                # runtime); everything is fetched once at epoch end
+                # runtime); everything is fetched once at epoch end.
+                # ntokens comes from inside the jit so multi-process runs
+                # weight by the *global* batch (identical on every host).
                 losses.append((iteration, metrics["loss"], ss_ratio))
-                nsamples.append(n)
+                nsamples.append(metrics["ntokens"])
 
             if profile_dir and iteration >= 1:
                 # short epochs: close the trace at first-epoch end
                 jax.profiler.stop_trace()
                 profile_dir = None
             loss_vals = jax.device_get([l for _, l, _ in losses])
+            nsamples = [float(n) for n in jax.device_get(nsamples)]
             if tb:
                 for (it, _, ss), lv in zip(losses, loss_vals):
                     tb.add_scalar("loss/train", float(lv), it)
@@ -344,19 +423,23 @@ class Runner:
                                 f"{plateau.scale:.3g}")
             train_loss = float(np.sum(np.asarray(loss_vals) * nsamples)
                                / max(np.sum(nsamples), 1))
+            self.last_train_loss = train_loss  # inspectable by tests/tools
             logger.info(f"{epoch:^10}\t{train_loss:^10.3g}\t{score:^10.3g}")
             if tb:
                 tb.add_scalar("score/val", score, epoch)
-            metrics_log.write(json.dumps(
-                {"epoch": epoch, "train_loss": train_loss, "val_cider": score,
-                 "ss_ratio": ss_ratio, "kl_weight": kl_weight,
-                 "dis_ratio": dis_ratio}) + "\n")
-            metrics_log.flush()
+            if metrics_log is not None:
+                metrics_log.write(json.dumps(
+                    {"epoch": epoch, "train_loss": train_loss,
+                     "val_cider": score, "ss_ratio": ss_ratio,
+                     "kl_weight": kl_weight,
+                     "dis_ratio": dis_ratio}) + "\n")
+                metrics_log.flush()
 
             if crtrn_imprvd(score):
                 save_checkpoint(str(outputdir), "best", state, vocabulary, conf)
             save_checkpoint(str(outputdir), "last", state, vocabulary, conf)
-        metrics_log.close()
+        if metrics_log is not None:
+            metrics_log.close()
         return str(outputdir)
 
     def _apply_pretrained(self, conf, state, logger):
@@ -445,6 +528,13 @@ class Runner:
     def _validate(self, model, state, val_loader, vocabulary, key2refs, key,
                   beam_size: int = 3) -> float:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if jax.process_count() > 1:
+            # state leaves are global (multi-process) arrays; the validation
+            # decode runs per-host on local devices, so fetch the (fully
+            # replicated) values to host first.  Every host decodes the full
+            # val set redundantly — scores stay identical across processes,
+            # keeping criterion_improver / plateau decisions in lockstep.
+            variables = jax.device_get(variables)
         cache = getattr(self, "_val_decode_cache", None)
         if cache is None:
             cache = self._val_decode_cache = {}
@@ -486,10 +576,11 @@ class Runner:
         # iterate one item per audio (CaptionEvalDataset semantics,
         # caption_dataset.py:20-63); refs still come from the full info
         info_unique = [{**a, "captions": a["captions"][:1]} for a in info]
-        ds = CaptionDataset(h5file_dict=_read_h5_csv(h5_csv),
-                            caption_info=info_unique, vocabulary=vocabulary)
-        refs_ds = CaptionDataset(h5file_dict=_read_h5_csv(h5_csv),
-                                 caption_info=info, vocabulary=vocabulary)
+        src = _feature_source(h5_csv)
+        ds = CaptionDataset(**src, caption_info=info_unique,
+                            vocabulary=vocabulary)
+        refs_ds = CaptionDataset(**src, caption_info=info,
+                                 vocabulary=vocabulary)
         loader = CaptionLoader(ds, conf.get("batch_size", 32))
 
         model = build_model(conf, len(vocabulary), ds.data_dim)
@@ -556,11 +647,11 @@ class Runner:
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
         vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
-        h5 = _read_h5_csv(h5_csv)
+        src = _feature_source(h5_csv)
+        ids = next(iter(src.values())).keys()
         # caption-less eval dataset: fabricate empty caption info
-        info = [{"audio_id": aid, "captions": [{"tokens": ""}]} for aid in h5]
-        ds = CaptionDataset(h5file_dict=h5, caption_info=info,
-                            vocabulary=vocabulary)
+        info = [{"audio_id": aid, "captions": [{"tokens": ""}]} for aid in ids]
+        ds = CaptionDataset(**src, caption_info=info, vocabulary=vocabulary)
         loader = CaptionLoader(ds, conf.get("batch_size", 32))
         model = build_model(conf, len(vocabulary), ds.data_dim)
         state, _ = self._init_state(conf, model, loader, 1)
@@ -613,13 +704,17 @@ class Runner:
             data = json.load(f)
         caps_by_id: Dict[str, List[str]] = {}
         all_caps: List[str] = []
+        from acvae_tpu.data.vocab import tokenize
         for item in data["predictions"]:
             caps = item.get("captions")
             if caps:
-                texts = [c["tokens"] if isinstance(c, dict) else c
-                         for c in caps]
+                texts = [(c.get("tokens") or c["caption"])
+                         if isinstance(c, dict) else c for c in caps]
             else:
                 texts = [item.get("tokens") or item["caption"]]
+            # PTB-tokenization stand-in on ingest (base_runner.py:163-196):
+            # raw external caption files score like pre-tokenized ones
+            texts = [" ".join(tokenize(t)) for t in texts]
             caps_by_id[item["filename"]] = texts
             all_caps.extend(texts)
         results: Dict[str, Any] = {}
@@ -663,11 +758,11 @@ class Runner:
                         or conf["caption_file"])
             info = load_caption_info(cap_file)
             info_unique = [{**a, "captions": a["captions"][:1]} for a in info]
-            ds = CaptionDataset(h5file_dict=_read_h5_csv(h5_csv),
-                                caption_info=info_unique,
+            src = _feature_source(h5_csv)
+            ds = CaptionDataset(**src, caption_info=info_unique,
                                 vocabulary=vocabulary)
-            refs_ds = CaptionDataset(h5file_dict=_read_h5_csv(h5_csv),
-                                     caption_info=info, vocabulary=vocabulary)
+            refs_ds = CaptionDataset(**src, caption_info=info,
+                                     vocabulary=vocabulary)
             loader = CaptionLoader(ds, conf.get("batch_size", 32))
             model = build_model(conf, len(vocabulary), ds.data_dim)
             state, _ = self._init_state(conf, model, loader, 1)
@@ -755,6 +850,131 @@ class Runner:
         return str(outputdir)
 
     # ------------------------------------------------------------------ #
+    def train_discriminator(self, config: str, mode: str = "aud2cap",
+                            **kwargs) -> str:
+        """Train the caption discriminator family (the pyc-only
+        ``models/discriminator_model.py`` the reference defines but never
+        trains; consumed by ``losses/loss.py:127-155,279-319``).
+
+        aud2cap — audio↔caption matching classifier: positives are the
+        dataset's aligned pairs, negatives pair each audio with another
+        sample's caption.  cap2cap — caption↔caption: positives are sibling
+        captions of one audio, negatives cross audios.  The result directory
+        feeds ``train`` through the ``adverse_loss`` config key::
+
+            adverse_loss:
+              discriminator: <this command's output dir>
+              alpha: 1.0
+              sample_method: gumbel
+        """
+        import optax
+
+        from acvae_tpu.core.registry import ENCODERS
+        from acvae_tpu.models.discriminator import (
+            Aud2CapDiscriminatorTrainer, Cap2CapDiscriminatorTrainer,
+            DiscriminatorRNNModel)
+        from acvae_tpu.losses.wrappers import bce_logits_loss
+        from acvae_tpu.train.trainer import TrainState, build_optimizer
+
+        conf = Config(dict(DEFAULTS))
+        conf.update(load_config(config, **kwargs))
+        seed = conf["seed"]
+        outputdir = (Path(conf["outputpath"]) / "DiscriminatorModel"
+                     / f"{conf['remark']}_{mode}" / f"seed_{seed}")
+        outputdir.mkdir(parents=True, exist_ok=True)
+        logger = _setup_logger(str(outputdir / "train_dscrm.log"))
+        vocabulary = Vocabulary.load(conf["vocab_file"])
+        train_ds, _, train_loader, val_loader = \
+            self._build_dataloaders(conf, vocabulary)
+        d_args = dict(conf.get("discriminator_args", {}))
+        embed = conf.get("encoder_args", {}).get("embed_size", 512)
+        dscrm = DiscriminatorRNNModel(vocab_size=len(vocabulary),
+                                      audio_dim=embed, **d_args)
+        if mode == "aud2cap":
+            enc = ENCODERS.build(conf["encodermodel"],
+                                 inputdim=train_ds.data_dim,
+                                 **conf.get("encoder_args", {}))
+            model = Aud2CapDiscriminatorTrainer(encoder=enc, dscrm=dscrm)
+        elif mode == "cap2cap":
+            model = Cap2CapDiscriminatorTrainer(
+                dscrm=dscrm, uttnumbers=conf.get("uttnumbers", 5))
+        else:
+            raise ValueError(f"mode {mode!r}: aud2cap or cap2cap")
+
+        conf["data_dim"] = train_ds.data_dim
+        conf["discriminator_mode"] = mode
+        conf["discriminator_audio_dim"] = embed
+        batch0 = next(iter(train_loader))
+        if mode == "aud2cap":
+            ex = (jnp.asarray(batch0.feats), jnp.asarray(batch0.feat_lens),
+                  jnp.asarray(batch0.caps), jnp.asarray(batch0.cap_lens))
+        else:
+            from acvae_tpu.data.aux_datasets import Stage1Dataset
+            info = load_caption_info(conf["caption_file"])
+            s1 = Stage1Dataset(info, vocabulary,
+                               uttnumbers=conf.get("uttnumbers", 5))
+            ex = tuple(jnp.asarray(a) for a in
+                       next(s1.batches(conf.get("audios_per_batch", 8),
+                                       seed)))
+        variables = jax.jit(
+            lambda k: model.init({"params": k}, *ex, train=False))(
+                jax.random.key(seed))
+        tx = build_optimizer(conf.get("optimizer", "Adam"),
+                             conf.get("optimizer_args", {}).get("lr", 1e-3),
+                             max_grad_norm=conf.get("max_grad_norm", 1.0))
+        state = TrainState.create(variables, tx)
+
+        @jax.jit
+        def step(state, key, *args):
+            def loss_fn(params):
+                (pos, neg), updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    *args, train=True, rngs={"dropout": key},
+                    mutable=["batch_stats"])
+                probs = jnp.concatenate([pos, neg])
+                labels = jnp.concatenate(
+                    [jnp.ones(pos.shape), jnp.zeros(neg.shape)])
+                loss = bce_logits_loss(probs, labels)
+                acc = jnp.mean((probs > 0.5) == (labels > 0.5))
+                return loss, (updates, acc)
+
+            (loss, (updates, acc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(
+                grads, updates.get("batch_stats", state.batch_stats))
+            return new_state, loss, acc
+
+        dump_config(conf, outputdir / "config.yaml")
+        crtrn = criterion_improver("loss")
+        dkey = jax.random.key(seed + 2)
+        logger.info("{:^10}\t{:^12}\t{:^10}".format("Epoch", "Train loss",
+                                                    "Acc"))
+        for epoch in range(1, conf["epochs"] + 1):
+            losses, accs = [], []
+            if mode == "aud2cap":
+                train_loader.set_epoch(epoch)
+                it = ((jnp.asarray(b.feats), jnp.asarray(b.feat_lens),
+                       jnp.asarray(b.caps), jnp.asarray(b.cap_lens))
+                      for b in train_loader.prefetch())
+            else:
+                it = (tuple(jnp.asarray(a) for a in b)
+                      for b in s1.batches(conf.get("audios_per_batch", 8),
+                                          seed, epoch))
+            for args in it:
+                dkey, sub = jax.random.split(dkey)
+                state, loss, acc = step(state, sub, *args)
+                losses.append(loss)
+                accs.append(acc)
+            loss = float(np.mean(jax.device_get(losses)))
+            acc = float(np.mean(jax.device_get(accs)))
+            logger.info(f"{epoch:^10}\t{loss:^12.4g}\t{acc:^10.3f}")
+            if crtrn(loss):
+                save_checkpoint(str(outputdir), "best", state, vocabulary,
+                                conf)
+            save_checkpoint(str(outputdir), "last", state, vocabulary, conf)
+        return str(outputdir)
+
+    # ------------------------------------------------------------------ #
     def stage1(self, caption_file: str, vocab_file: str,
                output_dir: str = "experiments/stage1", epochs: int = 20,
                audios_per_batch: int = 16, uttnumbers: int = 5,
@@ -833,7 +1053,11 @@ class Runner:
         sweep finds where FAR == FRR.  Returns the mean EER over batches
         (and over ``epochs`` reshuffles).  The reference's perm/unperm
         shuffle before the eval-mode encoder is an order no-op and is
-        omitted.  ``uttnumbers`` must be even (it is chunked in half)."""
+        omitted.  Which half is "enrollment" vs "verification" is swapped
+        relative to the reference's torch.chunk order — distributionally
+        equivalent (both halves are random draws of the same captions), so
+        the sweep matches statistically, not sample-for-sample.
+        ``uttnumbers`` must be even (it is chunked in half)."""
         import pickle
 
         from acvae_tpu.data.aux_datasets import Stage1Dataset
@@ -1184,28 +1408,73 @@ class Runner:
         return output
 
     # ------------------------------------------------------------------ #
-    def sweep(self, config: str, param: str, values: str,
-              metric: str = "val_cider", **kwargs):
-        """Hyper-parameter sweep over one config key — the reference's NNI
-        integration (nni.get_next_parameter / report, pytorch_runner_vae.py:
-        130-133,358,389) replaced by an explicit local search.
+    def sweep(self, config: str, param: Optional[str] = None,
+              values: Optional[str] = None, space: Optional[str] = None,
+              mode: str = "grid", n_trials: Optional[int] = None,
+              metric: str = "val_cider", seed: int = 0, **kwargs):
+        """Hyper-parameter sweep — the reference's NNI integration
+        (nni.get_next_parameter / report, pytorch_runner_vae.py:130-133,
+        358,389) replaced by an explicit local search.
 
-        values: comma-separated list, e.g. --values=0.3,0.5,0.7
+        Two forms:
+
+        * ``--param=beta --values=0.3,0.5,0.7`` — one key, listed values.
+        * ``--space=space.yaml`` — multi-param search space: a YAML mapping
+          of config key → candidate list (dotted keys reach nested dicts,
+          like any CLI override), e.g. ``{beta: [0.3, 0.5], smoothing:
+          [0.05, 0.1]}``.  ``--mode=grid`` (default) runs the cartesian
+          product (optionally truncated to ``--n_trials``);
+          ``--mode=random`` draws ``--n_trials`` joint samples (NNI's
+          random-search semantics) with ``--seed``.
+
+        Prints a summary with the best trial's params; every trial's
+        experiment dir is kept.
         """
+        import itertools
+
+        import yaml as _yaml
+        if space is not None:
+            sp = (_yaml.safe_load(open(space))
+                  if os.path.exists(str(space))
+                  else _yaml.safe_load(str(space)))
+            if not isinstance(sp, dict) or not all(
+                    isinstance(v, list) for v in sp.values()):
+                raise ValueError(
+                    "search space must be a mapping of config key -> "
+                    f"candidate list, got: {sp!r}")
+            names = list(sp)
+            if mode == "random":
+                rng = np.random.default_rng(seed)
+                k = int(n_trials or 10)
+                combos = [tuple(sp[n][int(rng.integers(len(sp[n])))]
+                                for n in names) for _ in range(k)]
+            else:
+                combos = list(itertools.product(*[sp[n] for n in names]))
+                if n_trials:
+                    combos = combos[: int(n_trials)]
+            trials = [dict(zip(names, c)) for c in combos]
+        else:
+            if param is None or values is None:
+                raise ValueError("either --space or --param/--values")
+            trials = [{param: _yaml.safe_load(raw)}
+                      for raw in str(values).split(",")]
         results = {}
-        for raw in str(values).split(","):
-            import yaml as _yaml
-            val = _yaml.safe_load(raw)
-            print(f"=== sweep {param}={val} ===")
-            exp_dir = self.train(config, **{param: val,
-                                            "remark": f"sweep_{param}_{raw}",
+        for t, overrides in enumerate(trials):
+            tag = "t{}_{}".format(t, "_".join(
+                f"{k.split('.')[-1]}={v}" for k, v in overrides.items()))
+            print(f"=== sweep trial {t}: {overrides} ===")
+            exp_dir = self.train(config, **{**overrides,
+                                            "remark": f"sweep_{tag}",
                                             **kwargs})
-            last = [json.loads(l) for l in
+            recs = [json.loads(line) for line in
                     open(Path(exp_dir) / "metrics.jsonl")]
-            best = max(r[metric] for r in last)
-            results[raw] = {"best": best, "exp_dir": exp_dir}
-        best_val = max(results, key=lambda k: results[k]["best"])
-        print(json.dumps({"results": results, "best": best_val}, indent=1))
+            best = max(r[metric] for r in recs)
+            results[tag] = {"best": best, "exp_dir": exp_dir,
+                            "params": overrides}
+        best_tag = max(results, key=lambda k: results[k]["best"])
+        print(json.dumps({"results": results, "best": best_tag,
+                          "best_params": results[best_tag]["params"]},
+                         indent=1))
         return results
 
     # ------------------------------------------------------------------ #

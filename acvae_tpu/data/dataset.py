@@ -136,6 +136,27 @@ class CaptionDataset:
             return audio_id, feature, np.asarray(cap, np.int32), emb
         return audio_id, feature, np.asarray(cap, np.int32)
 
+    def feat_len(self, pair_idx: int) -> int:
+        """Mel frame count of a pair's audio from HDF5 *shape metadata* only
+        (no data read) — lets every host compute the global batch's time
+        bucket cheaply in multi-host runs."""
+        ai, _ = self.pairs[pair_idx]
+        audio_id = self._caption_info[ai]["audio_id"]
+        if not hasattr(self, "_len_cache"):
+            self._len_cache: Dict[str, int] = {}
+        if audio_id not in self._len_cache:
+            if self._features is not None:
+                shape = np.asarray(self._features[audio_id]).shape
+            else:
+                import h5py
+                path = self._h5file_dict[audio_id]
+                if path not in self._h5_cache:
+                    self._h5_cache[path] = h5py.File(path, "r")
+                shape = self._h5_cache[path][audio_id].shape
+            dims = [s for s in shape if s != 1]  # mirror .squeeze()
+            self._len_cache[audio_id] = int(dims[-2]) if len(dims) >= 2 else 1
+        return self._len_cache[audio_id]
+
     def refs(self) -> Dict[str, List[str]]:
         """audio_id → list of reference token strings (for scoring)."""
         return {info["audio_id"]: [c["tokens"] for c in info["captions"]]
@@ -170,18 +191,28 @@ class CaptionLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def _indices(self) -> np.ndarray:
+    def _global_perm(self) -> np.ndarray:
+        """The epoch's global pair permutation, padded to a host_count
+        multiple — identical on every host (shared seed), so each host can
+        reason about every other host's shard."""
+        cached = getattr(self, "_perm_cache", None)
+        if cached is not None and cached[0] == self.epoch:
+            return cached[1]
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        # pad to host_count multiple, then take this host's stride
-        # (deterministic per-host shard — the CaptionDistributedSampler the
-        # reference never wired up)
         pad = (-len(idx)) % self.host_count
         if pad:
             idx = np.concatenate([idx, idx[:pad]])
-        return idx[self.host_id::self.host_count]
+        self._perm_cache = (self.epoch, idx)
+        return idx
+
+    def _indices(self) -> np.ndarray:
+        # this host's stride of the global permutation (deterministic
+        # per-host shard — the CaptionDistributedSampler the reference
+        # never wired up)
+        return self._global_perm()[self.host_id::self.host_count]
 
     def prefetch(self, depth: int = 2) -> Iterator[Batch]:
         """Iterate with a background-thread prefetcher — the TPU-side
@@ -222,6 +253,16 @@ class CaptionLoader:
                 break
             items = [self.dataset.get(i) for i in chunk]
             max_t = max(item[1].shape[0] for item in items)
+            if self.host_count > 1:
+                # multi-host: all hosts must pick the SAME bucket for this
+                # batch position (the shards are assembled into one global
+                # array) — take the max over every host's chunk, via shape
+                # metadata only
+                perm = self._global_perm()
+                rows = np.concatenate(
+                    [perm[h::self.host_count][start:start + self.batch_size]
+                     for h in range(self.host_count)])
+                max_t = max(self.dataset.feat_len(int(i)) for i in rows)
             bucket = pick_bucket(max_t, self.buckets)
             N = len(items)
             F = items[0][1].shape[1]

@@ -124,6 +124,16 @@ def build_vocab(caption_info: List[dict], threshold: int = 1,
     return vocab
 
 
-def load_caption_info(caption_file: str) -> List[dict]:
+def load_caption_info(caption_file: str, zh: bool = False) -> List[dict]:
+    """Load a text.json "audios" list.  Captions lacking ``tokens`` (raw
+    external caption files) get them synthesized with :func:`tokenize` — the
+    PTB-tokenizer stand-in the reference applies to all text before scoring
+    (base_runner.py:163-196), so raw and pre-tokenized files behave
+    identically downstream."""
     with open(caption_file) as f:
-        return json.load(f)["audios"]
+        info = json.load(f)["audios"]
+    for a in info:
+        for c in a.get("captions", []):
+            if "tokens" not in c and "caption" in c:
+                c["tokens"] = " ".join(tokenize(c["caption"], zh))
+    return info

@@ -205,7 +205,20 @@ def score_captions(key2refs: Dict[str, List[str]],
                    key2pred: Dict[str, List[str]],
                    zh: bool = False) -> Dict[str, Optional[float]]:
     """Full scoring table (base_runner.py:295-320): BLEU-1..4, ROUGE-L, CIDEr,
-    METEOR/SPICE when their backends exist, SPIDEr = (CIDEr + SPICE)/2."""
+    METEOR/SPICE when their backends exist, SPIDEr = (CIDEr + SPICE)/2.
+
+    Both sides are normalized through ``data.vocab.tokenize`` first — the
+    PTB-tokenizer stand-in (base_runner.py:163-196 tokenizes preds+refs
+    before scoring).  A no-op for vocab-decoded model output (already
+    lowercase, punctuation-free), it makes raw external caption text score
+    identically to pre-tokenized input."""
+    from acvae_tpu.data.vocab import tokenize
+
+    def norm(d):
+        return {k: [" ".join(tokenize(c, zh)) for c in caps]
+                for k, caps in d.items()}
+
+    key2refs, key2pred = norm(key2refs), norm(key2pred)
     out: Dict[str, Optional[float]] = {}
     bleu, _ = BleuScorer(4).compute_score(key2refs, key2pred)
     for i, b in enumerate(bleu):

@@ -101,3 +101,46 @@ class DiscriminatorModel(DiscriminatorRNNModel):
 
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         return jax.nn.sigmoid(super().__call__(batch))
+
+
+class Aud2CapDiscriminatorTrainer(nn.Module):
+    """End-to-end audio↔caption discriminator training objective.
+
+    Positives are the dataset's aligned (audio, caption) pairs; negatives
+    pair each audio with the next sample's caption (batch roll) — the
+    matching-classifier training the reference's discriminator family was
+    built for but never wired (SURVEY §2.1, `cli train_discriminator`).
+    Returns sigmoid probabilities for both."""
+    encoder: nn.Module
+    dscrm: DiscriminatorRNNModel
+
+    def __call__(self, feats, feat_lens, caps, cap_lens, train: bool = True):
+        enc = self.encoder(feats, feat_lens, train=train)
+        a, al = enc["audio_embeds"], enc["audio_embeds_lens"]
+        pos = self.dscrm.aud2cap(a, al, caps, cap_lens)
+        neg = self.dscrm.aud2cap(a, al, jnp.roll(caps, 1, axis=0),
+                                 jnp.roll(cap_lens, 1, axis=0))
+        return jax.nn.sigmoid(pos), jax.nn.sigmoid(neg)
+
+
+class Cap2CapDiscriminatorTrainer(nn.Module):
+    """Caption↔caption discriminator objective over sibling groups.
+
+    caps arrive grouped ``uttnumbers`` captions per audio (Stage1Dataset
+    layout, [A·utt, L]): positives pair each caption with the next sibling
+    of the same audio; negatives roll whole audio groups against each
+    other."""
+    dscrm: DiscriminatorRNNModel
+    uttnumbers: int = 5
+
+    def __call__(self, caps, cap_lens, train: bool = True):
+        n = caps.shape[0]
+        u = self.uttnumbers
+        idx = jnp.arange(n)
+        sibling = (idx // u) * u + (idx + 1) % u         # next cap, same audio
+        other = (idx + u) % n                            # same slot, next audio
+        pos = self.dscrm.cap2cap(caps, cap_lens,
+                                 caps[sibling], cap_lens[sibling])
+        neg = self.dscrm.cap2cap(caps, cap_lens,
+                                 caps[other], cap_lens[other])
+        return jax.nn.sigmoid(pos), jax.nn.sigmoid(neg)

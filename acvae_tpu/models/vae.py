@@ -153,6 +153,11 @@ class VAECaptionModel(nn.Module):
 
         output = {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
         output.update({k: v for k, v in qnetout.items() if v is not None})
+        # encoder memory for downstream consumers (the adversarial
+        # discriminator's aud2cap branch needs output["audio_feats"],
+        # loss.py:308)
+        output["audio_embeds"] = enc_mem
+        output["audio_embeds_lens"] = encoded["audio_embeds_lens"]
 
         if self.global_constraint:
             # Hybrid_VAEModel.stepwise_forward tail (vae_model.py:722-730)

@@ -29,15 +29,56 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Place each array with its leading (batch) dim sharded over `axis`."""
+    """Place each array with its leading (batch) dim sharded over `axis`.
+
+    Single-process: a plain ``device_put`` scatters the host array over the
+    local devices.  Multi-process: each host holds only *its* rows of the
+    global batch (``CaptionLoader(host_id, host_count)`` striding), so the
+    global array is assembled with
+    ``jax.make_array_from_process_local_data`` — every host contributes its
+    shard and the global batch is the concatenation over processes.  The
+    local batch must already be padded to a multiple of the host's local
+    device count (``pad_to_multiple(batch, mesh.local_mesh.size)``)."""
     sharding = NamedSharding(mesh, P(axis))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()}
 
 
 def replicate(tree: Any, mesh: Mesh):
-    """Fully replicate a pytree (params/opt state) across the mesh."""
+    """Fully replicate a pytree (params/opt state) across the mesh.
+
+    Multi-process: ``device_put`` of a host-local value against a global
+    sharding is not allowed, so each leaf is assembled with
+    ``make_array_from_callback`` — every host supplies its (identical,
+    same-seed) full copy for its addressable devices."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def rep(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+
+    return jax.tree.map(rep, tree)
+
+
+def coordination_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Barrier over the jax coordination service (NOT a device collective).
+
+    Gloo's cross-process rendezvous for CPU collectives has a fixed ~30 s
+    timeout, so if one host finishes compiling a step much later than
+    another (e.g. a shared on-disk compilation cache turns one host's
+    compile into a hit and the other's into a miss), the first host times
+    out waiting inside the collective.  Compiling ahead-of-time and passing
+    this barrier before *executing* keeps all hosts' collective entry
+    within milliseconds.  No-op when the distributed runtime is not up."""
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
 
 
 def pad_to_multiple(batch: Dict[str, Any], m: int) -> Dict[str, Any]:

@@ -136,13 +136,19 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                 if item is None:
                     return
                 batch.append(item)
+            # drop requests whose handler already timed out (504 sent):
+            # under a wedged device / sustained overload the queue backlog
+            # must not keep burning decode slots on abandoned clients
+            batch = [b for b in batch if not b[3].is_set()]
+            if not batch:
+                continue
             try:
-                captions = service.caption([mel for mel, _, _ in batch])
-                for (_, result, event), cap in zip(batch, captions):
+                captions = service.caption([mel for mel, _, _, _ in batch])
+                for (_, result, event, _), cap in zip(batch, captions):
                     result["caption"] = cap
                     event.set()
             except Exception as e:  # pragma: no cover - defensive
-                for _, result, event in batch:
+                for _, result, event, _ in batch:
                     result["error"] = str(e)
                     event.set()
 
@@ -203,8 +209,10 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                 return
             result: dict = {}
             event = threading.Event()
-            requests.put((mel, result, event))
+            cancelled = threading.Event()
+            requests.put((mel, result, event, cancelled))
             if not event.wait(timeout=120.0):
+                cancelled.set()  # batcher skips this entry if still queued
                 self._reply(504, {"error": "decode timeout"})
                 return
             if "error" in result:
@@ -214,6 +222,7 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
 
     server = ThreadingHTTPServer((host, port), Handler)
     server._acvae_stop = lambda: (requests.put(None), server.shutdown())
+    server._acvae_queue = requests  # exposed for tests/operational probes
     if block:  # pragma: no cover - interactive path
         print(f"serving on http://{host}:{server.server_address[1]} "
               f"(POST /caption, GET /health)")

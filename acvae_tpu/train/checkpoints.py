@@ -12,6 +12,7 @@ import logging
 import os
 from typing import Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 from acvae_tpu.core.config import dump_config
@@ -26,10 +27,14 @@ def save_checkpoint(exp_dir: str, name: str, state, vocabulary: Optional[Vocabul
             "batch_stats": state.batch_stats, "opt_state": state.opt_state}
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
-    if vocabulary is not None:
-        vocabulary.save(os.path.join(exp_dir, "vocab.pkl"))
-    if config is not None:
-        dump_config(config, os.path.join(exp_dir, "config.yaml"))
+    # multi-process: orbax coordinates the array save across all processes
+    # (every process must call save), but the host-side files are written
+    # once, by the primary
+    if jax.process_index() == 0:
+        if vocabulary is not None:
+            vocabulary.save(os.path.join(exp_dir, "vocab.pkl"))
+        if config is not None:
+            dump_config(config, os.path.join(exp_dir, "config.yaml"))
 
 
 def _resolve_checkpoint_path(exp_dir: str, name: str) -> str:
@@ -48,14 +53,19 @@ def _resolve_checkpoint_path(exp_dir: str, name: str) -> str:
     return path
 
 
-def restore_checkpoint(exp_dir: str, name: str, state, params_only=False):
+def restore_checkpoint(exp_dir: str, name: str, state, params_only=False,
+                       on_mismatch: str = "fallback"):
     """Restore into the structure of `state` (a freshly created TrainState).
 
     ``params_only=True`` restores just params/batch_stats (fresh optimizer)
     — what fine-tuning stages (scst) and inference want.  A full restore
     whose optimizer-state *structure* no longer matches (checkpoint written
-    by a different optimizer chain/version) falls back to params-only with
-    a warning instead of crashing."""
+    by a different optimizer chain/version — orbax raises ValueError /
+    KeyError / TypeError for these) falls back to params-only with a
+    warning; other failures (I/O errors, truncated checkpoints) re-raise.
+    ``on_mismatch="raise"`` disables the fallback entirely — use it on
+    ``--resume`` paths, where silently resetting the optimizer and step
+    counter would restart warmup without the user noticing."""
     path = _resolve_checkpoint_path(exp_dir, name)
     ckptr = ocp.StandardCheckpointer()
     if not params_only:
@@ -65,18 +75,24 @@ def restore_checkpoint(exp_dir: str, name: str, state, params_only=False):
         try:
             restored = ckptr.restore(path, template)
             return state.replace(**restored)
-        except Exception as e:  # orbax surfaces template mismatches as
-            # ValueError today, but other versions raise different types;
-            # any failure of the *templated* restore falls back to the
-            # template-free params-only path (which raises normally if the
-            # checkpoint itself is unreadable)
+        except (ValueError, KeyError, TypeError) as e:
+            # template/structure mismatch only; anything else propagates
+            if on_mismatch == "raise":
+                raise
             logging.getLogger("acvae_tpu").warning(
-                "checkpoint %s has an incompatible optimizer-state layout "
-                "(%s); restoring params/batch_stats only and resetting the "
-                "optimizer", path, str(e).splitlines()[0])
+                "templated restore of %s failed (%s: %s); restoring "
+                "params/batch_stats only and resetting the optimizer",
+                path, type(e).__name__, str(e).splitlines()[0])
     restored = ckptr.restore(path)
     return state.replace(params=restored["params"],
                          batch_stats=restored.get("batch_stats", {}))
+
+
+def load_raw_checkpoint(exp_dir: str, name: str = "best"):
+    """Template-free restore of a checkpoint tree (e.g. a pretrained
+    discriminator's params consumed by the ``adverse_loss`` train path)."""
+    path = _resolve_checkpoint_path(exp_dir, name)
+    return ocp.StandardCheckpointer().restore(path)
 
 
 def criterion_improver(mode: str):

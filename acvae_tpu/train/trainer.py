@@ -168,6 +168,7 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                     embedding_loss: Optional[str] = None,
                     dec_par: float = 1.0,
                     augment: Optional[Callable] = None,
+                    adversarial: Optional[Dict[str, Any]] = None,
                     donate: bool = True) -> Callable:
     """Build the jitted train step.
 
@@ -189,7 +190,7 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng,
                 ss_ratio, dis_ratio, kl_weight, global_alpha):
-        k_sample, k_dropout, k_aug = jax.random.split(rng, 3)
+        k_sample, k_dropout, k_aug, k_adv = jax.random.split(rng, 4)
         if augment is not None:
             # on-device SpecAugment fused into the step (the reference runs
             # per-sample numpy in DataLoader workers, SURVEY §2.6)
@@ -251,6 +252,29 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                     e_loss = jnp.mean((pooled - target) ** 2)
                 loss = loss + dec_par * e_loss
                 metrics["embed"] = e_loss
+            if adversarial is not None:
+                if "audio_embeds" not in out:
+                    raise ValueError(
+                        "adverse_loss requires a model whose train forward "
+                        "exposes audio_embeds (the VAECaptionModel family)")
+                # AdverseLossWrapper's generator side (loss.py:279-319):
+                # + alpha · BCE(D(audio, sampled caption), 1) against a
+                # frozen pretrained discriminator (its params are closure
+                # constants, so no gradients flow into it).  The reference
+                # discards the combined loss when alpha>0 (loss.py:311-315,
+                # a documented bug) — here the terms compose.
+                from acvae_tpu.losses.wrappers import (_sample_preds,
+                                                       bce_logits_loss)
+                preds = _sample_preds(
+                    out["logits"], adversarial.get("sample_method", "argmax"),
+                    k_adv)
+                probs = adversarial["apply"](
+                    {"audio_feats": out["audio_embeds"],
+                     "feats_lens": out["audio_embeds_lens"],
+                     "caps": preds, "lens": batch["cap_lens"] - 1})
+                adv = bce_logits_loss(probs, jnp.ones(probs.shape))
+                loss = loss + adversarial.get("alpha", 1.0) * adv
+                metrics["adverse"] = adv
             if alpha is not None and "p_means_utt" in out:
                 if global_loss == "MSE":
                     g = jnp.mean((out["q_means_utt"] - out["p_means_utt"]) ** 2)
@@ -263,6 +287,11 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                 loss = loss + global_alpha * g
                 metrics["global"] = g
             metrics["loss"] = loss
+            # token count of the (global) batch, for epoch-level loss
+            # weighting: computed inside the jit so multi-process runs see
+            # the same replicated value on every host (a host-side count
+            # would weight by the *local* shard only)
+            metrics["ntokens"] = jnp.sum(mask)
             return loss, (updates, metrics)
 
         grads, (updates, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -141,15 +141,61 @@ class TestLogMel:
         np.testing.assert_allclose(np.asarray(ours), tpow, rtol=2e-2,
                                    atol=2e-3)
 
-    def test_mel_filterbank_matches_librosa_if_available(self):
+    def test_mel_filterbank_matches_slaney_reference(self):
+        """Golden for the filterbank that always runs: librosa when present,
+        otherwise an independent test-local re-derivation of the Slaney
+        mel scale + triangular filters + 2/(f[i+2]-f[i]) normalization
+        (the exact algorithm librosa.filters.mel documents)."""
+        ours = mel_filterbank(32000, 1024, 64, fmin=50)
         try:
             import librosa
+            ref = librosa.filters.mel(sr=32000, n_fft=1024, n_mels=64,
+                                      fmin=50).T
         except ImportError:
-            pytest.skip("librosa not installed")
-        ours = mel_filterbank(32000, 1024, 64, fmin=50)
-        ref = librosa.filters.mel(sr=32000, n_fft=1024, n_mels=64,
-                                  fmin=50).T
+            sr, n_fft, n_mels, fmin, fmax = 32000, 1024, 64, 50.0, 16000.0
+
+            def hz2mel(f):
+                f = np.asarray(f, np.float64)
+                lin = f / (200.0 / 3)
+                brk = 1000.0 / (200.0 / 3)
+                return np.where(
+                    f >= 1000.0,
+                    brk + np.log(np.maximum(f, 1e-10) / 1000.0)
+                    / (np.log(6.4) / 27.0), lin)
+
+            def mel2hz(m):
+                m = np.asarray(m, np.float64)
+                brk = 1000.0 / (200.0 / 3)
+                return np.where(m >= brk,
+                                1000.0 * np.exp((np.log(6.4) / 27.0)
+                                                * (m - brk)),
+                                m * (200.0 / 3))
+
+            pts = mel2hz(np.linspace(hz2mel(fmin), hz2mel(fmax), n_mels + 2))
+            freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+            ref = np.zeros((len(freqs), n_mels))
+            for i in range(n_mels):
+                lo = (freqs - pts[i]) / (pts[i + 1] - pts[i])
+                hi = (pts[i + 2] - freqs) / (pts[i + 2] - pts[i + 1])
+                tri = np.maximum(0.0, np.minimum(lo, hi))
+                ref[:, i] = tri * 2.0 / (pts[i + 2] - pts[i])
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_log_mel_matches_pinned_golden(self):
+        """End-to-end frontend pin: log-mel of a fixed chirp must match the
+        checked-in fixture bit-for-bit-ish (tests/data/make_mel_fixture.py;
+        stft itself is golden vs torch.stft above).  Catches any silent
+        frontend regression without needing librosa in the image."""
+        import os
+        data = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                    "mel_golden.npz"))
+        np.testing.assert_allclose(
+            mel_filterbank(32000, 1024, 64, fmin=50), data["filterbank"],
+            atol=1e-7)
+        out = log_mel_spectrogram(jnp.asarray(data["wave"][None]),
+                                  top_db=None)
+        np.testing.assert_allclose(np.asarray(out[0]), data["logmel"],
+                                   rtol=1e-4, atol=1e-3)
 
     def test_log_mel_shapes(self, rng):
         wave = jnp.asarray(rng.normal(size=(2, 32000)).astype(np.float32))

@@ -100,6 +100,24 @@ class TestCLI:
         assert lines[0] == "file_name,caption_predicted"
         assert len(lines) > 1
 
+    def test_predict_from_kaldi_scp(self, workspace, tmp_path):
+        """Kaldi scp feature manifests drive predict (the legacy data path
+        of runners/ensemble.py:23-218, reader data/kaldi.py)."""
+        import h5py
+
+        from acvae_tpu.data.kaldi import write_mat_ark
+        with h5py.File(str(workspace / "mels.h5"), "r") as f:
+            mats = {k: np.asarray(f[k], np.float32) for k in list(f)[:3]}
+        ark = str(tmp_path / "feats.ark")
+        scp = str(tmp_path / "feats.scp")
+        write_mat_ark(ark, mats, scp_path=scp)
+        out = Runner().predict(self.exp_dir, scp,
+                               str(tmp_path / "pred_kaldi.csv"),
+                               checkpoint="last")
+        lines = open(out).read().strip().splitlines()
+        assert len(lines) == 1 + len(mats)
+        assert sorted(l.split(",")[0] for l in lines[1:]) == sorted(mats)
+
     def test_main_dispatch(self, workspace, capsys):
         main(["diversity",
               os.path.join(self.exp_dir, "eval_output_dbs_4.json")])

@@ -152,3 +152,42 @@ class TestAuxCommands:
                 f.write("CIDEr: 0.500\nBleu_4: 0.100\n")
         out = Runner().report_results(str(root))
         assert "CIDEr" in out
+
+
+class TestDiscriminatorCLI:
+    """train_discriminator + the adverse_loss train path: the adversarial
+    stack end-to-end (reference defines the discriminator family and
+    AdverseLossWrapper, loss.py:279-319, but never wires the training)."""
+
+    def test_aud2cap_then_adversarial_train(self, workspace, tmp_path):
+        dsc_dir = Runner().train_discriminator(
+            str(workspace / "config.yaml"), mode="aud2cap", epochs=2,
+            remark="dsc", outputpath=str(tmp_path / "dexp"),
+            **{"discriminator_args.word_dim": 16,
+               "discriminator_args.hidden_size": 8,
+               "discriminator_args.embed_size": 16})
+        assert os.path.isdir(os.path.join(dsc_dir, "last"))
+        log = open(os.path.join(dsc_dir, "train_dscrm.log")).read()
+        assert "Epoch" in log
+
+        # generator training consumes the frozen discriminator
+        exp = Runner().train(
+            str(workspace / "config.yaml"), seed=6, remark="adv",
+            outputpath=str(tmp_path / "gexp"),
+            **{"adverse_loss.discriminator": dsc_dir,
+               "adverse_loss.alpha": 0.5,
+               "adverse_loss.sample_method": "gumbel"})
+        rec = json.loads(open(os.path.join(exp, "metrics.jsonl")).readline())
+        assert np.isfinite(rec["train_loss"])
+        log = open(os.path.join(exp, "train_caption.log")).read()
+        assert "adverse_loss: discriminator from" in log
+
+    def test_cap2cap_mode(self, workspace, tmp_path):
+        dsc_dir = Runner().train_discriminator(
+            str(workspace / "config.yaml"), mode="cap2cap", epochs=1,
+            remark="dsc2", outputpath=str(tmp_path / "dexp2"),
+            audios_per_batch=3,
+            **{"discriminator_args.word_dim": 16,
+               "discriminator_args.hidden_size": 8,
+               "discriminator_args.embed_size": 16})
+        assert os.path.isdir(os.path.join(dsc_dir, "last"))

@@ -161,3 +161,58 @@ class TestMeteor:
         out = score_captions({"k": ["a dog barks loudly"]},
                              {"k": ["a dog barks loudly"]})
         assert out["METEOR"] is not None and out["METEOR"] > 0.9
+
+
+class TestRawTextIngestion:
+    """PTB-tokenization stand-in (base_runner.py:163-196): raw external
+    caption text must score identically to pre-tokenized input."""
+
+    def test_score_captions_normalizes_raw_text(self):
+        from acvae_tpu.evaluation.coco import score_captions
+        refs_tok = {"a": ["a dog barks loudly", "the dog is barking"],
+                    "b": ["rain falls on a roof", "heavy rain hits a roof"]}
+        refs_raw = {"a": ["A dog barks, loudly!", "The Dog is barking."],
+                    "b": ["Rain falls on a roof.", "Heavy rain hits a ROOF"]}
+        pred_tok = {"a": ["a dog barks"], "b": ["rain falls on a roof"]}
+        pred_raw = {"a": ["A Dog barks!"], "b": ["Rain falls, on a roof."]}
+        s_tok = score_captions(refs_tok, pred_tok)
+        s_raw = score_captions(refs_raw, pred_raw)
+        for k in s_tok:
+            if s_tok[k] is not None:
+                assert abs(s_tok[k] - s_raw[k]) < 1e-9, k
+
+    def test_load_caption_info_synthesizes_tokens(self, tmp_path):
+        import json
+
+        from acvae_tpu.data.vocab import load_caption_info
+        p = tmp_path / "raw.json"
+        p.write_text(json.dumps({"audios": [
+            {"audio_id": "x", "captions": [
+                {"caption": "A loud DOG barks!"},
+                {"caption": "water drips.", "tokens": "water drips"}]}]}))
+        info = load_caption_info(str(p))
+        assert info[0]["captions"][0]["tokens"] == "a loud dog barks"
+        assert info[0]["captions"][1]["tokens"] == "water drips"
+
+    def test_diversity_cli_accepts_raw_captions(self, tmp_path):
+        import json
+
+        from acvae_tpu.cli.main import Runner
+        preds = {"predictions": [
+            {"filename": "x", "captions": [
+                {"caption": "A dog BARKS loudly!"},
+                {"caption": "a dog is barking."}]},
+            {"filename": "y", "captions": [
+                {"caption": "Rain falls."}, {"caption": "rain, falling"}]}]}
+        raw = tmp_path / "raw.json"
+        raw.write_text(json.dumps(preds))
+        tok = tmp_path / "tok.json"
+        tok.write_text(json.dumps({"predictions": [
+            {"filename": it["filename"],
+             "captions": [{"tokens": " ".join(
+                 c["caption"].lower().replace("!", "").replace(".", "")
+                 .replace(",", "").split())} for c in it["captions"]]}
+            for it in preds["predictions"]]}))
+        r_raw = Runner().diversity(str(raw))
+        r_tok = Runner().diversity(str(tok))
+        assert r_raw == r_tok

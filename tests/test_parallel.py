@@ -137,6 +137,112 @@ class TestDistributedCLI:
         assert np.isfinite(rec2["train_loss"])
 
 
+class TestMultiProcess:
+    """Real multi-process data parallelism: 2 OS processes, each with 2
+    virtual CPU devices, coordinated via jax.distributed.initialize — the
+    capability the reference only claims on Slurm
+    (pytorch_runner_vae.py:155-161) and never tests.  Both processes run the
+    `distributed: true` CLI train path with host-sharded CaptionLoaders and
+    must agree on the epoch loss (the sharded jit's psum keeps them in
+    lockstep)."""
+
+    def test_two_process_cli_train(self, tmp_path):
+        import json as _json
+        import os
+        import re
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        import h5py
+        import pandas as pd
+        import yaml
+
+        from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+        feats, info, vocab = make_synthetic_clotho(num_audios=8,
+                                                   mel_frames=128)
+        h5 = str(tmp_path / "m.h5")
+        with h5py.File(h5, "w") as f:
+            for aid, mel in feats.items():
+                f[aid] = mel
+        pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
+            tmp_path / "m.csv", sep="\t", index=False)
+        (tmp_path / "text.json").write_text(_json.dumps({"audios": info}))
+        vocab.save(str(tmp_path / "vocab.pkl"))
+        E = 16
+        cfg = {
+            "model": "VAEModel", "encodermodel": "Cnn10",
+            "encoder_args": {"embed_size": E, "channels": [4, 8, 8, E]},
+            "decoder": "VAERNNBahdanauAttnDecoder",
+            "decoder_args": {"embed_size": E, "hidden_size": E},
+            "model_args": {"posterior_model": "PosteriorRNN",
+                           "posterior_args": {"hidden_size": E},
+                           "prior_model": "PriorRNN",
+                           "prior_args": {"hidden_size": E}},
+            "h5_csv": str(tmp_path / "m.csv"),
+            "caption_file": str(tmp_path / "text.json"),
+            "vocab_file": str(tmp_path / "vocab.pkl"),
+            "outputpath": str(tmp_path / "exp"),
+            "epochs": 1, "batch_size": 8, "train_percent": 80,
+            "scheduler": "constant", "scheduler_args": {},
+            "distributed": True,
+        }
+        with open(tmp_path / "c.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        child = textwrap.dedent(f"""
+            import sys
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            sys.path.insert(0, {repr(os.getcwd())})
+            from acvae_tpu.cli.main import Runner
+            r = Runner()
+            r.train({repr(str(tmp_path / 'c.yaml'))},
+                    coordinator_address="localhost:{port}",
+                    num_processes=2, process_id=int(sys.argv[1]))
+            print("PROCS", jax.process_count(), len(jax.devices()))
+            print("FINAL_LOSS %.6f" % r.last_train_loss, flush=True)
+        """)
+        env = dict(os.environ)
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       env.get("XLA_FLAGS", ""))
+        env["XLA_FLAGS"] = \
+            (flags + " --xla_force_host_platform_device_count=2").strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = [subprocess.Popen([sys.executable, "-c", child, str(i)],
+                                  env=env, cwd=os.getcwd(),
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True)
+                 for i in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+        losses = [float(re.search(r"FINAL_LOSS ([\d.]+)", o).group(1))
+                  for o in outs]
+        assert all("PROCS 2 4" in o for o in outs), \
+            "expected 2 processes x 2 local devices = 4 global devices"
+        assert abs(losses[0] - losses[1]) < 1e-5, losses
+        assert np.isfinite(losses[0])
+        # primary wrote the run artifacts exactly once
+        exp_dirs = list((tmp_path / "exp").rglob("metrics.jsonl"))
+        assert len(exp_dirs) == 1
+        rec = _json.loads(open(exp_dirs[0]).readline())
+        assert abs(rec["train_loss"] - losses[0]) < 1e-5
+
+
 def test_pad_to_multiple_exceeding_batch():
     """Regression: pad > n (3 rows on an 8-way mesh) must tile, not
     silently under-pad to a non-divisible batch."""

@@ -111,3 +111,42 @@ def test_http_server_round_trip(experiment):
     finally:
         server._acvae_stop()
         thread.join(timeout=10)
+
+
+def test_batcher_drops_abandoned_requests(experiment):
+    """A request whose handler already timed out (504 sent, cancelled flag
+    set) must not consume a decode slot in a later micro-batch."""
+    from acvae_tpu.serve import CaptionService, run_server
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
+                         checkpoint="last")
+    decoded = []
+    real_caption = svc.caption
+
+    def spy(mels):
+        decoded.append(len(mels))
+        return real_caption(mels)
+
+    svc.caption = spy
+    server = run_server(svc, port=0, block=False, max_wait_ms=5.0)
+    try:
+        q = server._acvae_queue
+        mel = next(iter(feats.values()))
+
+        # abandoned request: cancelled pre-set (handler replied 504 already)
+        dead_evt, dead_cancel = threading.Event(), threading.Event()
+        dead_cancel.set()
+        q.put((mel, {}, dead_evt, dead_cancel))
+
+        live_res: dict = {}
+        live_evt, live_cancel = threading.Event(), threading.Event()
+        q.put((mel, live_res, live_evt, live_cancel))
+
+        assert live_evt.wait(timeout=120.0)
+        assert isinstance(live_res["caption"], str)
+        assert not dead_evt.is_set()
+        # every decoded micro-batch consisted of live requests only
+        assert decoded and all(n == 1 for n in decoded)
+    finally:
+        server._acvae_stop()

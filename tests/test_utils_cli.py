@@ -215,3 +215,64 @@ def test_export_embeddings_projector_tsvs(tmp_path):
     assert vecs.shape == (6, 4)
     meta = open(prefix + "_metadata.tsv").read().splitlines()
     assert meta[0] == "audio_id\tcap_idx" and len(meta) == 7
+
+
+class TestMultiParamSweep:
+    """`cli sweep --space=...`: joint multi-param search replacing the
+    reference's NNI search space (pytorch_runner_vae.py:130-133)."""
+
+    def _stub_runner(self, tmp_path, monkeypatch):
+        import json as _json
+
+        from acvae_tpu.cli.main import Runner
+        calls = []
+
+        def fake_train(self, config, **kw):
+            calls.append({k: v for k, v in kw.items() if k != "remark"})
+            d = tmp_path / kw["remark"]
+            d.mkdir(exist_ok=True)
+            # deterministic "score" from the params: peak at beta=.5, s=.1
+            score = (1.0 - abs(kw.get("beta", 0) - 0.5)
+                     - abs(kw.get("smoothing", 0) - 0.1))
+            (d / "metrics.jsonl").write_text(
+                _json.dumps({"epoch": 1, "val_cider": score}) + "\n")
+            return str(d)
+
+        monkeypatch.setattr(Runner, "train", fake_train)
+        return Runner(), calls
+
+    def test_grid_space(self, tmp_path, monkeypatch):
+        import yaml as _yaml
+        runner, calls = self._stub_runner(tmp_path, monkeypatch)
+        space = tmp_path / "space.yaml"
+        space.write_text(_yaml.safe_dump(
+            {"beta": [0.3, 0.5], "smoothing": [0.1, 0.2]}))
+        results = runner.sweep("cfg.yaml", space=str(space))
+        assert len(results) == 4  # 2x2 cartesian product
+        assert len(calls) == 4
+        assert all({"beta", "smoothing"} <= set(c) for c in calls)
+        best = max(results.values(), key=lambda r: r["best"])
+        assert best["params"] == {"beta": 0.5, "smoothing": 0.1}
+
+    def test_random_space(self, tmp_path, monkeypatch):
+        runner, calls = self._stub_runner(tmp_path, monkeypatch)
+        results = runner.sweep(
+            "cfg.yaml", space="{beta: [0.1, 0.5, 0.9], smoothing: [0.1]}",
+            mode="random", n_trials=5, seed=3)
+        assert len(calls) == 5
+        assert all(c["beta"] in (0.1, 0.5, 0.9) and c["smoothing"] == 0.1
+                   for c in calls)
+
+    def test_single_param_form_still_works(self, tmp_path, monkeypatch):
+        runner, calls = self._stub_runner(tmp_path, monkeypatch)
+        results = runner.sweep("cfg.yaml", param="beta", values="0.3,0.5")
+        assert len(results) == 2
+        assert [c["beta"] for c in calls] == [0.3, 0.5]
+
+    def test_bad_space_rejected(self, tmp_path, monkeypatch):
+        import pytest as _pytest
+        runner, _ = self._stub_runner(tmp_path, monkeypatch)
+        with _pytest.raises(ValueError):
+            runner.sweep("cfg.yaml", space="{beta: 0.5}")
+        with _pytest.raises(ValueError):
+            runner.sweep("cfg.yaml")
