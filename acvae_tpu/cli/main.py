@@ -105,6 +105,29 @@ def _feature_source(path: str) -> Dict[str, Dict]:
     return {"h5file_dict": _read_h5_csv(p)}
 
 
+def _write_scores(scores: Dict[str, Any], score_file) -> None:
+    """Print + write a scores table (base_runner.py:295-320's scores.txt).
+    ``_native_scorers`` (from score_captions) becomes an explicit footnote:
+    native METEOR/SPICE — and SPIDEr built from native SPICE — are not
+    comparable to numbers published with the Java scorers."""
+    native = scores.get("_native_scorers") or []
+    with open(score_file, "w") as f:
+        for name, val in scores.items():
+            if name.startswith("_"):
+                continue
+            line = (f"{name}: {val:.3f}" if val is not None
+                    else f"{name}: n/a (java scorer unavailable)")
+            print(line)
+            f.write(line + "\n")
+        if native:
+            note = ("# note: " + "/".join(native) + " computed by native "
+                    "fallback scorers (no Java in this environment); these "
+                    + ("and SPIDEr " if "SPICE" in native else "")
+                    + "are NOT comparable to published pycocoevalcap numbers")
+            print(note)
+            f.write(note + "\n")
+
+
 def _read_h5_csv(path: str) -> Dict[str, str]:
     """TSV with audio_id / hdf5_path columns (base_runner.py:41-47)."""
     import pandas as pd
@@ -336,6 +359,9 @@ class Runner:
         key = jax.random.key(seed + 2)
         iteration = 0
         compiled_sigs: set = set()  # multi-process compile/execute alignment
+        aug_prob = conf.get("use_aug_prob")
+        aug_rng = (np.random.default_rng(seed + 9)
+                   if aug_prob is not None else None)
         # profile_dir: trace steps 1-15 (or the first epoch, if shorter)
         # into a TensorBoard-viewable profile (train/profiling.py — the
         # reference has no profiling at all)
@@ -363,6 +389,12 @@ class Runner:
                 if profile_dir and iteration == 1:
                     jax.profiler.start_trace(str(profile_dir))
                 arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+                if aug_prob is not None:
+                    # AugmentLossWrapper path (loss.py:72-94): drop augmented
+                    # captions (cap_id contains "aug") with prob 1-p
+                    from acvae_tpu.losses.wrappers import augment_keep_mask
+                    arrays["keep_mask"] = jnp.asarray(augment_keep_mask(
+                        batch.cap_ids, aug_prob, aug_rng), jnp.float32)
                 if mesh is not None:
                     from acvae_tpu.parallel.mesh import (coordination_barrier,
                                                          pad_to_multiple,
@@ -631,12 +663,7 @@ class Runner:
         first_pred = {k: [v[0]] for k, v in key2pred.items()}
         scores = score_captions(key2refs, first_pred, zh=conf.get("zh", False))
         score_file = exp / f"scores_{decode_method}_{beam_size}.txt"
-        with open(score_file, "w") as f:
-            for name, val in scores.items():
-                line = f"{name}: {val:.3f}" if val is not None else \
-                    f"{name}: n/a (java scorer unavailable)"
-                print(line)
-                f.write(line + "\n")
+        _write_scores(scores, score_file)
         return scores
 
     # ------------------------------------------------------------------ #
@@ -784,12 +811,7 @@ class Runner:
                 key2pred[aid] = [" ".join(vocabulary.decode(seq))]
         scores = score_captions(refs_ds.refs(), key2pred,
                                 zh=conf0.get("zh", False))
-        with open(output, "w") as f:
-            for name, val in scores.items():
-                line = (f"{name}: {val:.3f}" if val is not None
-                        else f"{name}: n/a")
-                print(line)
-                f.write(line + "\n")
+        _write_scores(scores, output)
         return scores
 
     # ------------------------------------------------------------------ #

@@ -46,6 +46,11 @@ class Batch:
     cap_lens: np.ndarray     # [N] int32
     audio_ids: List[str] = field(default_factory=list)
     cap_embeds: Optional[np.ndarray] = None  # [N, E] (embedding_path)
+    # per-sample caption position within its audio + the caption's cap_id
+    # tag — the CaptionInstanceDataset payload (caption_dataset.py:187-197)
+    # and the AugmentLossWrapper's aug-tag source (loss.py:81-83)
+    cap_indices: Optional[np.ndarray] = None  # [N] int32
+    cap_ids: Optional[List[str]] = None
 
     def arrays(self) -> Dict[str, np.ndarray]:
         out = {"feats": self.feats, "feat_lens": self.feat_lens,
@@ -156,6 +161,13 @@ class CaptionDataset:
             dims = [s for s in shape if s != 1]  # mirror .squeeze()
             self._len_cache[audio_id] = int(dims[-2]) if len(dims) >= 2 else 1
         return self._len_cache[audio_id]
+
+    def cap_tag(self, pair_idx: int) -> str:
+        """The caption's ``cap_id`` tag (augmented captions carry "aug" in
+        it, loss.py:81-83), falling back to the caption position."""
+        ai, ci = self.pairs[pair_idx]
+        c = self._caption_info[ai]["captions"][ci]
+        return str(c.get("cap_id", ci))
 
     def refs(self) -> Dict[str, List[str]]:
         """audio_id → list of reference token strings (for scoring)."""
@@ -284,4 +296,8 @@ class CaptionLoader:
                 if has_emb:
                     embs[i] = item[3]
                 ids.append(aid)
-            yield Batch(feats, feat_lens, caps, cap_lens, ids, embs)
+            cap_indices = np.asarray(
+                [self.dataset.pairs[int(i)][1] for i in chunk], np.int32)
+            cap_ids = [self.dataset.cap_tag(int(i)) for i in chunk]
+            yield Batch(feats, feat_lens, caps, cap_lens, ids, embs,
+                        cap_indices, cap_ids)

@@ -220,6 +220,7 @@ def score_captions(key2refs: Dict[str, List[str]],
 
     key2refs, key2pred = norm(key2refs), norm(key2pred)
     out: Dict[str, Optional[float]] = {}
+    native = []
     bleu, _ = BleuScorer(4).compute_score(key2refs, key2pred)
     for i, b in enumerate(bleu):
         out[f"Bleu_{i + 1}"] = b
@@ -239,6 +240,7 @@ def score_captions(key2refs: Dict[str, List[str]],
             # available; slightly below the jar on synonym-heavy text.
             from acvae_tpu.evaluation.meteor import meteor_score
             meteor, _ = meteor_score(key2refs, key2pred)
+            native.append("METEOR")
         try:
             from pycocoevalcap.spice.spice import Spice
             spice, _ = Spice().compute_score(key2refs, key2pred)
@@ -250,8 +252,14 @@ def score_captions(key2refs: Dict[str, List[str]],
             # Java parser+WordNet pipeline (documented divergence).
             from acvae_tpu.evaluation.spice import SpiceScorer
             spice, _ = SpiceScorer().compute_score(key2refs, key2pred)
+            native.append("SPICE")
     out["METEOR"] = meteor
     out["SPICE"] = spice
     out["SPIDEr"] = ((out["CIDEr"] + spice) / 2 if spice is not None
                      else out["CIDEr"])
+    if native:
+        # surfaced in scores.txt: native METEOR/SPICE are not
+        # score-comparable to the Java originals, so SPIDEr built from
+        # native SPICE must not be compared to published SPIDEr numbers
+        out["_native_scorers"] = native
     return out

@@ -75,6 +75,23 @@ class _MelBatchNorm(nn.Module):
                             dtype=jnp.float32, name="bn0")(x)
 
 
+STEM_LANE_PAD = 2  # stem conv input channels (zero-padded from 1)
+
+
+def _stage_mel(feats: jnp.ndarray, train: bool) -> jnp.ndarray:
+    """bn0 → [N, T, F, STEM_LANE_PAD] stem staging for the PANN family.
+
+    A single input channel is the worst case for the TPU conv pipeline;
+    zero-padding the channel axis to 2 flips XLA into a ~20% faster conv1
+    path (measured on v5e — docs/pallas_notes.md "stem lane padding").  The
+    extra kernel column only ever multiplies zeros, so the math is exactly
+    unchanged; the padded kernel weights receive zero gradient and stay at
+    init.  torch→flax checkpoint conversion pads 1-input-channel stem
+    kernels to match (train/pretrained.py)."""
+    x = _MelBatchNorm()(feats, train)[..., None]
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, STEM_LANE_PAD - 1)))
+
+
 def _pann_head(x: jnp.ndarray, lens: jnp.ndarray, fc: nn.Module,
                dropout_fn, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shared PANN pooling head: mean over freq; masked max+mean over time;
@@ -106,7 +123,7 @@ class Cnn10(nn.Module, _DropoutMixin):
                  train: bool = False) -> EncoderOutput:
         assert self.embed_size == self.channels[-1], \
             "Cnn10 temporal embeds have channels[-1] dims"
-        x = _MelBatchNorm()(feats, train)[..., None]  # [N, T, F, 1]
+        x = _stage_mel(feats, train)  # [N, T, F, STEM_LANE_PAD]
         lens = feat_lens // 16
         for i, c in enumerate(self.channels):
             x = ConvBlock(c, dtype=self.dtype, name=f"block{i}_{c}")(x, train)
@@ -128,7 +145,7 @@ class Cnn14(nn.Module, _DropoutMixin):
     @nn.compact
     def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
                  train: bool = False) -> EncoderOutput:
-        x = _MelBatchNorm()(feats, train)[..., None]
+        x = _stage_mel(feats, train)
         lens = feat_lens // 32
         for c in (64, 128, 256, 512, 1024):
             x = ConvBlock(c, dtype=self.dtype, name=f"block{c}")(x, train)
@@ -191,7 +208,7 @@ class ResNet38(nn.Module, _DropoutMixin):
     @nn.compact
     def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
                  train: bool = False) -> EncoderOutput:
-        x = _MelBatchNorm()(feats, train)[..., None]
+        x = _stage_mel(feats, train)
         lens = feat_lens // 32
         x = ConvBlock(64, dtype=self.dtype, name="block64")(x, train)
         x = self._dropout(x, 0.2, train)
@@ -360,7 +377,7 @@ class CNN10QEncoder(nn.Module, _DropoutMixin):
     dtype: Any = jnp.float32
 
     def _trunk(self, feats, feat_lens, train):
-        x = _MelBatchNorm()(feats, train)[..., None]
+        x = _stage_mel(feats, train)
         lens = feat_lens // 16
         for i, c in enumerate(self.channels):
             for j in (1, 2):
@@ -447,7 +464,7 @@ class CRNN8Sub4(nn.Module, _DropoutMixin):
 
     @nn.compact
     def __call__(self, feats, feat_lens, train: bool = False) -> EncoderOutput:
-        x = _MelBatchNorm()(feats, train)[..., None]
+        x = _stage_mel(feats, train)
         pools = [(2, 2), (2, 2), (1, 2), (1, 2)]
         for i, (c, p) in enumerate(zip(self.channels, pools)):
             for j in (1, 2):

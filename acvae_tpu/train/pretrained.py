@@ -104,7 +104,16 @@ def pann_to_flax(state_dict: Dict[str, Any],
 
     def conv(tkey: str, path: Tuple[str, ...]):
         if tkey in sd:
-            params[path + ("kernel",)] = sd[tkey].transpose(2, 3, 1, 0)
+            k = sd[tkey].transpose(2, 3, 1, 0)
+            if k.shape[2] == 1:
+                # stem lane padding (encoders._stage_mel): our PANN-family
+                # stems take STEM_LANE_PAD zero-padded input channels, so
+                # pad the converted 1-channel kernel with zero columns —
+                # numerically identical output
+                from acvae_tpu.models.encoders import STEM_LANE_PAD
+                k = np.pad(k, ((0, 0), (0, 0), (0, STEM_LANE_PAD - 1),
+                               (0, 0)))
+            params[path + ("kernel",)] = k
 
     def bn(tprefix: str, path: Tuple[str, ...]):
         if tprefix + ".weight" in sd:

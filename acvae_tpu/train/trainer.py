@@ -208,7 +208,17 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                 mutable=["batch_stats"])
             L = batch["caps"].shape[1]
             mask = length_mask(batch["cap_lens"] - 1, L - 1)
-            ce = ce_fn(out["logits"], batch["caps"][:, 1:], mask)
+            if "keep_mask" in batch:
+                # AugmentLossWrapper (loss.py:72-94): augmented captions
+                # stochastically dropped from the CE; the keep-mask comes
+                # precomputed from the host (cap_id "aug" tags + coin), so
+                # the jitted loss stays shape-static
+                from acvae_tpu.losses.wrappers import augment_loss
+                ce = augment_loss(out["logits"], batch["caps"][:, 1:],
+                                  batch["cap_lens"] - 1, batch["keep_mask"],
+                                  smoothing if label_smoothing else 0.0)
+            else:
+                ce = ce_fn(out["logits"], batch["caps"][:, 1:], mask)
             metrics = {"ce": ce}
             if "q_means" in out:
                 km = mask if kl_mask == "valid" else None

@@ -21,6 +21,7 @@ import sys
 import time
 
 BATCH = 512           # bf16 encoder fits 512 in 16G HBM (1024 OOMs)
+TRAIN_BATCH = 128     # fwd+bwd (grads + Adam state) at T_MEL=1024
 TORCH_BATCH = 32      # reference-style baseline batch (throughput-normalized)
 T_MEL = 1024          # ~12 s of 64-bin log-mel at Clotho's frame rate
 F_MEL = 64
@@ -82,6 +83,48 @@ def bench_jax() -> dict:
         "p50_batch_latency_s": sorted(lat)[len(lat) // 2],
         "device": str(jax.devices()[0]),
     }
+
+
+def bench_train() -> dict:
+    """Training fwd+bwd throughput (samples/s) of the flagship train step —
+    reported alongside decode so train-perf regressions are visible in every
+    BENCH_r* tail (the decode metric alone can't see them)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _build_flagship
+    from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                         make_train_step)
+
+    N, L = TRAIN_BATCH, 22
+    model = _build_flagship(vocab_size=VOCAB, enc_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(N, T_MEL, F_MEL)).astype(np.float32))
+    feat_lens = jnp.full((N,), T_MEL, jnp.int32)
+    caps = jnp.asarray(rng.integers(4, VOCAB, size=(N, L)).astype(np.int32))
+    caps = caps.at[:, 0].set(1).at[:, -1].set(2)
+    cap_lens = jnp.full((N,), L, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        feats[:8, :256], feat_lens[:8] * 0 + 256, caps[:8], cap_lens[:8],
+        train=False)
+    tx = build_optimizer("Adam", 5e-4, max_grad_norm=1.0)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, alpha=0.1, global_loss="MSE")
+    batch = {"feats": feats, "feat_lens": feat_lens,
+             "caps": caps, "cap_lens": cap_lens}
+
+    state, metrics = step(state, batch, jax.random.key(2), 0.9, 0.2, 0.5, 0.1)
+    np.asarray(metrics["loss"])  # compile + force completion
+    t0 = time.perf_counter()
+    for i in range(TIMED_ITERS):
+        state, metrics = step(state, batch, jax.random.key(3 + i),
+                              0.9, 0.2, 0.5, 0.1)
+    np.asarray(metrics["loss"])
+    total = time.perf_counter() - t0
+    return {"train_samples_per_sec": N * TIMED_ITERS / total,
+            "train_batch": N}
 
 
 def bench_torch_baseline() -> float:
@@ -186,6 +229,7 @@ def bench_torch_baseline() -> float:
 
 def main():
     ours = bench_jax()
+    train = bench_train()
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)["captions_per_sec_torch_cpu"]
@@ -204,7 +248,9 @@ def main():
     print(json.dumps(result))
     print(f"# p50 batch latency: {ours['p50_batch_latency_s'] * 1000:.1f} ms "
           f"(batch={BATCH}, beam={BEAM}, T={T_MEL}) on {ours['device']}; "
-          f"torch-cpu baseline {baseline:.2f} captions/s", file=sys.stderr)
+          f"torch-cpu baseline {baseline:.2f} captions/s; "
+          f"train {train['train_samples_per_sec']:.0f} samples/s fwd+bwd "
+          f"(batch={train['train_batch']}, bf16 encoder)", file=sys.stderr)
 
 
 if __name__ == "__main__":

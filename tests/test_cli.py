@@ -100,6 +100,27 @@ class TestCLI:
         assert lines[0] == "file_name,caption_predicted"
         assert len(lines) > 1
 
+    def test_train_with_augment_downweight(self, workspace, tmp_path):
+        """use_aug_prob wires augment_loss (loss.py:72-94) into the train
+        step: captions whose cap_id carries an "aug" tag are stochastically
+        dropped from the CE."""
+        import yaml
+
+        info = json.load(open(workspace / "text.json"))["audios"]
+        for a in info:
+            for ci, c in enumerate(a["captions"]):
+                c["cap_id"] = f"{ci}" + ("_aug" if ci % 2 else "")
+        aug_json = tmp_path / "text_aug.json"
+        aug_json.write_text(json.dumps({"audios": info}))
+        cfg = yaml.safe_load(open(workspace / "config.yaml"))
+        cfg.update(caption_file=str(aug_json), use_aug_prob=0.5,
+                   outputpath=str(tmp_path / "exp_aug"))
+        p = tmp_path / "c_aug.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        exp = Runner().train(str(p), seed=9, remark="aug")
+        rec = json.loads(open(os.path.join(exp, "metrics.jsonl")).readline())
+        assert np.isfinite(rec["train_loss"])
+
     def test_predict_from_kaldi_scp(self, workspace, tmp_path):
         """Kaldi scp feature manifests drive predict (the legacy data path
         of runners/ensemble.py:23-218, reader data/kaldi.py)."""

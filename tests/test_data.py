@@ -196,3 +196,23 @@ def test_fasttext_vec_text_format(tmp_path):
     m = load_word_embeddings(str(vec), vocab)
     assert m.shape == (len(vocab), 3)
     np.testing.assert_array_equal(m[vocab("dog")], [1.0, 2.0, 3.0])
+
+
+def test_batch_carries_instance_metadata(tmp_path):
+    """CaptionInstanceDataset payload (caption_dataset.py:187-197): every
+    batch exposes each sample's caption position and cap_id tag."""
+    from acvae_tpu.data.dataset import CaptionDataset, CaptionLoader
+    from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+    feats, info, vocab = make_synthetic_clotho(num_audios=3, mel_frames=64)
+    for a in info:
+        for ci, c in enumerate(a["captions"]):
+            c["cap_id"] = f"{a['audio_id']}_{ci}" + ("_aug" if ci == 1 else "")
+    ds = CaptionDataset(features=feats, caption_info=info, vocabulary=vocab)
+    loader = CaptionLoader(ds, batch_size=64)
+    batch = next(iter(loader))
+    assert batch.cap_indices is not None and len(batch.cap_indices) == len(ds)
+    # positions enumerate each audio's captions
+    assert sorted(set(batch.cap_indices.tolist())) == [0, 1, 2, 3, 4]
+    assert all(t.endswith("_aug") == (i == 1)
+               for t, i in zip(batch.cap_ids, batch.cap_indices))

@@ -178,8 +178,12 @@ class TestRawTextIngestion:
         s_tok = score_captions(refs_tok, pred_tok)
         s_raw = score_captions(refs_raw, pred_raw)
         for k in s_tok:
+            if k.startswith("_"):  # metadata (e.g. _native_scorers)
+                continue
             if s_tok[k] is not None:
                 assert abs(s_tok[k] - s_raw[k]) < 1e-9, k
+        # no Java in this image: the native-fallback marker must be present
+        assert set(s_tok.get("_native_scorers", [])) == {"METEOR", "SPICE"}
 
     def test_load_caption_info_synthesizes_tokens(self, tmp_path):
         import json

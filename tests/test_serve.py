@@ -149,4 +149,8 @@ def test_batcher_drops_abandoned_requests(experiment):
         # every decoded micro-batch consisted of live requests only
         assert decoded and all(n == 1 for n in decoded)
     finally:
-        server._acvae_stop()
+        # serve_forever() was never started here, so server.shutdown()
+        # (inside _acvae_stop) would block forever — stop the batcher and
+        # close the socket directly
+        server._acvae_queue.put(None)
+        server.server_close()
