@@ -548,9 +548,21 @@ class Runner:
         except Exception:
             return None
 
-    def _decode_fn(self, model, **decode_kwargs):
+    def _decode_fn(self, model, quant_encoder=None, **decode_kwargs):
         """Jitted decode closure (per-bucket shapes compile once and cache
-        on the jit; decode kwargs are baked in)."""
+        on the jit; decode kwargs are baked in).  ``quant_encoder`` swaps in
+        the int8 serving encoder (models/quant.py) in front of the model's
+        decode machinery."""
+        if quant_encoder is not None:
+            @jax.jit
+            def decode(variables, feats, feat_lens, key):
+                encoded = quant_encoder(feats, feat_lens)
+                return model.apply(variables, encoded, apply_ln=True,
+                                   rngs={"sample": key},
+                                   method=model.inference_from_encoded,
+                                   **decode_kwargs)
+            return decode
+
         @jax.jit
         def decode(variables, feats, feat_lens, key):
             return model.apply(variables, feats, feat_lens,
@@ -592,12 +604,16 @@ class Runner:
                  eval_caption_file: Optional[str] = None,
                  decode_method: str = "beam", beam_size: int = 3,
                  num_candidates: int = 1, max_length: Optional[int] = None,
-                 checkpoint: str = "best", seed: int = 1, **decode_kwargs):
+                 checkpoint: str = "best", seed: int = 1,
+                 encoder_int8: bool = False, **decode_kwargs):
         """Decode + score a test set (base_runner.py:199-333).
 
         num_candidates > 1 replicates each clip and decodes independently
         (fresh prior z per replica) — the reference's multi-candidate trick
-        for diversity eval (pytorch_runner_vae.py:101-104)."""
+        for diversity eval (pytorch_runner_vae.py:101-104).
+
+        encoder_int8 swaps in the int8 serving encoder (models/quant.py) so
+        its accuracy delta can be measured with the full metric harness."""
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
         vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
@@ -621,7 +637,19 @@ class Runner:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         key = jax.random.key(seed)
-        decode = self._decode_fn(model, decode_method=decode_method,
+        quant = None
+        if encoder_int8:
+            if conf.get("encodermodel") != "Cnn10":
+                raise ValueError("encoder_int8 currently supports the Cnn10 "
+                                 "encoder only")
+            from acvae_tpu.models.quant import QuantCnn10
+            quant = QuantCnn10.from_bn0_stats(
+                {"params": state.params["encoder"],
+                 "batch_stats": state.batch_stats.get("encoder", {})},
+                channels=tuple(conf.get("encoder_args", {}).get(
+                    "channels", (64, 128, 256, 512))))
+        decode = self._decode_fn(model, quant_encoder=quant,
+                                 decode_method=decode_method,
                                  beam_size=beam_size, max_length=max_length,
                                  **decode_kwargs)
         key2pred: Dict[str, List[str]] = {}
@@ -655,14 +683,15 @@ class Runner:
                  if len(caps) > 1 else caps[0],
              "tokens": caps[0]}
             for aid, caps in key2pred.items()]
-        out_json = exp / f"eval_output_{decode_method}_{beam_size}.json"
+        suffix = "_int8" if encoder_int8 else ""
+        out_json = exp / (f"eval_output_{decode_method}_{beam_size}{suffix}.json")
         with open(out_json, "w") as f:
             json.dump({"predictions": predictions}, f, indent=1)
 
         key2refs = refs_ds.refs()
         first_pred = {k: [v[0]] for k, v in key2pred.items()}
         scores = score_captions(key2refs, first_pred, zh=conf.get("zh", False))
-        score_file = exp / f"scores_{decode_method}_{beam_size}.txt"
+        score_file = exp / f"scores_{decode_method}_{beam_size}{suffix}.txt"
         _write_scores(scores, score_file)
         return scores
 
@@ -709,7 +738,8 @@ class Runner:
               port: int = 8976, decode_method: str = "beam",
               beam_size: int = 3, max_length: int = 20,
               batch_size: int = 16, mel_bucket: int = 1024,
-              max_wait_ms: float = 20.0, checkpoint: str = "best"):
+              max_wait_ms: float = 20.0, checkpoint: str = "best",
+              encoder_int8: bool = False):
         """Micro-batching caption inference server (new — deployment
         surface the reference lacks).  POST /caption with {"mel": [[T×F]]}
         or {"wav": [...], "sr": N}; GET /health.  Requests are batched up
@@ -720,7 +750,7 @@ class Runner:
             experiment_path, checkpoint=checkpoint,
             decode_method=decode_method, beam_size=beam_size,
             max_length=max_length, batch_size=batch_size,
-            mel_bucket=mel_bucket)
+            mel_bucket=mel_bucket, encoder_int8=encoder_int8)
         run_server(service, host=host, port=port, max_wait_ms=max_wait_ms)
 
     # ------------------------------------------------------------------ #

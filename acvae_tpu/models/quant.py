@@ -1,0 +1,164 @@
+"""Int8 post-training quantization of the Cnn10 encoder (inference only).
+
+The decode path is encoder-dominated (RESULTS.md: ~77% of a beam-3 batch),
+and the v5e MXU runs int8 at 2× its bf16 rate.  This module reinterprets a
+*trained f32* ``Cnn10`` variable tree as an int8 conv pipeline:
+
+* conv weights: symmetric per-output-channel int8 (scale = max|w|/127);
+* activations: symmetric per-tensor int8 with **static** scales calibrated
+  from one representative batch (dynamic per-batch max would add a full
+  reduction between blocks);
+* each conv accumulates in int32 on the MXU, dequantizes to f32, applies the
+  folded inference BatchNorm affine + relu, and requantizes for the next
+  conv.
+
+No reference counterpart (the reference has no quantization story at all);
+this is a TPU-native serving optimization.  Accuracy is validated in
+``tests/test_quant.py`` (cosine > 0.999 vs the f32 encoder on the
+calibration distribution); it is opt-in via ``CaptionService(encoder_int8=
+True)`` / ``cli serve --encoder_int8`` — training and evaluation default to
+the exact f32/bf16 path.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
+
+
+def _fold_bn(bn_params: Dict, bn_stats: Dict, eps: float = 1e-5):
+    """Inference BN -> (scale, bias)."""
+    inv = 1.0 / jnp.sqrt(bn_stats["var"] + eps)
+    scale = bn_params["scale"] * inv
+    return scale, bn_params["bias"] - bn_stats["mean"] * scale
+
+
+def _qconv(x_i8: jnp.ndarray, w_i8: jnp.ndarray, sx: jnp.ndarray,
+           sw: jnp.ndarray) -> jnp.ndarray:
+    """int8 NHWC conv3x3 SAME -> f32 (dequantized)."""
+    acc = lax.conv_general_dilated(
+        x_i8, w_i8, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (sx * sw)  # sw: per-out-channel
+
+
+def _quantize_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8 (HWIO -> scale over HWI)."""
+    s = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+    s = np.maximum(s, 1e-12)
+    return np.clip(np.round(w / s), -127, 127).astype(np.int8), \
+        s.astype(np.float32)
+
+
+def _quantize_x(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+class QuantCnn10:
+    """Int8 reinterpretation of a trained ``Cnn10`` variable tree.
+
+    Build once with ``QuantCnn10(variables, calibration_batch)``; then
+    ``encoder(feats, feat_lens)`` returns the standard encoder dict
+    contract.  Mirrors ``encoders.Cnn10.__call__`` step for step
+    (bn0 -> 4 ConvBlocks -> PANN head); dropout is inference-off.
+    """
+
+    def __init__(self, variables: Dict[str, Any],
+                 calib_feats: jnp.ndarray, calib_lens: jnp.ndarray,
+                 channels: Sequence[int] = (64, 128, 256, 512),
+                 stem_lane_pad: int = 2):
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        self.channels = tuple(channels)
+        self.stem_lane_pad = stem_lane_pad
+        self.bn0 = _fold_bn(params["_MelBatchNorm_0"]["bn0"],
+                            stats["_MelBatchNorm_0"]["bn0"])
+        self.blocks = []
+        for i, c in enumerate(self.channels):
+            b = params[f"block{i}_{c}"]
+            bs = stats[f"block{i}_{c}"]
+            blk = {}
+            for j in (1, 2):
+                w = np.asarray(b[f"conv{j}"]["kernel"], np.float32)
+                w_i8, sw = _quantize_w(w)
+                blk[f"w{j}"], blk[f"sw{j}"] = jnp.asarray(w_i8), jnp.asarray(sw)
+                blk[f"bn{j}"] = _fold_bn(b[f"bn{j}"], bs[f"bn{j}"])
+            self.blocks.append(blk)
+        self.fc = (jnp.asarray(params["embed_pooled"]["kernel"]),
+                   jnp.asarray(params["embed_pooled"]["bias"]))
+        # static activation-scale calibration from one representative batch
+        self.act_scales = self._calibrate(calib_feats, calib_lens)
+
+    @classmethod
+    def from_bn0_stats(cls, variables: Dict[str, Any],
+                       channels: Sequence[int] = (64, 128, 256, 512),
+                       n: int = 8, t: int = 512, seed: int = 0,
+                       **kw) -> "QuantCnn10":
+        """Build with a calibration batch *synthesized from bn0's running
+        statistics*: bn0 whitens each mel bin toward N(0,1) with the
+        running mean/var of the training distribution, so sampling
+        ``mean + sqrt(var)·N(0,1)`` per bin reproduces the post-bn0
+        activation distribution without needing training data at serving
+        time."""
+        bn0 = variables["batch_stats"]["_MelBatchNorm_0"]["bn0"]
+        mean = np.asarray(bn0["mean"])
+        std = np.sqrt(np.asarray(bn0["var"]) + 1e-5)
+        rng = np.random.default_rng(seed)
+        feats = (mean[None, None, :]
+                 + std[None, None, :] * rng.normal(size=(n, t, len(mean))))
+        lens = np.full((n,), t, np.int32)
+        return cls(variables, jnp.asarray(feats, jnp.float32),
+                   jnp.asarray(lens), channels=channels, **kw)
+
+    # -------------------------------------------------------------- #
+    def _stem(self, feats):
+        s0, b0 = self.bn0
+        x = (feats * s0 + b0)[..., None]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0),
+                           (0, self.stem_lane_pad - 1)))
+
+    def _calibrate(self, feats, lens) -> list:
+        """f32 shadow pass recording max|activation| entering each conv."""
+        scales = []
+        x = self._stem(jnp.asarray(feats, jnp.float32))
+        for blk in self.blocks:
+            for j in (1, 2):
+                scales.append(float(jnp.max(jnp.abs(x))) / 127.0 + 1e-12)
+                w = blk[f"w{j}"].astype(jnp.float32) * blk[f"sw{j}"]
+                x = lax.conv_general_dilated(
+                    x, w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                s, b = blk[f"bn{j}"]
+                x = jnp.maximum(x * s + b, 0.0)
+            x = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1),
+                                  (1, 2, 2, 1), "VALID") * 0.25
+        return scales
+
+    # -------------------------------------------------------------- #
+    def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        assert not train, "QuantCnn10 is inference-only"
+        lens = feat_lens // 16
+        x = self._stem(feats)
+        k = 0
+        for blk in self.blocks:
+            for j in (1, 2):
+                sx = self.act_scales[k]
+                k += 1
+                x_i8 = _quantize_x(x, sx)
+                x = _qconv(x_i8, blk[f"w{j}"], sx, blk[f"sw{j}"])
+                s, b = blk[f"bn{j}"]
+                x = jnp.maximum(x * s + b, 0.0)
+            x = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1),
+                                  (1, 2, 2, 1), "VALID") * 0.25
+        x = jnp.mean(x, axis=2)  # [N, T', C]
+        pooled = max_with_lens(x, lens) + mean_with_lens(x, lens)
+        pooled = jax.nn.relu(pooled @ self.fc[0] + self.fc[1])
+        return {"audio_embeds": x, "audio_embeds_pooled": pooled,
+                "audio_embeds_lens": lens}

@@ -173,8 +173,26 @@ class VAECaptionModel(nn.Module):
                           max_length: Optional[int] = None,
                           beam_size: int = 3, temp: float = 1.0,
                           train: bool = False, **kwargs) -> Dict[str, Any]:
-        max_length = max_length or self.max_length
         encoded = self.encode(feats, feat_lens, train)
+        return self.inference_from_encoded(
+            encoded, decode_method=decode_method, max_length=max_length,
+            beam_size=beam_size, temp=temp, **kwargs)
+
+    def inference_from_encoded(self, encoded, decode_method: str = "greedy",
+                               max_length: Optional[int] = None,
+                               beam_size: int = 3, temp: float = 1.0,
+                               apply_ln: bool = False,
+                               **kwargs) -> Dict[str, Any]:
+        """Decode from a precomputed encoder dict — lets callers swap in an
+        alternative encoder implementation (e.g. the int8 serving encoder,
+        ``models/quant.py``) while reusing this model's decode machinery.
+        ``apply_ln=True`` runs the encoder→decoder dim adapter (for raw
+        external encodings; :meth:`encode` has already applied it on the
+        internal path)."""
+        max_length = max_length or self.max_length
+        if apply_ln and self.ln is not None:
+            encoded = dict(encoded)
+            encoded["audio_embeds"] = self.ln(encoded["audio_embeds"])
         if decode_method == "beam":
             return self.beam_search(encoded, max_length, beam_size)
         if decode_method == "dbs":

@@ -36,7 +36,8 @@ class CaptionService:
     def __init__(self, experiment_path: str, checkpoint: str = "best",
                  decode_method: str = "beam", beam_size: int = 3,
                  max_length: int = 20, batch_size: int = 16,
-                 mel_bucket: int = 1024, seed: int = 1):
+                 mel_bucket: int = 1024, seed: int = 1,
+                 encoder_int8: bool = False):
         from acvae_tpu.core.config import load_config
         from acvae_tpu.data.vocab import Vocabulary
         from acvae_tpu.models.build import build_model
@@ -61,10 +62,34 @@ class CaptionService:
         if decode_method in ("beam", "dbs"):
             kwargs["beam_size"] = beam_size
 
-        @jax.jit
-        def decode(variables, feats, feat_lens, key):
-            return model.apply(variables, feats, feat_lens,
-                               rngs={"sample": key}, **kwargs)
+        if encoder_int8:
+            # int8 serving encoder (models/quant.py): v5e runs int8 on the
+            # MXU at 2× bf16, and decode is encoder-dominated.  Calibrated
+            # from bn0's running stats — no training data needed here.
+            if self.conf.get("encodermodel") != "Cnn10":
+                raise ValueError("encoder_int8 currently supports the Cnn10 "
+                                 "encoder only")
+            from acvae_tpu.models.quant import QuantCnn10
+            channels = tuple(self.conf.get("encoder_args", {}).get(
+                "channels", (64, 128, 256, 512)))
+            quant = QuantCnn10.from_bn0_stats(
+                {"params": restored["params"]["encoder"],
+                 "batch_stats": restored.get("batch_stats", {}).get(
+                     "encoder", {})},
+                channels=channels)
+
+            @jax.jit
+            def decode(variables, feats, feat_lens, key):
+                encoded = quant(feats, feat_lens)
+                return model.apply(
+                    variables, encoded, apply_ln=True,
+                    rngs={"sample": key},
+                    method=model.inference_from_encoded, **kwargs)
+        else:
+            @jax.jit
+            def decode(variables, feats, feat_lens, key):
+                return model.apply(variables, feats, feat_lens,
+                                   rngs={"sample": key}, **kwargs)
 
         self._decode = decode
         self._key = jax.random.key(seed + 2)

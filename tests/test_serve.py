@@ -154,3 +154,15 @@ def test_batcher_drops_abandoned_requests(experiment):
         # close the socket directly
         server._acvae_queue.put(None)
         server.server_close()
+
+
+def test_int8_service_decodes(experiment):
+    """encoder_int8: the int8 serving encoder (models/quant.py) produces
+    captions through the same service surface."""
+    from acvae_tpu.serve import CaptionService
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=4, mel_bucket=128, max_length=8,
+                         checkpoint="last", encoder_int8=True)
+    captions = svc.caption(list(feats.values())[:3])
+    assert len(captions) == 3 and all(isinstance(c, str) for c in captions)
