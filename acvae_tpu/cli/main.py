@@ -605,7 +605,8 @@ class Runner:
                  decode_method: str = "beam", beam_size: int = 3,
                  num_candidates: int = 1, max_length: Optional[int] = None,
                  checkpoint: str = "best", seed: int = 1,
-                 encoder_int8: bool = False, **decode_kwargs):
+                 encoder_int8: bool = False, distributed: bool = False,
+                 **decode_kwargs):
         """Decode + score a test set (base_runner.py:199-333).
 
         num_candidates > 1 replicates each clip and decodes independently
@@ -613,7 +614,11 @@ class Runner:
         for diversity eval (pytorch_runner_vae.py:101-104).
 
         encoder_int8 swaps in the int8 serving encoder (models/quant.py) so
-        its accuracy delta can be measured with the full metric harness."""
+        its accuracy delta can be measured with the full metric harness.
+
+        distributed shards each decode batch over all visible devices
+        (token-identical to the single-device decode — jax's threefry RNG is
+        sharding-invariant)."""
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
         vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
@@ -652,6 +657,14 @@ class Runner:
                                  decode_method=decode_method,
                                  beam_size=beam_size, max_length=max_length,
                                  **decode_kwargs)
+        mesh = None
+        if distributed and len(jax.devices()) > 1:
+            # batch-sharded decode over the data mesh — XLA partitions the
+            # whole beam program; threefry RNG is sharding-invariant, so
+            # tokens match the unsharded decode exactly
+            from acvae_tpu.parallel.mesh import make_mesh, replicate
+            mesh = make_mesh()
+            variables = replicate(variables, mesh)
         key2pred: Dict[str, List[str]] = {}
         for batch in loader.prefetch():
             feats = jnp.asarray(batch.feats)
@@ -662,8 +675,18 @@ class Runner:
                 feat_lens = jnp.repeat(feat_lens, num_candidates, axis=0)
                 ids = [i for i in batch.audio_ids
                        for _ in range(num_candidates)]
+            n_real = feats.shape[0]
+            if mesh is not None:
+                from acvae_tpu.parallel.mesh import (pad_to_multiple,
+                                                     shard_batch)
+                arrs = shard_batch(pad_to_multiple(
+                    {"feats": feats, "feat_lens": feat_lens},
+                    mesh.local_mesh.size), mesh)
+                feats, feat_lens = arrs["feats"], arrs["feat_lens"]
             key, sub = jax.random.split(key)
             out = decode(variables, feats, feat_lens, sub)
+            if mesh is not None:  # drop pad-tiled rows
+                out = {"seqs": np.asarray(out["seqs"])[:n_real]}
             seqs = np.asarray(out["seqs"])
             if seqs.ndim == 3:
                 seqs = seqs[:, 0] if decode_method == "beam" else \

@@ -17,3 +17,17 @@ def scan_or_init(module: nn.Module, step, carry, xs, length: int):
             lambda a: jnp.broadcast_to(a[None], (length,) + a.shape), ys0)
         return carry, ys
     return jax.lax.scan(step, carry, xs)
+
+
+def eps_stack(key, steps: int, rows: int, dim: int):
+    """[steps, rows, dim] standard normals, drawn per step (split + vmap).
+
+    A single ``normal(key, (steps, rows, dim))`` draw indexes elements by
+    flat position, so the values assigned to a given (step, row) depend on
+    ``rows`` — padding a batch would silently change every real row's noise
+    from step 1 on.  Splitting per step makes the leading rows invariant to
+    the batch size: padded / mesh-sharded decodes are token-identical to
+    the unpadded decode."""
+    import jax
+    return jax.vmap(lambda k: jax.random.normal(k, (rows, dim)))(
+        jax.random.split(key, steps))

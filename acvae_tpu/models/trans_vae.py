@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from acvae_tpu import END_IDX, MAX_LENGTH, PAD_IDX, START_IDX
 from acvae_tpu.decoding.beam import BeamConfig, batched_beam_search
 from acvae_tpu.decoding.sampling import sample_next_word
-from acvae_tpu.models.common import scan_or_init
+from acvae_tpu.models.common import scan_or_init, eps_stack
 from acvae_tpu.models.vae import _repeat_beams
 from acvae_tpu.ops.masked import length_mask
 
@@ -86,7 +86,7 @@ class TransVAECaptionModel(nn.Module):
         ss_coins = jax.random.uniform(k_c1, (T,)) < ss_ratio
         dis_coins = ((jax.random.uniform(k_c2, (T,)) <= dis_ratio)
                      & (jnp.asarray(dis_ratio) > 0))
-        eps_p = jax.random.normal(k_p, (T, N, E))
+        eps_p = eps_stack(k_p, T, N, E)
         samp_keys = jax.random.split(k_s, T)
 
         def step(carry, xs):
@@ -137,7 +137,7 @@ class TransVAECaptionModel(nn.Module):
         N, E, T = enc_mem.shape[0], self.decoder.embed_size, max_length
         key = self.make_rng("sample")
         k_p, k_s = jax.random.split(key)
-        eps_p = jax.random.normal(k_p, (T, N, E))
+        eps_p = eps_stack(k_p, T, N, E)
         samp_keys = jax.random.split(k_s, T)
 
         def step(carry, xs):
@@ -179,8 +179,7 @@ class TransVAECaptionModel(nn.Module):
         enc_mem_r, enc_mask_r, p_proj_r, lens_r = _repeat_beams(
             (enc_mem, enc_mask, p_proj, encoded["audio_embeds_lens"]), B)
         enc_r = {"audio_embeds": enc_mem_r, "audio_embeds_lens": lens_r}
-        eps_p = jax.random.normal(self.make_rng("sample"),
-                                  (max_length, N * B, E))
+        eps_p = eps_stack(self.make_rng("sample"), max_length, N * B, E)
 
         def step_fn(state, words, t):
             p_state, last_z, words_buf, z_buf = state

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from acvae_tpu import END_IDX, MAX_LENGTH, PAD_IDX, START_IDX
 from acvae_tpu.decoding.beam import BeamConfig, batched_beam_search
-from acvae_tpu.models.common import scan_or_init
+from acvae_tpu.models.common import scan_or_init, eps_stack
 from acvae_tpu.decoding.sampling import sample_next_word
 from acvae_tpu.ops.masked import length_mask, max_with_lens, mean_with_lens
 
@@ -124,7 +124,7 @@ class VAECaptionModel(nn.Module):
         ss_coins = jax.random.uniform(k_coin1, (T,)) < ss_ratio
         dis_coins = ((jax.random.uniform(k_coin2, (T,)) <= dis_ratio)
                      & (jnp.asarray(dis_ratio) > 0))
-        eps_p = jax.random.normal(k_p, (T, N, E))
+        eps_p = eps_stack(k_p, T, N, E)
         samp_keys = jax.random.split(k_samp, T)
 
         def step(carry, xs):
@@ -211,7 +211,7 @@ class VAECaptionModel(nn.Module):
 
         key = self.make_rng("sample")
         k_p, k_samp = jax.random.split(key)
-        eps_p = jax.random.normal(k_p, (T, N, E))
+        eps_p = eps_stack(k_p, T, N, E)
         samp_keys = jax.random.split(k_samp, T)
 
         def step(carry, xs):
@@ -275,7 +275,7 @@ class VAECaptionModel(nn.Module):
         E = self.decoder.embed_size
         key = self.make_rng("sample")
         k_p, _k_samp = jax.random.split(key)   # mirror stepwise_decode
-        eps_p = jax.random.normal(k_p, (T, N, E))
+        eps_p = eps_stack(k_p, T, N, E)
 
         def step(carry, xs):
             dec_h, p_state, last_z, prev_word = carry
@@ -308,8 +308,7 @@ class VAECaptionModel(nn.Module):
         enc_mem_r, enc_mask_r, p_proj_r, d_proj_r = _repeat_beams(
             (enc_mem, enc_mask, p_proj, d_proj), B)
 
-        eps_p = jax.random.normal(self.make_rng("sample"),
-                                  (max_length, N * B, E))
+        eps_p = eps_stack(self.make_rng("sample"), max_length, N * B, E)
 
         def step_fn(state, words, t):
             dec_h, p_state, last_z = state
@@ -346,8 +345,8 @@ class VAECaptionModel(nn.Module):
         enc_mem_r, enc_mask_r, p_proj_r, d_proj_r = _repeat_beams(
             (enc_mem, enc_mask, p_proj, d_proj), bdash)
         total_steps = max_length + group_size - 1
-        eps_p = jax.random.normal(self.make_rng("sample"),
-                                  (group_size, total_steps, NB, E))
+        eps_p = jax.vmap(lambda k: eps_stack(k, total_steps, NB, E))(
+            jax.random.split(self.make_rng("sample"), group_size))
 
         def make_step_fn(g):
             def step_fn(state, words, t):

@@ -257,3 +257,59 @@ def test_pad_to_multiple_exceeding_batch():
     assert out["lens"].shape == (8,)
     np.testing.assert_array_equal(np.asarray(out["lens"])[:3], [5, 6, 7])
     np.testing.assert_array_equal(np.asarray(out["lens"])[3:6], [5, 6, 7])
+
+
+class TestDistributedEvaluate:
+    def test_sharded_decode_matches_single_device(self, tmp_path):
+        """evaluate --distributed: batch-sharded beam decode over the mesh
+        must produce token-identical captions (threefry is
+        sharding-invariant)."""
+        import json as _json
+
+        import h5py
+        import pandas as pd
+        import yaml
+
+        from acvae_tpu.cli.main import Runner
+        from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+        feats, info, vocab = make_synthetic_clotho(num_audios=6,
+                                                   mel_frames=128)
+        h5 = str(tmp_path / "m.h5")
+        with h5py.File(h5, "w") as f:
+            for aid, mel in feats.items():
+                f[aid] = mel
+        pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
+            tmp_path / "m.csv", sep="\t", index=False)
+        (tmp_path / "text.json").write_text(_json.dumps({"audios": info}))
+        vocab.save(str(tmp_path / "vocab.pkl"))
+        E = 16
+        cfg = {
+            "model": "VAEModel", "encodermodel": "Cnn10",
+            "encoder_args": {"embed_size": E, "channels": [4, 8, 8, E]},
+            "decoder": "VAERNNBahdanauAttnDecoder",
+            "decoder_args": {"embed_size": E, "hidden_size": E},
+            "model_args": {"posterior_model": "PosteriorRNN",
+                           "posterior_args": {"hidden_size": E},
+                           "prior_model": "PriorRNN",
+                           "prior_args": {"hidden_size": E}},
+            "h5_csv": str(tmp_path / "m.csv"),
+            "caption_file": str(tmp_path / "text.json"),
+            "vocab_file": str(tmp_path / "vocab.pkl"),
+            "outputpath": str(tmp_path / "exp"),
+            "epochs": 1, "batch_size": 6, "train_percent": 80,
+            "scheduler": "constant", "scheduler_args": {},
+        }
+        with open(tmp_path / "c.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        exp = Runner().train(str(tmp_path / "c.yaml"))
+        s1 = Runner().evaluate(exp, checkpoint="last")
+        o1 = _json.load(open(f"{exp}/eval_output_beam_3.json"))
+        s8 = Runner().evaluate(exp, checkpoint="last", distributed=True)
+        o8 = _json.load(open(f"{exp}/eval_output_beam_3.json"))
+        caps1 = {p["filename"]: p["caption"] for p in o1["predictions"]}
+        caps8 = {p["filename"]: p["caption"] for p in o8["predictions"]}
+        assert caps1 == caps8
+        for k in s1:
+            if not k.startswith("_") and s1[k] is not None:
+                assert abs(s1[k] - s8[k]) < 1e-9, k
