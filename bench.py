@@ -85,6 +85,50 @@ def bench_jax() -> dict:
     }
 
 
+def bench_int8() -> dict:
+    """Decode throughput with the int8 serving encoder (models/quant.py).
+    Opt-in via ACVAE_BENCH_INT8=1 (adds a second multi-minute compile to
+    the bench run); numbers are recorded in RESULTS.md."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _build_flagship
+    from acvae_tpu.models.quant import QuantCnn10
+
+    model = _build_flagship(vocab_size=VOCAB)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(BATCH, T_MEL, F_MEL)).astype(np.float32))
+    feat_lens = jnp.full((BATCH,), T_MEL, jnp.int32)
+    fi = jnp.asarray(rng.normal(size=(8, 256, F_MEL)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        fi, jnp.full((8,), 256, jnp.int32),
+        jnp.ones((8, 22), jnp.int32), jnp.full((8,), 22, jnp.int32),
+        train=False)
+    quant = QuantCnn10.from_bn0_stats(
+        {"params": variables["params"]["encoder"],
+         "batch_stats": variables["batch_stats"]["encoder"]})
+
+    @jax.jit
+    def decode(variables, feats, feat_lens, key):
+        encoded = quant(feats, feat_lens)
+        return model.apply(variables, encoded, apply_ln=True,
+                           decode_method="beam", beam_size=BEAM,
+                           max_length=MAX_LEN, rngs={"sample": key},
+                           method=model.inference_from_encoded)
+
+    out = decode(variables, feats, feat_lens, jax.random.key(2))
+    np.asarray(out["seqs"])
+    t0 = time.perf_counter()
+    outs = [decode(variables, feats, feat_lens, jax.random.key(100 + i))
+            for i in range(TIMED_ITERS)]
+    for o in outs:
+        np.asarray(o["seqs"])
+    total = time.perf_counter() - t0
+    return {"captions_per_sec": BATCH * TIMED_ITERS / total}
+
+
 def bench_train() -> dict:
     """Training fwd+bwd throughput (samples/s) of the flagship train step —
     reported alongside decode so train-perf regressions are visible in every
@@ -246,11 +290,15 @@ def main():
         "vs_baseline": round(ours["captions_per_sec"] / baseline, 2),
     }
     print(json.dumps(result))
-    print(f"# p50 batch latency: {ours['p50_batch_latency_s'] * 1000:.1f} ms "
-          f"(batch={BATCH}, beam={BEAM}, T={T_MEL}) on {ours['device']}; "
-          f"torch-cpu baseline {baseline:.2f} captions/s; "
-          f"train {train['train_samples_per_sec']:.0f} samples/s fwd+bwd "
-          f"(batch={train['train_batch']}, bf16 encoder)", file=sys.stderr)
+    tail = (f"# p50 batch latency: {ours['p50_batch_latency_s'] * 1000:.1f} ms "
+            f"(batch={BATCH}, beam={BEAM}, T={T_MEL}) on {ours['device']}; "
+            f"torch-cpu baseline {baseline:.2f} captions/s; "
+            f"train {train['train_samples_per_sec']:.0f} samples/s fwd+bwd "
+            f"(batch={train['train_batch']}, bf16 encoder)")
+    if os.environ.get("ACVAE_BENCH_INT8"):
+        tail += (f"; int8-encoder decode "
+                 f"{bench_int8()['captions_per_sec']:.0f} captions/s")
+    print(tail, file=sys.stderr)
 
 
 if __name__ == "__main__":
