@@ -152,11 +152,13 @@ class Runner:
         if "train_h5_csv" in conf:
             train_h5 = _read_h5_csv(conf["train_h5_csv"])
             val_h5 = _read_h5_csv(conf["val_h5_csv"])
-            train_info = load_caption_info(conf["train_caption_file"])
-            val_info = load_caption_info(conf["val_caption_file"])
+            zh = conf.get("zh", False)
+            train_info = load_caption_info(conf["train_caption_file"], zh)
+            val_info = load_caption_info(conf["val_caption_file"], zh)
         else:
             h5 = _read_h5_csv(conf["h5_csv"])
-            info = load_caption_info(conf["caption_file"])
+            info = load_caption_info(conf["caption_file"],
+                                     conf.get("zh", False))
             tr, va = _train_val_split(info, conf["train_percent"], conf["seed"])
             train_info = [info[i] for i in tr]
             val_info = [info[i] for i in va]
@@ -358,7 +360,7 @@ class Runner:
         ss_ratio = conf["ss_args"]["ss_ratio"]
         key = jax.random.key(seed + 2)
         iteration = 0
-        compiled_sigs: set = set()  # multi-process compile/execute alignment
+        compiled_sigs: dict = {}  # shape sig -> AOT-compiled step (multiproc)
         aug_prob = conf.get("use_aug_prob")
         aug_rng = (np.random.default_rng(seed + 9)
                    if aug_prob is not None else None)
@@ -403,23 +405,28 @@ class Runner:
                     # global batch is their concatenation over processes
                     arrays = shard_batch(
                         pad_to_multiple(arrays, mesh.local_mesh.size), mesh)
-                    if jax.process_count() > 1:
-                        # AOT-compile each new shape signature, then
-                        # re-align all hosts before executing: compile-time
-                        # skew must not reach the Gloo rendezvous (30 s cap)
-                        sig = tuple(sorted((k, v.shape)
-                                           for k, v in arrays.items()))
-                        if sig not in compiled_sigs:
-                            train_step.lower(
-                                state, arrays, sub, ss_ratio, dis_ratio,
-                                kl_weight,
-                                alpha if alpha is not None else 0.0).compile()
-                            coordination_barrier(
-                                f"train_step_compile_{len(compiled_sigs)}")
-                            compiled_sigs.add(sig)
-                state, metrics = train_step(state, arrays, sub, ss_ratio,
-                                            dis_ratio, kl_weight,
-                                            alpha if alpha is not None else 0.0)
+                step_call = train_step
+                if mesh is not None and jax.process_count() > 1:
+                    # AOT-compile each new shape signature, then re-align
+                    # all hosts before executing: compile-time skew must
+                    # not reach the Gloo rendezvous (30 s cap).  Execute
+                    # through the compiled object — a fresh train_step()
+                    # call would re-trace and recompile (the jit call cache
+                    # is not populated by lower().compile()).
+                    from acvae_tpu.parallel.mesh import coordination_barrier
+                    sig = tuple(sorted((k, v.shape)
+                                       for k, v in arrays.items()))
+                    if sig not in compiled_sigs:
+                        compiled_sigs[sig] = train_step.lower(
+                            state, arrays, sub, ss_ratio, dis_ratio,
+                            kl_weight,
+                            alpha if alpha is not None else 0.0).compile()
+                        coordination_barrier(
+                            f"train_step_compile_{len(compiled_sigs)}")
+                    step_call = compiled_sigs[sig]
+                state, metrics = step_call(state, arrays, sub, ss_ratio,
+                                           dis_ratio, kl_weight,
+                                           alpha if alpha is not None else 0.0)
                 if profile_dir and iteration >= 15:
                     np.asarray(metrics["loss"])  # force completion
                     jax.profiler.stop_trace()
@@ -625,7 +632,7 @@ class Runner:
         h5_csv = eval_h5_csv or conf.get("val_h5_csv") or conf["h5_csv"]
         cap_file = eval_caption_file or conf.get("val_caption_file") \
             or conf["caption_file"]
-        info = load_caption_info(cap_file)
+        info = load_caption_info(cap_file, conf.get("zh", False))
         # iterate one item per audio (CaptionEvalDataset semantics,
         # caption_dataset.py:20-63); refs still come from the full info
         info_unique = [{**a, "captions": a["captions"][:1]} for a in info]
@@ -647,6 +654,11 @@ class Runner:
             if conf.get("encodermodel") != "Cnn10":
                 raise ValueError("encoder_int8 currently supports the Cnn10 "
                                  "encoder only")
+            if not hasattr(model, "inference_from_encoded"):
+                raise ValueError(
+                    "encoder_int8 requires a model exposing "
+                    "inference_from_encoded (the VAECaptionModel family); "
+                    f"{type(model).__name__} does not")
             from acvae_tpu.models.quant import QuantCnn10
             quant = QuantCnn10.from_bn0_stats(
                 {"params": state.params["encoder"],
@@ -662,6 +674,14 @@ class Runner:
             # batch-sharded decode over the data mesh — XLA partitions the
             # whole beam program; threefry RNG is sharding-invariant, so
             # tokens match the unsharded decode exactly
+            if jax.process_count() > 1:
+                # the eval loader is not host-sharded: each process would
+                # contribute its identical full batch as a "local shard",
+                # duplicating rows, and the output would not be fully
+                # addressable per host
+                raise ValueError("evaluate --distributed is single-process "
+                                 "(all local devices); run it outside the "
+                                 "multi-process training job")
             from acvae_tpu.parallel.mesh import make_mesh, replicate
             mesh = make_mesh()
             variables = replicate(variables, mesh)
@@ -778,8 +798,9 @@ class Runner:
 
     # ------------------------------------------------------------------ #
     def diversity(self, eval_output: str, train_corpus: Optional[str] = None,
-                  output: Optional[str] = None):
-        """Diversity suite over eval_output.json (utils/diverse_mutil.py CLI)."""
+                  output: Optional[str] = None, zh: bool = False):
+        """Diversity suite over eval_output.json (utils/diverse_mutil.py CLI).
+        ``--zh`` applies character-level CJK tokenization on ingest."""
         with open(eval_output) as f:
             data = json.load(f)
         caps_by_id: Dict[str, List[str]] = {}
@@ -794,7 +815,7 @@ class Runner:
                 texts = [item.get("tokens") or item["caption"]]
             # PTB-tokenization stand-in on ingest (base_runner.py:163-196):
             # raw external caption files score like pre-tokenized ones
-            texts = [" ".join(tokenize(t)) for t in texts]
+            texts = [" ".join(tokenize(t, zh)) for t in texts]
             caps_by_id[item["filename"]] = texts
             all_caps.extend(texts)
         results: Dict[str, Any] = {}
@@ -804,7 +825,7 @@ class Runner:
         else:
             results["gDiv1"] = len(set(w for c in all_caps for w in c.split()))
         if train_corpus:
-            train_info = load_caption_info(train_corpus)
+            train_info = load_caption_info(train_corpus, zh)
             train_caps = [c["tokens"] for a in train_info
                           for c in a["captions"]]
             results["Novelty"] = novelty(all_caps, train_caps)
@@ -836,7 +857,7 @@ class Runner:
             h5_csv = eval_h5_csv or conf.get("val_h5_csv") or conf["h5_csv"]
             cap_file = (eval_caption_file or conf.get("val_caption_file")
                         or conf["caption_file"])
-            info = load_caption_info(cap_file)
+            info = load_caption_info(cap_file, conf.get("zh", False))
             info_unique = [{**a, "captions": a["captions"][:1]} for a in info]
             src = _feature_source(h5_csv)
             ds = CaptionDataset(**src, caption_info=info_unique,
@@ -959,38 +980,43 @@ class Runner:
         outputdir.mkdir(parents=True, exist_ok=True)
         logger = _setup_logger(str(outputdir / "train_dscrm.log"))
         vocabulary = Vocabulary.load(conf["vocab_file"])
-        train_ds, _, train_loader, val_loader = \
-            self._build_dataloaders(conf, vocabulary)
         d_args = dict(conf.get("discriminator_args", {}))
         embed = conf.get("encoder_args", {}).get("embed_size", 512)
         dscrm = DiscriminatorRNNModel(vocab_size=len(vocabulary),
                                       audio_dim=embed, **d_args)
         if mode == "aud2cap":
+            train_ds, _, train_loader, val_loader = \
+                self._build_dataloaders(conf, vocabulary)
             enc = ENCODERS.build(conf["encodermodel"],
                                  inputdim=train_ds.data_dim,
                                  **conf.get("encoder_args", {}))
             model = Aud2CapDiscriminatorTrainer(encoder=enc, dscrm=dscrm)
-        elif mode == "cap2cap":
-            model = Cap2CapDiscriminatorTrainer(
-                dscrm=dscrm, uttnumbers=conf.get("uttnumbers", 5))
-        else:
-            raise ValueError(f"mode {mode!r}: aud2cap or cap2cap")
-
-        conf["data_dim"] = train_ds.data_dim
-        conf["discriminator_mode"] = mode
-        conf["discriminator_audio_dim"] = embed
-        batch0 = next(iter(train_loader))
-        if mode == "aud2cap":
+            conf["data_dim"] = train_ds.data_dim
+            batch0 = next(iter(train_loader))
             ex = (jnp.asarray(batch0.feats), jnp.asarray(batch0.feat_lens),
                   jnp.asarray(batch0.caps), jnp.asarray(batch0.cap_lens))
-        else:
+        elif mode == "cap2cap":
+            # caption-only mode: no HDF5 features needed — split the audios
+            # 90/10 (seeded) for a held-out validation loss
+            model = Cap2CapDiscriminatorTrainer(
+                dscrm=dscrm, uttnumbers=conf.get("uttnumbers", 5))
             from acvae_tpu.data.aux_datasets import Stage1Dataset
-            info = load_caption_info(conf["caption_file"])
-            s1 = Stage1Dataset(info, vocabulary,
+            info = load_caption_info(conf["caption_file"],
+                                     conf.get("zh", False))
+            perm = np.random.default_rng(seed).permutation(len(info))
+            n_tr = max(1, int(len(info) * 0.9))
+            s1 = Stage1Dataset([info[i] for i in perm[:n_tr]], vocabulary,
                                uttnumbers=conf.get("uttnumbers", 5))
+            s1_val = Stage1Dataset([info[i] for i in perm[n_tr:]], vocabulary,
+                                   uttnumbers=conf.get("uttnumbers", 5))
             ex = tuple(jnp.asarray(a) for a in
                        next(s1.batches(conf.get("audios_per_batch", 8),
                                        seed)))
+        else:
+            raise ValueError(f"mode {mode!r}: aud2cap or cap2cap")
+
+        conf["discriminator_mode"] = mode
+        conf["discriminator_audio_dim"] = embed
         variables = jax.jit(
             lambda k: model.init({"params": k}, *ex, train=False))(
                 jax.random.key(seed))
@@ -1019,31 +1045,50 @@ class Runner:
                 grads, updates.get("batch_stats", state.batch_stats))
             return new_state, loss, acc
 
+        @jax.jit
+        def eval_loss(state, *args):
+            pos, neg = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                *args, train=False)
+            probs = jnp.concatenate([pos, neg])
+            labels = jnp.concatenate(
+                [jnp.ones(pos.shape), jnp.zeros(neg.shape)])
+            return bce_logits_loss(probs, labels)
+
         dump_config(conf, outputdir / "config.yaml")
-        crtrn = criterion_improver("loss")
+        crtrn = criterion_improver("loss")  # gated on VAL loss
         dkey = jax.random.key(seed + 2)
-        logger.info("{:^10}\t{:^12}\t{:^10}".format("Epoch", "Train loss",
-                                                    "Acc"))
+        logger.info("{:^10}\t{:^12}\t{:^10}\t{:^10}".format(
+            "Epoch", "Train loss", "Acc", "Val loss"))
+        def batches(epoch, train):
+            if mode == "aud2cap":
+                loader = train_loader if train else val_loader
+                loader.set_epoch(epoch)
+                return ((jnp.asarray(b.feats), jnp.asarray(b.feat_lens),
+                         jnp.asarray(b.caps), jnp.asarray(b.cap_lens))
+                        for b in loader.prefetch())
+            ds = s1 if train else s1_val
+            return (tuple(jnp.asarray(a) for a in b)
+                    for b in ds.batches(conf.get("audios_per_batch", 8),
+                                        seed, epoch))
         for epoch in range(1, conf["epochs"] + 1):
             losses, accs = [], []
-            if mode == "aud2cap":
-                train_loader.set_epoch(epoch)
-                it = ((jnp.asarray(b.feats), jnp.asarray(b.feat_lens),
-                       jnp.asarray(b.caps), jnp.asarray(b.cap_lens))
-                      for b in train_loader.prefetch())
-            else:
-                it = (tuple(jnp.asarray(a) for a in b)
-                      for b in s1.batches(conf.get("audios_per_batch", 8),
-                                          seed, epoch))
-            for args in it:
+            for args in batches(epoch, True):
                 dkey, sub = jax.random.split(dkey)
                 state, loss, acc = step(state, sub, *args)
                 losses.append(loss)
                 accs.append(acc)
+            vlosses = [eval_loss(state, *args)
+                       for args in batches(epoch, False)]
             loss = float(np.mean(jax.device_get(losses)))
             acc = float(np.mean(jax.device_get(accs)))
-            logger.info(f"{epoch:^10}\t{loss:^12.4g}\t{acc:^10.3f}")
-            if crtrn(loss):
+            # tiny datasets can leave the held-out split empty; fall back
+            # to the train loss so checkpoint gating still functions
+            vloss = (float(np.mean(jax.device_get(vlosses)))
+                     if vlosses else loss)
+            logger.info(f"{epoch:^10}\t{loss:^12.4g}\t{acc:^10.3f}"
+                        f"\t{vloss:^10.4g}")
+            if crtrn(vloss):
                 save_checkpoint(str(outputdir), "best", state, vocabulary,
                                 conf)
             save_checkpoint(str(outputdir), "last", state, vocabulary, conf)
@@ -1416,12 +1461,13 @@ class Runner:
         return output_csv
 
     # ------------------------------------------------------------------ #
-    def human_eval(self, caption_file: str, output: Optional[str] = None):
+    def human_eval(self, caption_file: str, output: Optional[str] = None,
+                   zh: bool = False):
         """Leave-one-out accuracy + diversity ceilings of the reference
         captions (utils/human_eval.py, diverse_mutil_human.py)."""
         from acvae_tpu.evaluation.human_eval import human_diversity, human_scores
 
-        info = load_caption_info(caption_file)
+        info = load_caption_info(caption_file, zh)
         key2refs = {a["audio_id"]: [c["tokens"] for c in a["captions"]]
                     for a in info}
         results = {**human_scores(key2refs), **human_diversity(key2refs)}

@@ -78,6 +78,10 @@ class VAECaptionModel(nn.Module):
         encoded = self.encoder(feats, feat_lens, train=train)
         if self.ln is not None:
             encoded = dict(encoded)
+            # keep the raw (encoder-dim) embeds too: the adversarial
+            # discriminator was trained on them, not on the decoder-dim
+            # projection
+            encoded["audio_embeds_raw"] = encoded["audio_embeds"]
             encoded["audio_embeds"] = self.ln(encoded["audio_embeds"])
         return encoded
 
@@ -153,10 +157,11 @@ class VAECaptionModel(nn.Module):
 
         output = {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
         output.update({k: v for k, v in qnetout.items() if v is not None})
-        # encoder memory for downstream consumers (the adversarial
-        # discriminator's aud2cap branch needs output["audio_feats"],
-        # loss.py:308)
-        output["audio_embeds"] = enc_mem
+        # encoder memory for downstream consumers: the adversarial
+        # discriminator's aud2cap branch (loss.py:308) consumes the RAW
+        # encoder-dim embeds — the same feature space its aud_proj was
+        # trained on (train_discriminator has no ln adapter)
+        output["audio_embeds"] = encoded.get("audio_embeds_raw", enc_mem)
         output["audio_embeds_lens"] = encoded["audio_embeds_lens"]
 
         if self.global_constraint:

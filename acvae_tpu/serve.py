@@ -69,6 +69,11 @@ class CaptionService:
             if self.conf.get("encodermodel") != "Cnn10":
                 raise ValueError("encoder_int8 currently supports the Cnn10 "
                                  "encoder only")
+            if not hasattr(model, "inference_from_encoded"):
+                raise ValueError(
+                    "encoder_int8 requires a model exposing "
+                    "inference_from_encoded (the VAECaptionModel family); "
+                    f"{type(model).__name__} does not")
             from acvae_tpu.models.quant import QuantCnn10
             channels = tuple(self.conf.get("encoder_args", {}).get(
                 "channels", (64, 128, 256, 512)))

@@ -300,8 +300,15 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
             # token count of the (global) batch, for epoch-level loss
             # weighting: computed inside the jit so multi-process runs see
             # the same replicated value on every host (a host-side count
-            # would weight by the *local* shard only)
-            metrics["ntokens"] = jnp.sum(mask)
+            # would weight by the *local* shard only).  Under the augment
+            # down-weight path the CE normalizes over KEPT tokens only, so
+            # weight by those — otherwise drop-heavy batches skew the
+            # logged epoch loss relative to the optimized objective.
+            if "keep_mask" in batch:
+                metrics["ntokens"] = jnp.sum(
+                    mask.astype(jnp.float32) * batch["keep_mask"][:, None])
+            else:
+                metrics["ntokens"] = jnp.sum(mask)
             return loss, (updates, metrics)
 
         grads, (updates, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -191,3 +191,27 @@ class TestDiscriminatorCLI:
                "discriminator_args.hidden_size": 8,
                "discriminator_args.embed_size": 16})
         assert os.path.isdir(os.path.join(dsc_dir, "last"))
+
+
+class TestAdversarialDimMismatch:
+    def test_adverse_loss_with_ln_adapter(self, workspace, tmp_path):
+        """Regression: the discriminator consumes RAW encoder-dim embeds;
+        with encoder embed != decoder embed (ln adapter present) the
+        adversarial train path must still compose."""
+        dsc_dir = Runner().train_discriminator(
+            str(workspace / "config.yaml"), mode="aud2cap", epochs=1,
+            remark="dscmm", outputpath=str(tmp_path / "dexp"),
+            **{"discriminator_args.word_dim": 16,
+               "discriminator_args.hidden_size": 8,
+               "discriminator_args.embed_size": 16})
+        exp = Runner().train(
+            str(workspace / "config.yaml"), seed=7, remark="advmm",
+            outputpath=str(tmp_path / "gexp"),
+            **{"decoder_args.embed_size": 24,
+               "decoder_args.hidden_size": 24,
+               "model_args.posterior_args.hidden_size": 24,
+               "model_args.prior_args.hidden_size": 24,
+               "adverse_loss.discriminator": dsc_dir,
+               "adverse_loss.alpha": 0.5})
+        rec = json.loads(open(os.path.join(exp, "metrics.jsonl")).readline())
+        assert np.isfinite(rec["train_loss"])
