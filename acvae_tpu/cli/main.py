@@ -651,18 +651,19 @@ class Runner:
         key = jax.random.key(seed)
         quant = None
         if encoder_int8:
-            if conf.get("encodermodel") != "Cnn10":
-                raise ValueError("encoder_int8 currently supports the Cnn10 "
-                                 "encoder only")
+            if conf.get("encodermodel") not in ("Cnn10", "Cnn14"):
+                raise ValueError("encoder_int8 supports the PANN Cnn10/"
+                                 "Cnn14 encoders only")
             if not hasattr(model, "inference_from_encoded"):
                 raise ValueError(
                     "encoder_int8 requires a model exposing "
                     "inference_from_encoded (the VAECaptionModel family); "
                     f"{type(model).__name__} does not")
-            from acvae_tpu.models.quant import QuantCnn10
-            quant = QuantCnn10.from_bn0_stats(
+            from acvae_tpu.models.quant import QuantPannEncoder
+            quant = QuantPannEncoder.from_bn0_stats(
                 {"params": state.params["encoder"],
                  "batch_stats": state.batch_stats.get("encoder", {})},
+                arch=conf["encodermodel"],
                 channels=tuple(conf.get("encoder_args", {}).get(
                     "channels", (64, 128, 256, 512))))
         decode = self._decode_fn(model, quant_encoder=quant,

@@ -1,8 +1,9 @@
-"""Int8 post-training quantization of the Cnn10 encoder (inference only).
+"""Int8 post-training quantization of the PANN encoders (inference only).
 
 The decode path is encoder-dominated (RESULTS.md: ~77% of a beam-3 batch),
 and the v5e MXU runs int8 at 2× its bf16 rate.  This module reinterprets a
-*trained f32* ``Cnn10`` variable tree as an int8 conv pipeline:
+*trained f32* PANN-family variable tree (``Cnn10`` / ``Cnn14``) as an int8
+conv pipeline:
 
 * conv weights: symmetric per-output-channel int8 (scale = max|w|/127);
 * activations: symmetric per-tensor int8 with **static** scales calibrated
@@ -14,14 +15,14 @@ and the v5e MXU runs int8 at 2× its bf16 rate.  This module reinterprets a
 
 No reference counterpart (the reference has no quantization story at all);
 this is a TPU-native serving optimization.  Accuracy is validated in
-``tests/test_quant.py`` (cosine > 0.999 vs the f32 encoder on the
+``tests/test_quant.py`` (cosine > 0.995 vs the f32 encoder on the
 calibration distribution); it is opt-in via ``CaptionService(encoder_int8=
-True)`` / ``cli serve --encoder_int8`` — training and evaluation default to
-the exact f32/bf16 path.
+True)`` / ``cli serve --encoder_int8`` / ``cli evaluate --encoder_int8`` —
+training defaults to the exact f32/bf16 path.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,46 +61,63 @@ def _quantize_x(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
 
 
-class QuantCnn10:
-    """Int8 reinterpretation of a trained ``Cnn10`` variable tree.
+def _arch_spec(arch: str, channels: Sequence[int]) -> Dict[str, Any]:
+    """Block names / pooling plan / head names per PANN architecture
+    (mirrors encoders.Cnn10.__call__ and encoders.Cnn14.__call__)."""
+    if arch == "Cnn10":
+        return {"blocks": [(f"block{i}_{c}", True)
+                           for i, c in enumerate(channels)],
+                "head": "embed_pooled", "subsample": 16}
+    if arch == "Cnn14":
+        return {"blocks": [(f"block{c}", True)
+                           for c in (64, 128, 256, 512, 1024)]
+                + [("block2048", False)],  # pool_size (1,1) on the last
+                "head": "fc1", "subsample": 32}
+    raise ValueError(f"int8 quantization supports Cnn10/Cnn14, not {arch!r}")
 
-    Build once with ``QuantCnn10(variables, calibration_batch)``; then
-    ``encoder(feats, feat_lens)`` returns the standard encoder dict
-    contract.  Mirrors ``encoders.Cnn10.__call__`` step for step
-    (bn0 -> 4 ConvBlocks -> PANN head); dropout is inference-off.
+
+class QuantPannEncoder:
+    """Int8 reinterpretation of a trained PANN encoder variable tree.
+
+    Build once with ``QuantPannEncoder(variables, calib_feats, calib_lens)``
+    (or :meth:`from_bn0_stats`); then ``encoder(feats, feat_lens)`` returns
+    the standard encoder dict contract.  Mirrors the f32 forward step for
+    step (bn0 -> ConvBlocks -> PANN head); dropout is inference-off.
     """
 
     def __init__(self, variables: Dict[str, Any],
                  calib_feats: jnp.ndarray, calib_lens: jnp.ndarray,
+                 arch: str = "Cnn10",
                  channels: Sequence[int] = (64, 128, 256, 512),
                  stem_lane_pad: int = 2):
         params = variables["params"]
         stats = variables["batch_stats"]
-        self.channels = tuple(channels)
+        spec = _arch_spec(arch, channels)
+        self.subsample = spec["subsample"]
         self.stem_lane_pad = stem_lane_pad
         self.bn0 = _fold_bn(params["_MelBatchNorm_0"]["bn0"],
                             stats["_MelBatchNorm_0"]["bn0"])
-        self.blocks = []
-        for i, c in enumerate(self.channels):
-            b = params[f"block{i}_{c}"]
-            bs = stats[f"block{i}_{c}"]
-            blk = {}
+        self.blocks: List[Dict[str, Any]] = []
+        for name, pooled in spec["blocks"]:
+            b, bs = params[name], stats[name]
+            blk: Dict[str, Any] = {"pool": pooled}
             for j in (1, 2):
                 w = np.asarray(b[f"conv{j}"]["kernel"], np.float32)
                 w_i8, sw = _quantize_w(w)
                 blk[f"w{j}"], blk[f"sw{j}"] = jnp.asarray(w_i8), jnp.asarray(sw)
                 blk[f"bn{j}"] = _fold_bn(b[f"bn{j}"], bs[f"bn{j}"])
             self.blocks.append(blk)
-        self.fc = (jnp.asarray(params["embed_pooled"]["kernel"]),
-                   jnp.asarray(params["embed_pooled"]["bias"]))
+        head = params[spec["head"]]
+        self.fc = (jnp.asarray(head["kernel"]), jnp.asarray(head["bias"]))
         # static activation-scale calibration from one representative batch
         self.act_scales = self._calibrate(calib_feats, calib_lens)
 
     @classmethod
     def from_bn0_stats(cls, variables: Dict[str, Any],
+                       arch: str = "Cnn10",
                        channels: Sequence[int] = (64, 128, 256, 512),
                        n: int = 8, t: int = 512, seed: int = 0,
-                       **kw) -> "QuantCnn10":
+                       **kw) -> "QuantPannEncoder":
         """Build with a calibration batch *synthesized from bn0's running
         statistics*: bn0 whitens each mel bin toward N(0,1) with the
         running mean/var of the training distribution, so sampling
@@ -114,7 +132,7 @@ class QuantCnn10:
                  + std[None, None, :] * rng.normal(size=(n, t, len(mean))))
         lens = np.full((n,), t, np.int32)
         return cls(variables, jnp.asarray(feats, jnp.float32),
-                   jnp.asarray(lens), channels=channels, **kw)
+                   jnp.asarray(lens), arch=arch, channels=channels, **kw)
 
     # -------------------------------------------------------------- #
     def _stem(self, feats):
@@ -122,6 +140,12 @@ class QuantCnn10:
         x = (feats * s0 + b0)[..., None]
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0),
                            (0, self.stem_lane_pad - 1)))
+
+    def _block_tail(self, x, blk):
+        if blk["pool"]:
+            x = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1),
+                                  (1, 2, 2, 1), "VALID") * 0.25
+        return x
 
     def _calibrate(self, feats, lens) -> list:
         """f32 shadow pass recording max|activation| entering each conv."""
@@ -136,15 +160,14 @@ class QuantCnn10:
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 s, b = blk[f"bn{j}"]
                 x = jnp.maximum(x * s + b, 0.0)
-            x = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1),
-                                  (1, 2, 2, 1), "VALID") * 0.25
+            x = self._block_tail(x, blk)
         return scales
 
     # -------------------------------------------------------------- #
     def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
-        assert not train, "QuantCnn10 is inference-only"
-        lens = feat_lens // 16
+        assert not train, "QuantPannEncoder is inference-only"
+        lens = feat_lens // self.subsample
         x = self._stem(feats)
         k = 0
         for blk in self.blocks:
@@ -155,10 +178,13 @@ class QuantCnn10:
                 x = _qconv(x_i8, blk[f"w{j}"], sx, blk[f"sw{j}"])
                 s, b = blk[f"bn{j}"]
                 x = jnp.maximum(x * s + b, 0.0)
-            x = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1),
-                                  (1, 2, 2, 1), "VALID") * 0.25
+            x = self._block_tail(x, blk)
         x = jnp.mean(x, axis=2)  # [N, T', C]
         pooled = max_with_lens(x, lens) + mean_with_lens(x, lens)
         pooled = jax.nn.relu(pooled @ self.fc[0] + self.fc[1])
         return {"audio_embeds": x, "audio_embeds_pooled": pooled,
                 "audio_embeds_lens": lens}
+
+
+# backwards-compatible name (Cnn10 default)
+QuantCnn10 = QuantPannEncoder

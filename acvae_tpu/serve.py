@@ -66,22 +66,22 @@ class CaptionService:
             # int8 serving encoder (models/quant.py): v5e runs int8 on the
             # MXU at 2× bf16, and decode is encoder-dominated.  Calibrated
             # from bn0's running stats — no training data needed here.
-            if self.conf.get("encodermodel") != "Cnn10":
-                raise ValueError("encoder_int8 currently supports the Cnn10 "
-                                 "encoder only")
+            if self.conf.get("encodermodel") not in ("Cnn10", "Cnn14"):
+                raise ValueError("encoder_int8 supports the PANN Cnn10/"
+                                 "Cnn14 encoders only")
             if not hasattr(model, "inference_from_encoded"):
                 raise ValueError(
                     "encoder_int8 requires a model exposing "
                     "inference_from_encoded (the VAECaptionModel family); "
                     f"{type(model).__name__} does not")
-            from acvae_tpu.models.quant import QuantCnn10
+            from acvae_tpu.models.quant import QuantPannEncoder
             channels = tuple(self.conf.get("encoder_args", {}).get(
                 "channels", (64, 128, 256, 512)))
-            quant = QuantCnn10.from_bn0_stats(
+            quant = QuantPannEncoder.from_bn0_stats(
                 {"params": restored["params"]["encoder"],
                  "batch_stats": restored.get("batch_stats", {}).get(
                      "encoder", {})},
-                channels=channels)
+                arch=self.conf["encodermodel"], channels=channels)
 
             @jax.jit
             def decode(variables, feats, feat_lens, key):

@@ -139,21 +139,19 @@ class TestCLI:
         assert len(lines) == 1 + len(mats)
         assert sorted(l.split(",")[0] for l in lines[1:]) == sorted(mats)
 
+    def test_evaluate_int8(self, workspace):
+        """encoder_int8 runs the full evaluate harness through the int8
+        serving encoder and writes suffixed artifacts."""
+        scores = Runner().evaluate(self.exp_dir, checkpoint="last",
+                                   encoder_int8=True)
+        assert "CIDEr" in scores and np.isfinite(scores["CIDEr"])
+        assert os.path.exists(os.path.join(self.exp_dir,
+                                           "eval_output_beam_3_int8.json"))
+        assert os.path.exists(os.path.join(self.exp_dir,
+                                           "scores_beam_3_int8.txt"))
+
     def test_main_dispatch(self, workspace, capsys):
         main(["diversity",
               os.path.join(self.exp_dir, "eval_output_dbs_4.json")])
         captured = capsys.readouterr()
         assert "Div1" in captured.out
-
-
-class TestInt8Evaluate:
-    def test_evaluate_int8(self, workspace):
-        """encoder_int8 runs the full evaluate harness through the int8
-        serving encoder and writes suffixed artifacts."""
-        exp_dir = TestCLI.exp_dir
-        scores = Runner().evaluate(exp_dir, checkpoint="last",
-                                   encoder_int8=True)
-        assert "CIDEr" in scores and np.isfinite(scores["CIDEr"])
-        assert os.path.exists(os.path.join(exp_dir,
-                                           "eval_output_beam_3_int8.json"))
-        assert os.path.exists(os.path.join(exp_dir, "scores_beam_3_int8.txt"))

@@ -51,3 +51,26 @@ def test_int8_jits_and_is_static(setup):
     assert np.all(np.isfinite(np.asarray(o1["audio_embeds"])))
     assert not np.allclose(np.asarray(o1["audio_embeds"]),
                            np.asarray(o2["audio_embeds"]))
+
+
+def test_int8_cnn14_matches_f32(rng):
+    """The generic PANN path: Cnn14's block plan (5 pooled blocks + one
+    unpooled 2048 block, head fc1, /32 subsampling)."""
+    from acvae_tpu.models.encoders import Cnn14
+    from acvae_tpu.models.quant import QuantPannEncoder
+
+    feats = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+    lens = jnp.array([128, 96])
+    enc = Cnn14(embed_size=2048)
+    v = enc.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 feats, lens, train=False)
+    ref = enc.apply(v, feats, lens, train=False)
+    q = QuantPannEncoder(v, feats, lens, arch="Cnn14")
+    out = q(feats, lens)
+    assert out["audio_embeds"].shape == ref["audio_embeds"].shape
+    np.testing.assert_array_equal(np.asarray(out["audio_embeds_lens"]),
+                                  np.asarray(ref["audio_embeds_lens"]))
+    a = np.asarray(ref["audio_embeds"]).ravel()
+    b = np.asarray(out["audio_embeds"]).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
