@@ -1,7 +1,8 @@
 """Int8 post-training quantization of the PANN encoders (inference only).
 
 The decode path is encoder-dominated (RESULTS.md: ~77% of a beam-3 batch),
-and the v5e MXU runs int8 at 2× its bf16 rate.  This module reinterprets a
+and the v5e MXU runs int8 convs ~1.6x faster than bf16 at these shapes
+(docs/pallas_notes.md "int8 conv probe").  This module reinterprets a
 *trained f32* PANN-family variable tree (``Cnn10`` / ``Cnn14``) as an int8
 conv pipeline:
 
@@ -9,9 +10,17 @@ conv pipeline:
 * activations: symmetric per-tensor int8 with **static** scales calibrated
   from one representative batch (dynamic per-batch max would add a full
   reduction between blocks);
-* each conv accumulates in int32 on the MXU, dequantizes to f32, applies the
-  folded inference BatchNorm affine + relu, and requantizes for the next
-  conv.
+* each conv accumulates in int32 on the MXU; the dequantize + folded
+  inference BatchNorm + relu + requantize collapse to one baked per-channel
+  affine (``acc * A + B`` -> relu -> round/clip/int8) that XLA fuses into
+  the conv's output epilogue — no f32 intermediate ever reaches HBM;
+* the 2x2 average pool between blocks runs **in the quantized domain**
+  (int8 strided-slice sum, round-half-up) — pooling the dequantized f32
+  activation instead costs ~4x the HBM traffic on the early blocks and was
+  measured to eat half the int8 win (docs/pallas_notes.md).
+
+Only the final conv's output is dequantized (its epilogue keeps the plain
+affine), so the head (freq mean, masked pooling, fc) runs in f32.
 
 No reference counterpart (the reference has no quantization story at all);
 this is a TPU-native serving optimization.  Accuracy is validated in
@@ -31,22 +40,14 @@ from jax import lax
 
 from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
 
+_DN = ("NHWC", "HWIO", "NHWC")
+
 
 def _fold_bn(bn_params: Dict, bn_stats: Dict, eps: float = 1e-5):
     """Inference BN -> (scale, bias)."""
     inv = 1.0 / jnp.sqrt(bn_stats["var"] + eps)
     scale = bn_params["scale"] * inv
     return scale, bn_params["bias"] - bn_stats["mean"] * scale
-
-
-def _qconv(x_i8: jnp.ndarray, w_i8: jnp.ndarray, sx: jnp.ndarray,
-           sw: jnp.ndarray) -> jnp.ndarray:
-    """int8 NHWC conv3x3 SAME -> f32 (dequantized)."""
-    acc = lax.conv_general_dilated(
-        x_i8, w_i8, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (sx * sw)  # sw: per-out-channel
 
 
 def _quantize_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -57,8 +58,23 @@ def _quantize_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         s.astype(np.float32)
 
 
-def _quantize_x(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
-    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+def _avgpool_i8(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 average pool in the quantized domain.
+
+    Post-relu quantized activations are 0..127, so the 4-tap int32 sum fits
+    int8 after round-half-up ``(s+2)>>2``.  Odd trailing rows/cols are
+    dropped, matching ``reduce_window`` VALID semantics."""
+    h = (x.shape[1] // 2) * 2
+    w = (x.shape[2] // 2) * 2
+    x = x[:, :h, :w]
+    s = (x[:, ::2, ::2].astype(jnp.int32) + x[:, 1::2, ::2]
+         + x[:, ::2, 1::2] + x[:, 1::2, 1::2])
+    return ((s + 2) >> 2).astype(jnp.int8)
+
+
+def _avgpool_f32(x: jnp.ndarray) -> jnp.ndarray:
+    return lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1),
+                             (1, 2, 2, 1), "VALID") * 0.25
 
 
 def _arch_spec(arch: str, channels: Sequence[int]) -> Dict[str, Any]:
@@ -109,8 +125,10 @@ class QuantPannEncoder:
             self.blocks.append(blk)
         head = params[spec["head"]]
         self.fc = (jnp.asarray(head["kernel"]), jnp.asarray(head["bias"]))
-        # static activation-scale calibration from one representative batch
+        # static activation-scale calibration from one representative batch,
+        # then bake every dequant+BN+requant chain into one affine per conv
         self.act_scales = self._calibrate(calib_feats, calib_lens)
+        self._bake_epilogues()
 
     @classmethod
     def from_bn0_stats(cls, variables: Dict[str, Any],
@@ -141,45 +159,80 @@ class QuantPannEncoder:
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0),
                            (0, self.stem_lane_pad - 1)))
 
-    def _block_tail(self, x, blk):
-        if blk["pool"]:
-            x = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1),
-                                  (1, 2, 2, 1), "VALID") * 0.25
-        return x
-
     def _calibrate(self, feats, lens) -> list:
-        """f32 shadow pass recording max|activation| entering each conv."""
+        """f32 shadow pass recording max|activation| at every quantize
+        point: the stem output, then each conv's post-relu output *before*
+        pooling (pooling now happens in the quantized domain, so the scale
+        must bound the pre-pool values)."""
+        def smax(v):
+            return float(jnp.max(jnp.abs(v))) / 127.0 + 1e-12
+
+        n_convs = 2 * len(self.blocks)
         scales = []
         x = self._stem(jnp.asarray(feats, jnp.float32))
+        scales.append(smax(x))
+        k = 0
         for blk in self.blocks:
             for j in (1, 2):
-                scales.append(float(jnp.max(jnp.abs(x))) / 127.0 + 1e-12)
+                k += 1
                 w = blk[f"w{j}"].astype(jnp.float32) * blk[f"sw{j}"]
                 x = lax.conv_general_dilated(
-                    x, w, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    x, w, (1, 1), "SAME", dimension_numbers=_DN)
                 s, b = blk[f"bn{j}"]
                 x = jnp.maximum(x * s + b, 0.0)
-            x = self._block_tail(x, blk)
+                if k < n_convs:  # final conv output is never quantized
+                    scales.append(smax(x))
+            if blk["pool"]:
+                x = _avgpool_f32(x)
         return scales
+
+    def _bake_epilogues(self) -> None:
+        """Fold (input scale x weight scale x BN scale [/ output scale])
+        into one per-channel affine per conv.  Quantized-output convs get
+        ``A/s_out, B/s_out`` so requantization is just round/clip; the
+        final conv keeps the raw affine (its output stays f32)."""
+        n_convs = 2 * len(self.blocks)
+        s_in, i = self.act_scales[0], 0
+        for blk in self.blocks:
+            for j in (1, 2):
+                i += 1
+                bs, bb = blk[f"bn{j}"]
+                A = s_in * blk[f"sw{j}"] * bs
+                B = bb
+                if i < n_convs:
+                    s_out = self.act_scales[i]
+                    A, B = A / s_out, B / s_out
+                    s_in = s_out
+                blk[f"A{j}"], blk[f"B{j}"] = A, B
 
     # -------------------------------------------------------------- #
     def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         assert not train, "QuantPannEncoder is inference-only"
         lens = feat_lens // self.subsample
-        x = self._stem(feats)
-        k = 0
-        for blk in self.blocks:
+        x_f = self._stem(feats)
+        x_i8 = jnp.clip(jnp.round(x_f / self.act_scales[0]),
+                        -127, 127).astype(jnp.int8)
+        n = len(self.blocks)
+        for bi, blk in enumerate(self.blocks):
             for j in (1, 2):
-                sx = self.act_scales[k]
-                k += 1
-                x_i8 = _quantize_x(x, sx)
-                x = _qconv(x_i8, blk[f"w{j}"], sx, blk[f"sw{j}"])
-                s, b = blk[f"bn{j}"]
-                x = jnp.maximum(x * s + b, 0.0)
-            x = self._block_tail(x, blk)
-        x = jnp.mean(x, axis=2)  # [N, T', C]
+                acc = lax.conv_general_dilated(
+                    x_i8, blk[f"w{j}"], (1, 1), "SAME",
+                    dimension_numbers=_DN,
+                    preferred_element_type=jnp.int32)
+                y = jnp.maximum(
+                    acc.astype(jnp.float32) * blk[f"A{j}"] + blk[f"B{j}"],
+                    0.0)
+                if bi == n - 1 and j == 2:
+                    x_f = y  # final conv: stay f32 for the head
+                else:
+                    x_i8 = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+            if blk["pool"]:
+                if bi == n - 1:
+                    x_f = _avgpool_f32(x_f)
+                else:
+                    x_i8 = _avgpool_i8(x_i8)
+        x = jnp.mean(x_f, axis=2)  # [N, T', C]
         pooled = max_with_lens(x, lens) + mean_with_lens(x, lens)
         pooled = jax.nn.relu(pooled @ self.fc[0] + self.fc[1])
         return {"audio_embeds": x, "audio_embeds_pooled": pooled,
