@@ -122,10 +122,9 @@ def ensemble_decode(members: List[Tuple[Any, Any]], feats: jnp.ndarray,
     for m, (model, variables) in enumerate(members):
         encoded = model.apply(variables, feats, feat_lens, train=False,
                               method=model.encode)
+        # ctx stays per-instance: AdditiveAttention folds the beam axis
+        # from the [N*B] queries (models/attention.py)
         ctx = model.apply(variables, encoded, method=model.decode_ctx)
-        if B > 1:
-            ctx = jax.tree_util.tree_map(
-                lambda a: jnp.repeat(a, B, axis=0), ctx)
         state0 = model.apply(variables, NB, method=model.init_decode_state)
         E = model.decoder.embed_size
         eps = jax.random.normal(jax.random.fold_in(key, m),

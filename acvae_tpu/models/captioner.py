@@ -160,12 +160,12 @@ class AttnCaptionModel(nn.Module):
         end handling with done counting and freeze."""
         enc_mem, enc_mask, d_proj = self._ctx(encoded)
         N, B = enc_mem.shape[0], beam_size
-        enc_mem_r, enc_mask_r, d_proj_r = _repeat_beams(
-            (enc_mem, enc_mask, d_proj), B)
+        # attention memories stay [N, S, ·]; AdditiveAttention folds the
+        # beam axis from the [N*B] queries (models/attention.py)
 
         def step_fn(state, words, t):
-            d = self.decoder.step(words, state, enc_mem_r, d_proj_r,
-                                  enc_mask_r, train=False)
+            d = self.decoder.step(words, state, enc_mem, d_proj,
+                                  enc_mask, train=False)
             return d["logits"], d["state"]
 
         init_state = self.decoder.init_state(N * B)

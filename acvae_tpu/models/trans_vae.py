@@ -176,14 +176,17 @@ class TransVAECaptionModel(nn.Module):
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         p_proj = self.pnet.project_enc(enc_mem)
         N, B, E = enc_mem.shape[0], beam_size, self.decoder.embed_size
-        enc_mem_r, enc_mask_r, p_proj_r, lens_r = _repeat_beams(
-            (enc_mem, enc_mask, p_proj, encoded["audio_embeds_lens"]), B)
+        # only the transformer decoder's cross-attention needs replicated
+        # memory; the prior net's AdditiveAttention folds the beam axis
+        # from the [N*B] queries (models/attention.py)
+        enc_mem_r, lens_r = _repeat_beams(
+            (enc_mem, encoded["audio_embeds_lens"]), B)
         enc_r = {"audio_embeds": enc_mem_r, "audio_embeds_lens": lens_r}
         eps_p = eps_stack(self.make_rng("sample"), max_length, N * B, E)
 
         def step_fn(state, words, t):
             p_state, last_z, words_buf, z_buf = state
-            p = self.pnet.step(words, enc_mem_r, p_proj_r, enc_mask_r,
+            p = self.pnet.step(words, enc_mem, p_proj, enc_mask,
                                p_state, last_z, eps_p[t])
             words_buf = jnp.where(
                 (jnp.arange(words_buf.shape[1]) == t)[None, :],

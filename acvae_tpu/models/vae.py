@@ -310,17 +310,18 @@ class VAECaptionModel(nn.Module):
         N = enc_mem.shape[0]
         B = beam_size
         E = self.decoder.embed_size
-        enc_mem_r, enc_mask_r, p_proj_r, d_proj_r = _repeat_beams(
-            (enc_mem, enc_mask, p_proj, d_proj), B)
+        # attention memories stay per-instance [N, S, ·]: AdditiveAttention
+        # folds the beam axis from the [N*B] queries (models/attention.py),
+        # so the B× replicated HBM reads of enc_mem/projections disappear.
 
         eps_p = eps_stack(self.make_rng("sample"), max_length, N * B, E)
 
         def step_fn(state, words, t):
             dec_h, p_state, last_z = state
-            p = self.pnet.step(words, enc_mem_r, p_proj_r, enc_mask_r,
+            p = self.pnet.step(words, enc_mem, p_proj, enc_mask,
                                p_state, last_z, eps_p[t])
-            d = self.decoder.step(words, dec_h, enc_mem_r, d_proj_r,
-                                  enc_mask_r, p["z"], train=False)
+            d = self.decoder.step(words, dec_h, enc_mem, d_proj,
+                                  enc_mask, p["z"], train=False)
             return d["logits"], (d["state"], p["state"], p["z"])
 
         init_state = (self.decoder.init_state(N * B),
@@ -347,8 +348,7 @@ class VAECaptionModel(nn.Module):
         E = self.decoder.embed_size
         bdash = beam_size // group_size
         NB = N * bdash
-        enc_mem_r, enc_mask_r, p_proj_r, d_proj_r = _repeat_beams(
-            (enc_mem, enc_mask, p_proj, d_proj), bdash)
+        # per-instance attention memories; beam axis folded in the attention
         total_steps = max_length + group_size - 1
         eps_p = jax.vmap(lambda k: eps_stack(k, total_steps, NB, E))(
             jax.random.split(self.make_rng("sample"), group_size))
@@ -356,10 +356,10 @@ class VAECaptionModel(nn.Module):
         def make_step_fn(g):
             def step_fn(state, words, t):
                 dec_h, p_state, last_z = state
-                p = self.pnet.step(words, enc_mem_r, p_proj_r, enc_mask_r,
+                p = self.pnet.step(words, enc_mem, p_proj, enc_mask,
                                    p_state, last_z, eps_p[g, t])
-                d = self.decoder.step(words, dec_h, enc_mem_r, d_proj_r,
-                                      enc_mask_r, p["z"], train=False)
+                d = self.decoder.step(words, dec_h, enc_mem, d_proj,
+                                      enc_mask, p["z"], train=False)
                 return d["logits"], (d["state"], p["state"], p["z"])
             return step_fn
 
@@ -490,13 +490,11 @@ class SimpleVAECaptionModel(nn.Module):
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         d_proj = self.decoder.project_enc(enc_mem)
         N, B, E = enc_mem.shape[0], beam_size, self.decoder.embed_size
-        enc_mem_r, enc_mask_r, d_proj_r = _repeat_beams(
-            (enc_mem, enc_mask, d_proj), B)
         z = jax.random.normal(key, (N * B, E)) * jnp.exp(0.5 * 1.0)
 
         def step_fn(state, words, t):
-            d = self.decoder.step(words, state, enc_mem_r, d_proj_r,
-                                  enc_mask_r, z, train=False)
+            d = self.decoder.step(words, state, enc_mem, d_proj,
+                                  enc_mask, z, train=False)
             return d["logits"], d["state"]
 
         init_state = self.decoder.init_state(N * B)
