@@ -390,13 +390,19 @@ class Runner:
                 key, sub = jax.random.split(key)
                 if profile_dir and iteration == 1:
                     jax.profiler.start_trace(str(profile_dir))
-                arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+                # multi-process: keep the batch on the host — pad_to_multiple
+                # works on numpy and make_array_from_process_local_data
+                # consumes host arrays; a jnp staging here would round-trip
+                # every batch device→host→device
+                stage = (jnp.asarray if mesh is None
+                         or jax.process_count() == 1 else np.asarray)
+                arrays = {k: stage(v) for k, v in batch.arrays().items()}
                 if aug_prob is not None:
                     # AugmentLossWrapper path (loss.py:72-94): drop augmented
                     # captions (cap_id contains "aug") with prob 1-p
                     from acvae_tpu.losses.wrappers import augment_keep_mask
-                    arrays["keep_mask"] = jnp.asarray(augment_keep_mask(
-                        batch.cap_ids, aug_prob, aug_rng), jnp.float32)
+                    arrays["keep_mask"] = stage(np.asarray(augment_keep_mask(
+                        batch.cap_ids, aug_prob, aug_rng), np.float32))
                 if mesh is not None:
                     from acvae_tpu.parallel.mesh import (coordination_barrier,
                                                          pad_to_multiple,
@@ -561,14 +567,8 @@ class Runner:
         the int8 serving encoder (models/quant.py) in front of the model's
         decode machinery."""
         if quant_encoder is not None:
-            @jax.jit
-            def decode(variables, feats, feat_lens, key):
-                encoded = quant_encoder(feats, feat_lens)
-                return model.apply(variables, encoded, apply_ln=True,
-                                   rngs={"sample": key},
-                                   method=model.inference_from_encoded,
-                                   **decode_kwargs)
-            return decode
+            from acvae_tpu.models.quant import int8_decode_fn
+            return int8_decode_fn(model, quant_encoder, **decode_kwargs)
 
         @jax.jit
         def decode(variables, feats, feat_lens, key):
@@ -651,21 +651,9 @@ class Runner:
         key = jax.random.key(seed)
         quant = None
         if encoder_int8:
-            if conf.get("encodermodel") not in ("Cnn10", "Cnn14"):
-                raise ValueError("encoder_int8 supports the PANN Cnn10/"
-                                 "Cnn14 encoders only")
-            if not hasattr(model, "inference_from_encoded"):
-                raise ValueError(
-                    "encoder_int8 requires a model exposing "
-                    "inference_from_encoded (the VAECaptionModel family); "
-                    f"{type(model).__name__} does not")
-            from acvae_tpu.models.quant import QuantPannEncoder
-            quant = QuantPannEncoder.from_bn0_stats(
-                {"params": state.params["encoder"],
-                 "batch_stats": state.batch_stats.get("encoder", {})},
-                arch=conf["encodermodel"],
-                channels=tuple(conf.get("encoder_args", {}).get(
-                    "channels", (64, 128, 256, 512))))
+            from acvae_tpu.models.quant import quant_encoder_for
+            quant = quant_encoder_for(conf, model, state.params,
+                                      state.batch_stats)
         decode = self._decode_fn(model, quant_encoder=quant,
                                  decode_method=decode_method,
                                  beam_size=beam_size, max_length=max_length,
@@ -1099,14 +1087,16 @@ class Runner:
     def stage1(self, caption_file: str, vocab_file: str,
                output_dir: str = "experiments/stage1", epochs: int = 20,
                audios_per_batch: int = 16, uttnumbers: int = 5,
-               embed_size: int = 512, lr: float = 1e-3, seed: int = 1):
-        """GE2E caption-embedder pretraining (runners/stage1_runner.py)."""
+               embed_size: int = 512, lr: float = 1e-3, seed: int = 1,
+               zh: bool = False):
+        """GE2E caption-embedder pretraining (runners/stage1_runner.py).
+        ``--zh`` applies character-level CJK tokenization to raw captions."""
         import optax
 
         from acvae_tpu.data.aux_datasets import Stage1Dataset
         from acvae_tpu.models.stage1 import GE2ELoss, Stage1Encoder
 
-        info = load_caption_info(caption_file)
+        info = load_caption_info(caption_file, zh)
         vocabulary = Vocabulary.load(vocab_file)
         ds = Stage1Dataset(info, vocabulary, uttnumbers=uttnumbers)
         enc = Stage1Encoder(vocab_size=len(vocabulary),
@@ -1701,7 +1691,7 @@ class Runner:
         """Build vocab.pkl from text.json (utils/build_vocab.py CLI;
         zh=True uses character-level CJK tokens — documented fallback for
         the reference's CoreNLP word segmentation)."""
-        info = load_caption_info(caption_file)
+        info = load_caption_info(caption_file, zh=zh)
         vocab = _build_vocab(info, threshold, zh=zh)
         # write tokens back like the reference (build_vocab.py:95)
         with open(caption_file, "w") as f:

@@ -75,6 +75,11 @@ class Stage1Dataset:
     def batches(self, audios_per_batch: int, seed: int = 0, epoch: int = 0
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yields (caps [A*M, L], lens [A*M]) row-major by audio group."""
+        if len(self.audios) < audios_per_batch:
+            raise ValueError(
+                f"Stage1Dataset has only {len(self.audios)} audios with >= "
+                f"{self.utt} captions, fewer than audios_per_batch="
+                f"{audios_per_batch}; lower audios_per_batch or uttnumbers")
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(self.audios))
         for s in range(0, len(order) - audios_per_batch + 1, audios_per_batch):

@@ -241,3 +241,42 @@ class QuantPannEncoder:
 
 # backwards-compatible name (Cnn10 default)
 QuantCnn10 = QuantPannEncoder
+
+
+def quant_encoder_for(conf: Dict[str, Any], model: Any, params: Dict[str, Any],
+                      batch_stats: Optional[Dict[str, Any]]
+                      ) -> QuantPannEncoder:
+    """Validate an experiment's config/model for int8 serving and build the
+    calibrated encoder — the one place the guard conditions and the
+    bn0-stats calibration call live (shared by ``cli evaluate``,
+    ``cli serve`` and ``bench.py``)."""
+    if conf.get("encodermodel") not in ("Cnn10", "Cnn14"):
+        raise ValueError("encoder_int8 supports the PANN Cnn10/"
+                         "Cnn14 encoders only")
+    if not hasattr(model, "inference_from_encoded"):
+        raise ValueError(
+            "encoder_int8 requires a model exposing inference_from_encoded "
+            f"(the VAECaptionModel family); {type(model).__name__} does not")
+    stats = (batch_stats or {}).get("encoder", {})
+    if "_MelBatchNorm_0" not in stats:
+        raise ValueError(
+            "encoder_int8 needs the encoder's batch_stats (bn0 running "
+            "mean/var) for calibration; this checkpoint has none")
+    return QuantPannEncoder.from_bn0_stats(
+        {"params": params["encoder"], "batch_stats": stats},
+        arch=conf["encodermodel"],
+        channels=tuple(conf.get("encoder_args", {}).get(
+            "channels", (64, 128, 256, 512))))
+
+
+def int8_decode_fn(model: Any, quant: QuantPannEncoder, **decode_kwargs):
+    """Jitted decode closure: int8 encoder in front of the model's decode
+    machinery (``inference_from_encoded`` + the enc→dec dim adapter)."""
+    @jax.jit
+    def decode(variables, feats, feat_lens, key):
+        encoded = quant(feats, feat_lens)
+        return model.apply(variables, encoded, apply_ln=True,
+                           rngs={"sample": key},
+                           method=model.inference_from_encoded,
+                           **decode_kwargs)
+    return decode

@@ -85,7 +85,9 @@ def pad_to_multiple(batch: Dict[str, Any], m: int) -> Dict[str, Any]:
     """Pad every array's leading (batch) dim to a multiple of ``m`` by
     repeating the first rows — the reference's
     ``CaptionDistributedSampler`` pad-to-divisible trick
-    (datasets/caption_dataset.py:262-275)."""
+    (datasets/caption_dataset.py:262-275).  Numpy inputs stay numpy (the
+    multi-process path feeds host arrays straight into
+    ``make_array_from_process_local_data``; no device round-trip)."""
     import jax.numpy as jnp
     n = next(iter(batch.values())).shape[0]
     pad = (-n) % m
@@ -93,5 +95,9 @@ def pad_to_multiple(batch: Dict[str, Any], m: int) -> Dict[str, Any]:
         return batch
     # tile first: pad can exceed n (e.g. 3 rows on an 8-device mesh needs 5)
     reps = -(-pad // n)
-    return {k: jnp.concatenate([v] + [v] * reps, axis=0)[: n + pad]
-            for k, v in batch.items()}
+
+    def _pad(v):
+        xp = np if isinstance(v, np.ndarray) else jnp
+        return xp.concatenate([v] + [v] * reps, axis=0)[: n + pad]
+
+    return {k: _pad(v) for k, v in batch.items()}

@@ -66,30 +66,11 @@ class CaptionService:
             # int8 serving encoder (models/quant.py): v5e runs int8 on the
             # MXU at 2× bf16, and decode is encoder-dominated.  Calibrated
             # from bn0's running stats — no training data needed here.
-            if self.conf.get("encodermodel") not in ("Cnn10", "Cnn14"):
-                raise ValueError("encoder_int8 supports the PANN Cnn10/"
-                                 "Cnn14 encoders only")
-            if not hasattr(model, "inference_from_encoded"):
-                raise ValueError(
-                    "encoder_int8 requires a model exposing "
-                    "inference_from_encoded (the VAECaptionModel family); "
-                    f"{type(model).__name__} does not")
-            from acvae_tpu.models.quant import QuantPannEncoder
-            channels = tuple(self.conf.get("encoder_args", {}).get(
-                "channels", (64, 128, 256, 512)))
-            quant = QuantPannEncoder.from_bn0_stats(
-                {"params": restored["params"]["encoder"],
-                 "batch_stats": restored.get("batch_stats", {}).get(
-                     "encoder", {})},
-                arch=self.conf["encodermodel"], channels=channels)
-
-            @jax.jit
-            def decode(variables, feats, feat_lens, key):
-                encoded = quant(feats, feat_lens)
-                return model.apply(
-                    variables, encoded, apply_ln=True,
-                    rngs={"sample": key},
-                    method=model.inference_from_encoded, **kwargs)
+            from acvae_tpu.models.quant import (int8_decode_fn,
+                                                quant_encoder_for)
+            quant = quant_encoder_for(self.conf, model, restored["params"],
+                                      restored.get("batch_stats", {}))
+            decode = int8_decode_fn(model, quant, **kwargs)
         else:
             @jax.jit
             def decode(variables, feats, feat_lens, key):

@@ -94,7 +94,7 @@ def bench_int8() -> dict:
     import numpy as np
 
     from __graft_entry__ import _build_flagship
-    from acvae_tpu.models.quant import QuantCnn10
+    from acvae_tpu.models.quant import int8_decode_fn, quant_encoder_for
 
     model = _build_flagship(vocab_size=VOCAB)
     rng = np.random.default_rng(0)
@@ -106,17 +106,10 @@ def bench_int8() -> dict:
         fi, jnp.full((8,), 256, jnp.int32),
         jnp.ones((8, 22), jnp.int32), jnp.full((8,), 22, jnp.int32),
         train=False)
-    quant = QuantCnn10.from_bn0_stats(
-        {"params": variables["params"]["encoder"],
-         "batch_stats": variables["batch_stats"]["encoder"]})
-
-    @jax.jit
-    def decode(variables, feats, feat_lens, key):
-        encoded = quant(feats, feat_lens)
-        return model.apply(variables, encoded, apply_ln=True,
-                           decode_method="beam", beam_size=BEAM,
-                           max_length=MAX_LEN, rngs={"sample": key},
-                           method=model.inference_from_encoded)
+    quant = quant_encoder_for({"encodermodel": "Cnn10"}, model,
+                              variables["params"], variables["batch_stats"])
+    decode = int8_decode_fn(model, quant, decode_method="beam",
+                            beam_size=BEAM, max_length=MAX_LEN)
 
     out = decode(variables, feats, feat_lens, jax.random.key(2))
     np.asarray(out["seqs"])

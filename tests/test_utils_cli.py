@@ -164,6 +164,26 @@ def test_zh_character_tokenization():
     assert len(vocab) == 6  # 4 specials + 2 chars
 
 
+def test_cli_build_vocab_zh_raw_captions(tmp_path):
+    """cli build_vocab --zh on a RAW caption file (no pre-made tokens) must
+    character-tokenize; regression for load_caption_info pre-synthesizing
+    english whole-sentence tokens before the zh flag could apply."""
+    import json
+
+    from acvae_tpu.cli.main import Runner
+    from acvae_tpu.data.vocab import Vocabulary
+    text = tmp_path / "text.json"
+    text.write_text(json.dumps({"audios": [
+        {"audio_id": "a.wav", "captions": [{"caption": "狗在叫"}]}]},
+        ensure_ascii=False))
+    out = Runner().build_vocab(str(text), str(tmp_path / "vocab.pkl"),
+                               zh=True)
+    vocab = Vocabulary.load(out)
+    assert len(vocab) == 7  # 4 specials + 3 chars, not one sentence-token
+    back = json.loads(text.read_text())
+    assert back["audios"][0]["captions"][0]["tokens"] == "狗 在 叫"
+
+
 def test_hf_sentence_embedding_local_model(tmp_path):
     """extract_sentence_embedding detects a local HF model dir and writes
     mean-pooled contextual embeddings (the reference's bert path)."""
