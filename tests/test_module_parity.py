@@ -64,6 +64,41 @@ class TestAttentionParity:
                                    rtol=1e-5, atol=1e-6)
 
 
+class TestBeamFoldedAttention:
+    def test_folded_matches_replicated(self, rng):
+        """Beam-folded queries (Nq = N*B against N memory rows, row-major
+        per instance) must produce exactly what replicating the memories
+        per beam produces — this pins the row-major beam↔memory mapping
+        the beam engine relies on (models/attention.py)."""
+        import flax.linen as nn
+
+        N, B, S, HE, HD, A = 3, 4, 6, 8, 5, 7
+        h_enc = rng.normal(size=(N, S, HE)).astype(np.float32)
+        q = rng.normal(size=(N * B, HD)).astype(np.float32)
+        lens = np.array([6, 3, 5])
+        mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+
+        attn = AdditiveAttention(A)
+
+        def run(attn, h_dec, h_enc, mask):
+            proj = attn.project_enc(h_enc)
+            return attn(h_dec, h_enc, proj, mask)
+
+        variables = nn.init(run, attn)(
+            jax.random.key(0), jnp.asarray(q), jnp.asarray(h_enc), mask)
+        ctx_f, w_f = nn.apply(run, attn)(
+            variables, jnp.asarray(q), jnp.asarray(h_enc), mask)
+        # replicated: each memory row repeated B times (row-major)
+        enc_r = jnp.repeat(jnp.asarray(h_enc), B, axis=0)
+        mask_r = jnp.repeat(mask, B, axis=0)
+        ctx_r, w_r = nn.apply(run, attn)(
+            variables, jnp.asarray(q), enc_r, mask_r)
+        np.testing.assert_allclose(np.asarray(ctx_f), np.asarray(ctx_r),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_r),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def _copy_gru(cell_params, tgru, suffix=""):
     return {
         "wi": t2n(getattr(tgru, f"weight_ih_l0{suffix}")).T,
