@@ -999,8 +999,8 @@ class Runner:
             s1_val = Stage1Dataset([info[i] for i in perm[n_tr:]], vocabulary,
                                    uttnumbers=conf.get("uttnumbers", 5))
             ex = tuple(jnp.asarray(a) for a in
-                       next(s1.batches(conf.get("audios_per_batch", 8),
-                                       seed)))
+                       s1.require_batch(conf.get("audios_per_batch", 8),
+                                        seed))
         else:
             raise ValueError(f"mode {mode!r}: aud2cap or cap2cap")
 
@@ -1102,7 +1102,7 @@ class Runner:
         enc = Stage1Encoder(vocab_size=len(vocabulary),
                             embed_size=embed_size)
         loss_mod = GE2ELoss()
-        caps0, lens0 = next(ds.batches(audios_per_batch, seed))
+        caps0, lens0 = ds.require_batch(audios_per_batch, seed)
         ev = enc.init(jax.random.key(seed), jnp.asarray(caps0),
                       jnp.asarray(lens0), train=False)
         lv = loss_mod.init(jax.random.key(seed + 1),

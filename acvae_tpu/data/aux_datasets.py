@@ -72,14 +72,23 @@ class Stage1Dataset:
         out[: len(ids)] = ids
         return out, len(ids)
 
-    def batches(self, audios_per_batch: int, seed: int = 0, epoch: int = 0
-                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yields (caps [A*M, L], lens [A*M]) row-major by audio group."""
+    def require_batch(self, audios_per_batch: int, seed: int = 0,
+                      epoch: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """First batch, with an actionable error instead of a bare
+        StopIteration when the dataset is too small to form one."""
         if len(self.audios) < audios_per_batch:
             raise ValueError(
                 f"Stage1Dataset has only {len(self.audios)} audios with >= "
                 f"{self.utt} captions, fewer than audios_per_batch="
                 f"{audios_per_batch}; lower audios_per_batch or uttnumbers")
+        return next(self.batches(audios_per_batch, seed, epoch))
+
+    def batches(self, audios_per_batch: int, seed: int = 0, epoch: int = 0
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields (caps [A*M, L], lens [A*M]) row-major by audio group."""
+        # NOTE: yields nothing when fewer qualifying audios than
+        # audios_per_batch (a small val split legitimately produces zero
+        # batches); callers that *require* a batch use require_batch()
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(self.audios))
         for s in range(0, len(order) - audios_per_batch + 1, audios_per_batch):
