@@ -289,10 +289,31 @@ class Runner:
             # reference key (pytorch_runner_vae.py:155-161: NCCL DDP);
             # here: 1-D data mesh over all visible devices, params
             # replicated, batches sharded — XLA inserts the grad all-reduce
-            from acvae_tpu.parallel.mesh import make_mesh, replicate
+            from acvae_tpu.parallel.mesh import (check_vocab_divisible,
+                                                 make_mesh, make_mesh_2d,
+                                                 replicate, shard_by_vocab)
+            mp = int(conf.get("model_parallel", 1) or 1)
             if jax.process_count() == 1 and len(jax.devices()) == 1:
                 logger.info("distributed=true with a single device: "
                             "running unsharded")
+            elif mp > 1 and not check_vocab_divisible(
+                    len(vocabulary), make_mesh_2d(mp)):
+                logger.warning(
+                    f"model_parallel={mp} needs a vocab divisible by {mp} "
+                    f"(got {len(vocabulary)}); falling back to pure data "
+                    f"parallelism — rebuild the vocab with `build_vocab "
+                    f"--pad_to_multiple={mp}`")
+                mesh = make_mesh()
+                state = replicate(state, mesh)
+                logger.info(f"data-parallel mesh: {dict(mesh.shape)}")
+            elif mp > 1:
+                # 2-D (data, model) mesh: vocab-sized params (embeddings,
+                # classifier head) split over `model`; SPMD inserts the
+                # column-parallel matmul + psum'd softmax collectives
+                mesh = make_mesh_2d(mp)
+                state = shard_by_vocab(state, mesh, len(vocabulary))
+                logger.info(f"data-parallel mesh: {dict(mesh.shape)} "
+                            f"(vocab-dim params split over 'model')")
             else:
                 mesh = make_mesh()
                 state = replicate(state, mesh)
@@ -407,10 +428,12 @@ class Runner:
                     from acvae_tpu.parallel.mesh import (coordination_barrier,
                                                          pad_to_multiple,
                                                          shard_batch)
-                    # pad this host's rows to its local device count; the
-                    # global batch is their concatenation over processes
+                    # pad this host's rows to its local data-axis extent
+                    # (batches replicate over any `model` axis); the global
+                    # batch is the concatenation over processes
                     arrays = shard_batch(
-                        pad_to_multiple(arrays, mesh.local_mesh.size), mesh)
+                        pad_to_multiple(arrays,
+                                        mesh.local_mesh.shape["data"]), mesh)
                 step_call = train_step
                 if mesh is not None and jax.process_count() > 1:
                     # AOT-compile each new shape signature, then re-align
@@ -1687,12 +1710,15 @@ class Runner:
 
     # ------------------------------------------------------------------ #
     def build_vocab(self, caption_file: str, output: str,
-                    threshold: int = 1, zh: bool = False):
+                    threshold: int = 1, zh: bool = False,
+                    pad_to_multiple: int = 1):
         """Build vocab.pkl from text.json (utils/build_vocab.py CLI;
         zh=True uses character-level CJK tokens — documented fallback for
-        the reference's CoreNLP word segmentation)."""
+        the reference's CoreNLP word segmentation).  ``--pad_to_multiple=M``
+        rounds |V| up with inert <pad_k> tokens for ``model_parallel: M``."""
         info = load_caption_info(caption_file, zh=zh)
-        vocab = _build_vocab(info, threshold, zh=zh)
+        vocab = _build_vocab(info, threshold, zh=zh,
+                             pad_to_multiple=int(pad_to_multiple))
         # write tokens back like the reference (build_vocab.py:95)
         with open(caption_file, "w") as f:
             json.dump({"audios": info}, f, indent=1)

@@ -107,9 +107,15 @@ class Vocabulary:
 
 
 def build_vocab(caption_info: List[dict], threshold: int = 1,
-                zh: bool = False) -> Vocabulary:
+                zh: bool = False, pad_to_multiple: int = 1) -> Vocabulary:
     """Build from text.json 'audios' list; writes `tokens` back into each
-    caption dict like the reference does (build_vocab.py:95)."""
+    caption dict like the reference does (build_vocab.py:95).
+
+    ``pad_to_multiple``: round the vocab size up with inert ``<pad_k>``
+    tokens — required by ``model_parallel: M`` training, where the explicit
+    placement of vocab-sharded parameters needs |V| divisible by M (the
+    standard pad-the-tokenizer recipe; the pads never appear in data, so
+    training math is unchanged)."""
     counter: Counter = Counter()
     for audio in caption_info:
         for cap in audio["captions"]:
@@ -121,6 +127,10 @@ def build_vocab(caption_info: List[dict], threshold: int = 1,
     for word, cnt in sorted(counter.items()):
         if cnt >= threshold:
             vocab.add_word(word)
+    k = 0
+    while len(vocab) % max(1, pad_to_multiple):
+        vocab.add_word(f"<pad_{k}>")
+        k += 1
     return vocab
 
 

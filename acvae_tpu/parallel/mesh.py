@@ -7,6 +7,14 @@ axis: batches are sharded over it, parameters are replicated, and the gradient
 all-reduce is inserted by XLA when the sharded loss is averaged — riding ICI
 collectives instead of NCCL.
 
+Beyond the reference: ``model_parallel: M`` (config) builds a 2-D
+``(data, model)`` mesh and splits the vocab-sized parameters — embedding
+tables ``[V, E]`` and the classifier head ``[E, V]``, the dominant weights
+once vocabularies grow — over the ``model`` axis (:func:`shard_by_vocab`).
+No model-code changes: the SPMD partitioner propagates the annotations and
+inserts the collectives (column-parallel classifier matmul, psum'd
+log-softmax, all-gathered embedding lookups).
+
 Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
 ``CaptionLoader(host_id=jax.process_index(), host_count=jax.process_count())``
 shards the input pipeline per host (the reference's unfinished
@@ -26,6 +34,75 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(model_parallel: int, n_devices: Optional[int] = None) -> Mesh:
+    """2-D ``(data, model)`` mesh: batches shard over ``data``, vocab-sized
+    parameters over ``model`` (see :func:`shard_by_vocab`).  The model axis
+    should map to the fastest interconnect ring — jax device order already
+    enumerates ICI neighbours adjacently, so consecutive devices share the
+    ``model`` axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if model_parallel < 1 or n % model_parallel:
+        raise ValueError(f"model_parallel={model_parallel} does not divide "
+                         f"{n} devices")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def vocab_pspec(leaf, vocab_size: int, axis: str = "model") -> P:
+    """PartitionSpec for one array under vocab tensor-parallelism.
+
+    Shape-based rule: a leading dim equal to the vocabulary size (embedding
+    tables ``[V, E]``, classifier bias ``[V]``) shards over ``axis``; a
+    trailing dim equal to it (classifier kernels ``[E, V]``) shards the last
+    dim; anything else is replicated.  Shape-based so it applies uniformly to
+    params AND their optimizer-state mirrors (Adam mu/nu) with no knowledge
+    of the optax chain's structure.  Callers must ensure no non-vocab dim
+    collides with ``vocab_size`` (real vocabs are ~5k — far from any channel
+    or time dim; tests pick distinct sizes)."""
+    shape = tuple(getattr(leaf, "shape", ()) or ())
+    if len(shape) >= 1 and shape[0] == vocab_size:
+        return P(axis, *([None] * (len(shape) - 1)))
+    if len(shape) >= 2 and shape[-1] == vocab_size:
+        return P(*([None] * (len(shape) - 1)), axis)
+    return P()
+
+
+def check_vocab_divisible(vocab_size: int, mesh: Mesh,
+                          axis: str = "model") -> bool:
+    """Explicit array placement (unlike SPMD intermediates) requires the
+    sharded dim to divide the axis extent.  Returns False (caller should
+    fall back to replication and warn) when it doesn't — the fix is
+    ``build_vocab --pad_to_multiple=M``, which pads the *vocabulary* with
+    inert ``<pad_k>`` tokens the way production tokenizers are padded for
+    TP, keeping training math exactly equal to the unsharded run."""
+    return vocab_size % dict(mesh.shape)[axis] == 0
+
+
+def shard_by_vocab(tree: Any, mesh: Mesh, vocab_size: int):
+    """Tensor-parallel placement of a state pytree on a ``(data, model)``
+    mesh: vocab-dim leaves split over ``model`` (the decoder classifier's
+    ``[E, V]`` matmul runs column-parallel; XLA's SPMD partitioner inserts
+    the psum for the loss's log-softmax reduction and the all-gathers for
+    sharded-table embedding lookups), everything else replicated.
+
+    Multi-process: every host holds the full (same-seed) value, so each leaf
+    is assembled with ``make_array_from_callback``."""
+    single = jax.process_count() == 1
+
+    def place(x):
+        sh = NamedSharding(mesh, vocab_pspec(x, vocab_size))
+        if single:
+            return jax.device_put(x, sh)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx, a=arr: a[idx])
+
+    return jax.tree.map(place, tree)
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):

@@ -21,6 +21,17 @@ class TestVocabulary:
         ids = [START_IDX, v("a"), v("dog"), v("barks"), END_IDX, PAD_IDX]
         assert v.decode(ids) == ["a", "dog", "barks"]
 
+    def test_pad_to_multiple(self):
+        """build_vocab(pad_to_multiple=M) rounds |V| up with inert <pad_k>
+        tokens so vocab-sharded model_parallel placement divides evenly."""
+        info = [{"audio_id": "x",
+                 "captions": [{"caption": "A dog barks."}]}]
+        v = build_vocab(info, pad_to_multiple=8)
+        assert len(v) % 8 == 0
+        assert "<pad_0>" in v.word2idx
+        # pads are ordinary never-in-data words; real tokens keep their ids
+        assert v("dog") < v("<pad_0>")
+
     def test_save_load(self, tmp_path):
         v = build_vocab([{"audio_id": "x",
                           "captions": [{"caption": "water flows"}]}])

@@ -76,6 +76,76 @@ class TestMesh:
                                        rtol=5e-3, atol=5e-4)
 
 
+class TestTensorParallel:
+    def test_vocab_pspec_rules(self):
+        from acvae_tpu.parallel.mesh import vocab_pspec
+        V = 31
+        assert vocab_pspec(np.zeros((V, 16)), V) == P("model", None)
+        assert vocab_pspec(np.zeros((16, V)), V) == P(None, "model")
+        assert vocab_pspec(np.zeros((V,)), V) == P("model")
+        assert vocab_pspec(np.zeros((16, 16)), V) == P()
+        assert vocab_pspec(np.zeros(()), V) == P()
+
+    def test_tp_train_step_matches_single_device(self):
+        """(4 data x 2 model) mesh with vocab-sharded embeddings/classifier:
+        loss and updated params must match the unsharded step (SPMD inserts
+        the column-parallel matmul + psum'd log-softmax; the math is
+        unchanged).  V divisible by the model axis — explicit placement
+        requires it (build_vocab --pad_to_multiple handles real vocabs)."""
+        from acvae_tpu.models.build import build_model
+        from acvae_tpu.parallel.mesh import make_mesh_2d, shard_by_vocab
+        from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                             make_train_step)
+
+        E, V = 16, 34
+        cfg = {"model": "VAEModel", "encodermodel": "Cnn10",
+               "encoder_args": {"embed_size": E, "channels": (4, 8, 8, E)},
+               "decoder": "VAERNNBahdanauAttnDecoder",
+               "decoder_args": {"embed_size": E, "hidden_size": E},
+               "model_args": {"posterior_model": "PosteriorRNN",
+                              "posterior_args": {"hidden_size": E},
+                              "prior_model": "PriorRNN",
+                              "prior_args": {"hidden_size": E}}}
+        model = build_model(cfg, V, 64)
+        rng = np.random.default_rng(0)
+        N = 16
+        batch = {
+            "feats": rng.normal(size=(N, 64, 64)).astype(np.float32),
+            "feat_lens": np.full((N,), 64, np.int32),
+            "caps": rng.integers(4, V, size=(N, 10)).astype(np.int32),
+            "cap_lens": np.full((N,), 10, np.int32),
+        }
+        variables = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            jnp.asarray(batch["feats"]), jnp.asarray(batch["feat_lens"]),
+            jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_lens"]),
+            train=False)
+        tx = build_optimizer("Adam", 1e-3, max_grad_norm=1.0)
+        step = make_train_step(model, donate=False)
+
+        state1 = TrainState.create(variables, tx)
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+        s1, m1 = step(state1, arrays, jax.random.key(3), 1.0, 0.0, 0.5, 0.0)
+
+        mesh = make_mesh_2d(2, 8)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+        state_tp = shard_by_vocab(TrainState.create(variables, tx), mesh, V)
+        # the vocab-sized leaves actually split over the model axis
+        emb = state_tp.params["decoder"]["word_embeddings"]["embedding"]
+        assert emb.sharding.spec == P("model", None)
+        sharded = shard_batch(batch, mesh)
+        s_tp, m_tp = step(state_tp, sharded, jax.random.key(3),
+                          1.0, 0.0, 0.5, 0.0)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m_tp["loss"]),
+                                   rtol=2e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)
+        ltp = jax.tree_util.tree_leaves(s_tp.params)
+        for a, b in zip(l1, ltp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-4)
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
@@ -104,6 +174,8 @@ class TestDistributedCLI:
         pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
             tmp_path / "m.csv", sep="\t", index=False)
         (tmp_path / "text.json").write_text(_json.dumps({"audios": info}))
+        while len(vocab) % 2:  # vocab-TP placement needs |V| % model == 0
+            vocab.add_word("<pad_0>")
         vocab.save(str(tmp_path / "vocab.pkl"))
         E = 16
         cfg = {
@@ -135,6 +207,13 @@ class TestDistributedCLI:
                               seed=4, remark="uneven")
         rec2 = _json.loads(open(f"{exp2}/metrics.jsonl").readline())
         assert np.isfinite(rec2["train_loss"])
+        # 2-D (4 data x 2 model) mesh: vocab-TP through the same CLI path
+        exp3 = Runner().train(str(tmp_path / "c.yaml"), model_parallel=2,
+                              seed=5, remark="tp")
+        rec3 = _json.loads(open(f"{exp3}/metrics.jsonl").readline())
+        assert np.isfinite(rec3["train_loss"])
+        log3 = open(f"{exp3}/train_caption.log").read()
+        assert "'data': 4" in log3 and "'model': 2" in log3
 
 
 class TestMultiProcess:
