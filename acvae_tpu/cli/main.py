@@ -296,13 +296,20 @@ class Runner:
             if jax.process_count() == 1 and len(jax.devices()) == 1:
                 logger.info("distributed=true with a single device: "
                             "running unsharded")
-            elif mp > 1 and not check_vocab_divisible(
-                    len(vocabulary), make_mesh_2d(mp)):
-                logger.warning(
-                    f"model_parallel={mp} needs a vocab divisible by {mp} "
-                    f"(got {len(vocabulary)}); falling back to pure data "
-                    f"parallelism — rebuild the vocab with `build_vocab "
-                    f"--pad_to_multiple={mp}`")
+            elif mp > 1 and (len(jax.devices()) % mp
+                             or jax.local_device_count() % mp
+                             or not check_vocab_divisible(
+                                 len(vocabulary), mp)):
+                why = (f"does not divide the device counts "
+                       f"({len(jax.devices())} global, "
+                       f"{jax.local_device_count()} per host)"
+                       if (len(jax.devices()) % mp
+                           or jax.local_device_count() % mp) else
+                       f"needs a vocab divisible by {mp} (got "
+                       f"{len(vocabulary)}; rebuild with `build_vocab "
+                       f"--pad_to_multiple={mp}`)")
+                logger.warning(f"model_parallel={mp} {why}; falling back "
+                               f"to pure data parallelism")
                 mesh = make_mesh()
                 state = replicate(state, mesh)
                 logger.info(f"data-parallel mesh: {dict(mesh.shape)}")

@@ -18,6 +18,7 @@ from typing import Dict, Iterable, List
 from acvae_tpu import END_IDX, PAD_IDX, START_IDX, UNK_IDX
 
 _PUNCT = re.compile(r"[,.!?;:\"']")
+_TP_PAD_RE = re.compile(r"<pad_\d+>")
 
 
 def tokenize(caption: str, zh: bool = False) -> List[str]:
@@ -79,7 +80,10 @@ class Vocabulary:
 
     def decode(self, ids: Iterable[int]) -> List[str]:
         """ids → words, skipping <start>, stopping at <end>
-        (utils/score_util.py:33-41)."""
+        (utils/score_util.py:33-41).  Inert TP-padding tokens (``<pad_k>``
+        from ``build_vocab --pad_to_multiple``) are skipped too — they are
+        never data, so an early-training model that momentarily ranks one
+        high must not leak a literal ``<pad_3>`` into a caption."""
         words = []
         for i in ids:
             i = int(i)
@@ -87,7 +91,10 @@ class Vocabulary:
                 continue
             if i == END_IDX:
                 break
-            words.append(self.idx2word.get(i, "<unk>"))
+            w = self.idx2word.get(i, "<unk>")
+            if _TP_PAD_RE.fullmatch(w):
+                continue
+            words.append(w)
         return words
 
     def save(self, path: str) -> None:
@@ -113,9 +120,14 @@ def build_vocab(caption_info: List[dict], threshold: int = 1,
 
     ``pad_to_multiple``: round the vocab size up with inert ``<pad_k>``
     tokens — required by ``model_parallel: M`` training, where the explicit
-    placement of vocab-sharded parameters needs |V| divisible by M (the
-    standard pad-the-tokenizer recipe; the pads never appear in data, so
-    training math is unchanged)."""
+    placement of vocab-sharded parameters needs M to divide |V| (the
+    standard pad-the-tokenizer recipe).  The pads never appear in data, so
+    they behave like any never-observed vocabulary entry: never a CE
+    target, logits pushed down through the softmax normalizer every step
+    (the run is not bitwise-identical to an unpadded-vocab run — the
+    normalizer sums over |V| classes — it is *equivalent* the way a vocab
+    with extra singleton words is), and :meth:`Vocabulary.decode` skips
+    them so they can never appear in generated captions."""
     counter: Counter = Counter()
     for audio in caption_info:
         for cap in audio["captions"]:

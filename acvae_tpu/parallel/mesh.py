@@ -49,6 +49,16 @@ def make_mesh_2d(model_parallel: int, n_devices: Optional[int] = None) -> Mesh:
     if model_parallel < 1 or n % model_parallel:
         raise ValueError(f"model_parallel={model_parallel} does not divide "
                          f"{n} devices")
+    if jax.process_count() > 1 and jax.local_device_count() % model_parallel:
+        # jax.devices() enumerates each process's devices contiguously, so
+        # the model axis stays host-local only when mp divides the local
+        # count.  A model axis spanning hosts would declare P("data")
+        # batches "replicated over model" across hosts whose loaders hold
+        # DIFFERENT rows — silently wrong collectives, so refuse.
+        raise ValueError(
+            f"model_parallel={model_parallel} must divide the per-host "
+            f"device count ({jax.local_device_count()}) so the model axis "
+            f"stays within one host's devices")
     grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, ("data", "model"))
 
@@ -72,15 +82,14 @@ def vocab_pspec(leaf, vocab_size: int, axis: str = "model") -> P:
     return P()
 
 
-def check_vocab_divisible(vocab_size: int, mesh: Mesh,
-                          axis: str = "model") -> bool:
+def check_vocab_divisible(vocab_size: int, model_parallel: int) -> bool:
     """Explicit array placement (unlike SPMD intermediates) requires the
     sharded dim to divide the axis extent.  Returns False (caller should
     fall back to replication and warn) when it doesn't — the fix is
     ``build_vocab --pad_to_multiple=M``, which pads the *vocabulary* with
     inert ``<pad_k>`` tokens the way production tokenizers are padded for
-    TP, keeping training math exactly equal to the unsharded run."""
-    return vocab_size % dict(mesh.shape)[axis] == 0
+    TP (see that docstring for the exact semantics of the pads)."""
+    return vocab_size % model_parallel == 0
 
 
 def shard_by_vocab(tree: Any, mesh: Mesh, vocab_size: int):
@@ -115,7 +124,9 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
     ``jax.make_array_from_process_local_data`` — every host contributes its
     shard and the global batch is the concatenation over processes.  The
     local batch must already be padded to a multiple of the host's local
-    device count (``pad_to_multiple(batch, mesh.local_mesh.size)``)."""
+    *data-axis* extent — ``pad_to_multiple(batch,
+    mesh.local_mesh.shape["data"])`` — which is the local device count only
+    on a 1-D mesh (batches replicate over any ``model`` axis)."""
     sharding = NamedSharding(mesh, P(axis))
     if jax.process_count() == 1:
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}

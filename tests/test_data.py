@@ -31,6 +31,9 @@ class TestVocabulary:
         assert "<pad_0>" in v.word2idx
         # pads are ordinary never-in-data words; real tokens keep their ids
         assert v("dog") < v("<pad_0>")
+        # decode never leaks a literal <pad_k> into a caption
+        ids = [START_IDX, v("a"), v("<pad_0>"), v("dog"), END_IDX]
+        assert v.decode(ids) == ["a", "dog"]
 
     def test_save_load(self, tmp_path):
         v = build_vocab([{"audio_id": "x",

@@ -86,6 +86,61 @@ class TestTensorParallel:
         assert vocab_pspec(np.zeros((16, 16)), V) == P()
         assert vocab_pspec(np.zeros(()), V) == P()
 
+    def test_mesh_2d_guards(self):
+        from acvae_tpu.parallel.mesh import (check_vocab_divisible,
+                                             make_mesh_2d)
+        with pytest.raises(ValueError, match="does not divide"):
+            make_mesh_2d(3, 8)
+        assert check_vocab_divisible(34, 2)
+        assert not check_vocab_divisible(31, 2)
+
+    def test_cli_falls_back_when_mp_invalid(self, tmp_path, caplog):
+        """model_parallel that divides neither the devices nor the vocab
+        must warn and train pure-DP, not crash (config_schema.md)."""
+        import json as _json
+
+        import h5py
+        import pandas as pd
+        import yaml
+
+        from acvae_tpu.cli.main import Runner
+        from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+        feats, info, vocab = make_synthetic_clotho(num_audios=6,
+                                                   mel_frames=128)
+        h5 = str(tmp_path / "m.h5")
+        with h5py.File(h5, "w") as f:
+            for aid, mel in feats.items():
+                f[aid] = mel
+        pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
+            tmp_path / "m.csv", sep="\t", index=False)
+        (tmp_path / "text.json").write_text(_json.dumps({"audios": info}))
+        vocab.save(str(tmp_path / "vocab.pkl"))
+        E = 16
+        cfg = {
+            "model": "VAEModel", "encodermodel": "Cnn10",
+            "encoder_args": {"embed_size": E, "channels": [4, 8, 8, E]},
+            "decoder": "VAERNNBahdanauAttnDecoder",
+            "decoder_args": {"embed_size": E, "hidden_size": E},
+            "model_args": {"posterior_model": "PosteriorRNN",
+                           "posterior_args": {"hidden_size": E},
+                           "prior_model": "PriorRNN",
+                           "prior_args": {"hidden_size": E}},
+            "h5_csv": str(tmp_path / "m.csv"),
+            "caption_file": str(tmp_path / "text.json"),
+            "vocab_file": str(tmp_path / "vocab.pkl"),
+            "outputpath": str(tmp_path / "exp"),
+            "epochs": 1, "batch_size": 8, "train_percent": 80,
+            "scheduler": "constant", "scheduler_args": {},
+            "distributed": True, "model_parallel": 3,  # 3 ∤ 8 devices
+        }
+        with open(tmp_path / "c.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        exp = Runner().train(str(tmp_path / "c.yaml"))
+        log = open(f"{exp}/train_caption.log").read()
+        assert "falling back" in log
+        assert "'data': 8" in log
+
     def test_tp_train_step_matches_single_device(self):
         """(4 data x 2 model) mesh with vocab-sharded embeddings/classifier:
         loss and updated params must match the unsharded step (SPMD inserts
