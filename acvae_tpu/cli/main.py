@@ -40,7 +40,7 @@ from acvae_tpu.train.checkpoints import (criterion_improver, restore_checkpoint,
 from acvae_tpu.train.schedules import SCHEDULES
 from acvae_tpu.train.trainer import (TrainState, build_optimizer,
                                      dis_ratio_for_epoch, kl_weight_for_epoch,
-                                     make_train_step, update_ss_ratio)
+                                     make_train_step, ss_ratio_at)
 
 DEFAULTS = dict(
     seed=1, remark="tpu", epochs=25, batch_size=32, label_smoothing=True,
@@ -333,13 +333,28 @@ class Runner:
             plateau = ReduceLROnPlateau(
                 **{k: v for k, v in conf.get("scheduler_args", {}).items()
                    if k in ("mode", "factor", "patience", "threshold")})
-        start_epoch = 1
-        if conf.get("resume") and (outputdir / "last").exists():
-            state = restore_checkpoint(str(outputdir), "last", state,
-                                       on_mismatch="raise")
-            start_epoch = int(state.step) // max(len(train_loader), 1) + 1
-            logger.info(f"resumed from {outputdir}/last at step "
-                        f"{int(state.step)} → epoch {start_epoch}")
+        start_epoch, skip_batches = 1, 0
+        if conf.get("resume"):
+            # newest of `last` (epoch-end) and `step` (mid-epoch,
+            # checkpoint_every_steps) by recorded step count — a preempted
+            # run resumes mid-epoch, skipping the consumed batches of the
+            # deterministic per-epoch loader order
+            from acvae_tpu.train.checkpoints import read_ckpt_steps
+            meta = read_ckpt_steps(str(outputdir))
+            cand = {n: meta.get(n, -1) for n in ("last", "step")
+                    if (outputdir / n).exists()}
+            if cand:
+                name = max(cand, key=lambda n: (cand[n], n == "last"))
+                state = restore_checkpoint(str(outputdir), name, state,
+                                           on_mismatch="raise")
+                nb = max(len(train_loader), 1)
+                start_epoch = int(state.step) // nb + 1
+                skip_batches = int(state.step) % nb
+                logger.info(
+                    f"resumed from {outputdir}/{name} at step "
+                    f"{int(state.step)} → epoch {start_epoch}"
+                    + (f" (skipping {skip_batches} consumed batches)"
+                       if skip_batches else ""))
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         logger.info(f"{n_params} parameters in total")
 
@@ -386,12 +401,15 @@ class Runner:
         crtrn_imprvd = criterion_improver(conf["improvecriterion"])
 
         ss_ratio = conf["ss_args"]["ss_ratio"]
-        key = jax.random.key(seed + 2)
-        iteration = 0
+        # rng streams are *derived from the iteration/epoch index*
+        # (fold_in), not threaded through a split chain, so a resumed run
+        # reproduces the exact keys of the uninterrupted one in O(1)
+        base_key = jax.random.key(seed + 2)
+        iteration = int(state.step)
         compiled_sigs: dict = {}  # shape sig -> AOT-compiled step (multiproc)
         aug_prob = conf.get("use_aug_prob")
-        aug_rng = (np.random.default_rng(seed + 9)
-                   if aug_prob is not None else None)
+        ckpt_every = int(conf.get("checkpoint_every_steps", 0) or 0)
+        fault_step = int(conf.get("fault_abort_step", 0) or 0)
         # profile_dir: trace steps 1-15 (or the first epoch, if shorter)
         # into a TensorBoard-viewable profile (train/profiling.py — the
         # reference has no profiling at all)
@@ -410,12 +428,17 @@ class Runner:
             losses, nsamples = [], []
             # background-thread prefetch: HDF5 reads + collate overlap with
             # device compute (the reference's DataLoader workers, SURVEY §2.6)
-            for batch in train_loader.prefetch():
+            batch_iter = train_loader.prefetch()
+            if epoch == start_epoch and skip_batches:
+                import itertools
+                batch_iter = itertools.islice(batch_iter, skip_batches, None)
+            for batch in batch_iter:
                 iteration += 1
-                ss_ratio = update_ss_ratio(
-                    ss_ratio, conf["ss_args"]["ss_mode"], total_iters,
+                ss_ratio = ss_ratio_at(
+                    iteration, conf["ss_args"]["ss_ratio"],
+                    conf["ss_args"]["ss_mode"], total_iters,
                     conf["ss_args"].get("final_ss_ratio", 0.7))
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(base_key, iteration)
                 if profile_dir and iteration == 1:
                     jax.profiler.start_trace(str(profile_dir))
                 # multi-process: keep the batch on the host — pad_to_multiple
@@ -427,8 +450,12 @@ class Runner:
                 arrays = {k: stage(v) for k, v in batch.arrays().items()}
                 if aug_prob is not None:
                     # AugmentLossWrapper path (loss.py:72-94): drop augmented
-                    # captions (cap_id contains "aug") with prob 1-p
+                    # captions (cap_id contains "aug") with prob 1-p.
+                    # Per-iteration rng so a mid-epoch resume redraws the
+                    # same masks the uninterrupted run would have
                     from acvae_tpu.losses.wrappers import augment_keep_mask
+                    aug_rng = np.random.default_rng(
+                        (seed + 9) * 1_000_003 + iteration)
                     arrays["keep_mask"] = stage(np.asarray(augment_keep_mask(
                         batch.cap_ids, aug_prob, aug_rng), np.float32))
                 if mesh is not None:
@@ -474,6 +501,20 @@ class Runner:
                 # weight by the *global* batch (identical on every host).
                 losses.append((iteration, metrics["loss"], ss_ratio))
                 nsamples.append(metrics["ntokens"])
+                if ckpt_every and iteration % ckpt_every == 0:
+                    # preemption insurance: resumable mid-epoch snapshot
+                    # (reference recovery is manual per-epoch .pth dumps —
+                    # SURVEY §5 "failure detection: none")
+                    from acvae_tpu.train.checkpoints import write_ckpt_step
+                    save_checkpoint(str(outputdir), "step", state,
+                                    vocabulary, conf)
+                    write_ckpt_step(str(outputdir), "step", iteration)
+                if fault_step and iteration >= fault_step:
+                    # fault injection: simulate a preemption to test the
+                    # checkpoint_every_steps + resume recovery path
+                    raise SystemExit(
+                        f"fault_abort_step: injected failure at step "
+                        f"{iteration}")
 
             if profile_dir and iteration >= 1:
                 # short epochs: close the trace at first-epoch end
@@ -486,8 +527,9 @@ class Runner:
                     tb.add_scalar("loss/train", float(lv), it)
                     tb.add_scalar("scheduled_sampling_prob", ss, it)
 
-            # validation: beam=3 + CIDEr (pytorch_runner_vae.py:344-357)
-            key, sub = jax.random.split(key)
+            # validation: beam=3 + CIDEr (pytorch_runner_vae.py:344-357);
+            # epoch-indexed key namespace disjoint from the iteration one
+            sub = jax.random.fold_in(base_key, 1_000_000_000 + epoch)
             score = self._validate(model, state, val_loader, vocabulary,
                                    val_key2refs, sub)
             if plateau is not None:
@@ -513,6 +555,10 @@ class Runner:
             if crtrn_imprvd(score):
                 save_checkpoint(str(outputdir), "best", state, vocabulary, conf)
             save_checkpoint(str(outputdir), "last", state, vocabulary, conf)
+            from acvae_tpu.train.checkpoints import (remove_checkpoint,
+                                                     write_ckpt_step)
+            write_ckpt_step(str(outputdir), "last", int(state.step))
+            remove_checkpoint(str(outputdir), "step")  # superseded by last
         if metrics_log is not None:
             metrics_log.close()
         return str(outputdir)

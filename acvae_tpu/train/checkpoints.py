@@ -37,6 +37,51 @@ def save_checkpoint(exp_dir: str, name: str, state, vocabulary: Optional[Vocabul
             dump_config(config, os.path.join(exp_dir, "config.yaml"))
 
 
+def write_ckpt_step(exp_dir: str, name: str, step: int) -> None:
+    """Record a checkpoint's step count in ``ckpt_steps.json`` so resume can
+    pick the newest of ``last`` (epoch-end) and ``step`` (mid-epoch,
+    ``checkpoint_every_steps``) without restoring both."""
+    import json
+    if jax.process_index() != 0:
+        return
+    path = os.path.join(exp_dir, "ckpt_steps.json")
+    steps = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            steps = json.load(f)
+    steps[name] = int(step)
+    with open(path, "w") as f:
+        json.dump(steps, f)
+
+
+def read_ckpt_steps(exp_dir: str) -> dict:
+    import json
+    path = os.path.join(exp_dir, "ckpt_steps.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def remove_checkpoint(exp_dir: str, name: str) -> None:
+    """Drop a stale checkpoint dir (e.g. the mid-epoch ``step`` checkpoint
+    once the epoch-end ``last`` supersedes it).  Primary-only: checkpoints
+    live on a filesystem every process can read (same assumption orbax's
+    own save path makes here)."""
+    import shutil
+    if jax.process_index() != 0:
+        return
+    path = os.path.join(os.path.abspath(exp_dir), name)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    steps = read_ckpt_steps(exp_dir)
+    if name in steps:
+        import json
+        del steps[name]
+        with open(os.path.join(exp_dir, "ckpt_steps.json"), "w") as f:
+            json.dump(steps, f)
+
+
 def _resolve_checkpoint_path(exp_dir: str, name: str) -> str:
     """A run whose validation score never beat 0 writes no ``best``
     checkpoint (the reference's criterion_improver starts at 0,

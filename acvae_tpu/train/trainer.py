@@ -345,6 +345,18 @@ def update_ss_ratio(ss_ratio: float, mode: str, total_iters: int,
     return ss_ratio
 
 
+def ss_ratio_at(iteration: int, ss0: float, mode: str, total_iters: int,
+                final_ss_ratio: float = 0.7) -> float:
+    """Closed form of ``iteration`` applications of :func:`update_ss_ratio`
+    to ``ss0`` — lets a preempted run resume mid-epoch in O(1) instead of
+    replaying the decay loop."""
+    if mode == "exponential":
+        return ss0 * 0.01 ** (iteration / total_iters)
+    if mode == "linear":
+        return ss0 - iteration * (1.0 - final_ss_ratio) / total_iters
+    return ss0
+
+
 def dis_ratio_for_epoch(epoch: int, epochs: int, freeze_epoch: int,
                         final_ratio: float) -> float:
     """Prior-grounding ramp (pytorch_runner_vae.py:118-122): 0 until

@@ -121,6 +121,50 @@ class TestCLI:
         rec = json.loads(open(os.path.join(exp, "metrics.jsonl")).readline())
         assert np.isfinite(rec["train_loss"])
 
+    def test_preemption_recovery(self, workspace, tmp_path):
+        """checkpoint_every_steps + fault_abort_step + resume: a run killed
+        mid-epoch restarts from the step checkpoint, skips the consumed
+        batches, and finishes all epochs (the reference's recovery is a
+        manual per-epoch .pth reload — SURVEY §5 'failure detection:
+        none')."""
+        import yaml
+
+        if not os.path.exists(workspace / "vocab.pkl"):
+            Runner().build_vocab(str(workspace / "text.json"),
+                                 str(workspace / "vocab.pkl"))
+        cfg = yaml.safe_load(open(workspace / "config.yaml"))
+        cfg.update(outputpath=str(tmp_path / "exp_pre"),
+                   checkpoint_every_steps=1, fault_abort_step=1, epochs=2)
+        p = tmp_path / "c_pre.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        with pytest.raises(SystemExit, match="injected failure at step 1"):
+            Runner().train(str(p), seed=11, remark="pre")
+        # the crash left a mid-epoch step checkpoint but no epoch-end last
+        import glob
+        [exp] = glob.glob(str(tmp_path / "exp_pre" / "*" / "*" / "seed_11"))
+        assert os.path.isdir(os.path.join(exp, "step"))
+        assert not os.path.isdir(os.path.join(exp, "last"))
+        exp2 = Runner().train(str(p), seed=11, remark="pre", resume=True,
+                              fault_abort_step=0)
+        assert exp2 == exp
+        log = open(os.path.join(exp, "train_caption.log")).read()
+        assert "resumed from" in log and "skipping 1 consumed batches" in log
+        lines = open(os.path.join(exp, "metrics.jsonl")).readlines()
+        assert json.loads(lines[-1])["epoch"] == 2
+        # the stale step checkpoint is dropped once `last` supersedes it
+        assert os.path.isdir(os.path.join(exp, "last"))
+        assert not os.path.isdir(os.path.join(exp, "step"))
+
+    def test_ss_ratio_closed_form(self):
+        """ss_ratio_at(i) must equal i iterative update_ss_ratio steps."""
+        from acvae_tpu.train.trainer import ss_ratio_at, update_ss_ratio
+        for mode in ("exponential", "linear"):
+            r = 0.9
+            for i in range(1, 60):
+                r = update_ss_ratio(r, mode, total_iters=100,
+                                    final_ss_ratio=0.7)
+                assert abs(r - ss_ratio_at(i, 0.9, mode, 100, 0.7)) < 1e-9
+
     def test_predict_from_kaldi_scp(self, workspace, tmp_path):
         """Kaldi scp feature manifests drive predict (the legacy data path
         of runners/ensemble.py:23-218, reader data/kaldi.py)."""
