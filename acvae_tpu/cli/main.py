@@ -35,8 +35,9 @@ from acvae_tpu.data.vocab import Vocabulary, build_vocab as _build_vocab, load_c
 from acvae_tpu.evaluation.coco import score_captions
 from acvae_tpu.evaluation.diversity import eval_div_stats, novelty, self_bleu
 from acvae_tpu.models.build import build_model
-from acvae_tpu.train.checkpoints import (criterion_improver, restore_checkpoint,
-                                         save_checkpoint)
+from acvae_tpu.train.checkpoints import (criterion_improver, remove_checkpoint,
+                                         restore_checkpoint, resume_newest,
+                                         save_checkpoint, write_ckpt_step)
 from acvae_tpu.train.schedules import SCHEDULES
 from acvae_tpu.train.trainer import (TrainState, build_optimizer,
                                      dis_ratio_for_epoch, kl_weight_for_epoch,
@@ -333,23 +334,23 @@ class Runner:
             plateau = ReduceLROnPlateau(
                 **{k: v for k, v in conf.get("scheduler_args", {}).items()
                    if k in ("mode", "factor", "patience", "threshold")})
-        start_epoch, skip_batches = 1, 0
+        start_epoch, skip_batches, resume_meta = 1, 0, {}
         if conf.get("resume"):
-            # newest of `last` (epoch-end) and `step` (mid-epoch,
-            # checkpoint_every_steps) by recorded step count — a preempted
-            # run resumes mid-epoch, skipping the consumed batches of the
+            # newest of `last` (epoch-end) and the alternating mid-epoch
+            # `step_*` snapshots, by actual restored step — a preempted run
+            # resumes mid-epoch, skipping the consumed batches of the
             # deterministic per-epoch loader order
             from acvae_tpu.train.checkpoints import read_ckpt_steps
-            meta = read_ckpt_steps(str(outputdir))
-            cand = {n: meta.get(n, -1) for n in ("last", "step")
-                    if (outputdir / n).exists()}
-            if cand:
-                name = max(cand, key=lambda n: (cand[n], n == "last"))
-                state = restore_checkpoint(str(outputdir), name, state,
-                                           on_mismatch="raise")
+            state, name = resume_newest(str(outputdir), state)
+            if name is not None:
+                resume_meta = read_ckpt_steps(str(outputdir))
                 nb = max(len(train_loader), 1)
                 start_epoch = int(state.step) // nb + 1
                 skip_batches = int(state.step) % nb
+                if plateau is not None and "plateau_scale" in resume_meta:
+                    plateau.best = resume_meta.get("plateau_best")
+                    plateau.num_bad = int(resume_meta["plateau_num_bad"])
+                    plateau.scale = float(resume_meta["plateau_scale"])
                 logger.info(
                     f"resumed from {outputdir}/{name} at step "
                     f"{int(state.step)} → epoch {start_epoch}"
@@ -398,7 +399,9 @@ class Runner:
         if is_primary:
             dump_config(conf, outputdir / "config.yaml")
         tb = self._tb_writer(outputdir / "run") if is_primary else None
-        crtrn_imprvd = criterion_improver(conf["improvecriterion"])
+        crtrn_imprvd = criterion_improver(
+            conf["improvecriterion"],
+            initial=resume_meta.get("best_score"))
 
         ss_ratio = conf["ss_args"]["ss_ratio"]
         # rng streams are *derived from the iteration/epoch index*
@@ -414,6 +417,7 @@ class Runner:
         # into a TensorBoard-viewable profile (train/profiling.py — the
         # reference has no profiling at all)
         profile_dir = conf.get("profile_dir")
+        profile_start = None  # iteration the trace started at (resume-safe)
         metrics_log = (open(outputdir / "metrics.jsonl", "a")
                        if is_primary else None)
         logger.info("{:^10}\t{:^10}\t{:^10}".format(
@@ -428,10 +432,8 @@ class Runner:
             losses, nsamples = [], []
             # background-thread prefetch: HDF5 reads + collate overlap with
             # device compute (the reference's DataLoader workers, SURVEY §2.6)
-            batch_iter = train_loader.prefetch()
-            if epoch == start_epoch and skip_batches:
-                import itertools
-                batch_iter = itertools.islice(batch_iter, skip_batches, None)
+            batch_iter = train_loader.prefetch(
+                skip_batches=(skip_batches if epoch == start_epoch else 0))
             for batch in batch_iter:
                 iteration += 1
                 ss_ratio = ss_ratio_at(
@@ -439,7 +441,9 @@ class Runner:
                     conf["ss_args"]["ss_mode"], total_iters,
                     conf["ss_args"].get("final_ss_ratio", 0.7))
                 sub = jax.random.fold_in(base_key, iteration)
-                if profile_dir and iteration == 1:
+                if profile_dir and profile_start is None:
+                    # first step of THIS run (resume starts mid-count)
+                    profile_start = iteration
                     jax.profiler.start_trace(str(profile_dir))
                 # multi-process: keep the batch on the host — pad_to_multiple
                 # works on numpy and make_array_from_process_local_data
@@ -490,7 +494,8 @@ class Runner:
                 state, metrics = step_call(state, arrays, sub, ss_ratio,
                                            dis_ratio, kl_weight,
                                            alpha if alpha is not None else 0.0)
-                if profile_dir and iteration >= 15:
+                if profile_dir and profile_start is not None \
+                        and iteration >= profile_start + 14:
                     np.asarray(metrics["loss"])  # force completion
                     jax.profiler.stop_trace()
                     profile_dir = None
@@ -504,11 +509,12 @@ class Runner:
                 if ckpt_every and iteration % ckpt_every == 0:
                     # preemption insurance: resumable mid-epoch snapshot
                     # (reference recovery is manual per-epoch .pth dumps —
-                    # SURVEY §5 "failure detection: none")
-                    from acvae_tpu.train.checkpoints import write_ckpt_step
-                    save_checkpoint(str(outputdir), "step", state,
-                                    vocabulary, conf)
-                    write_ckpt_step(str(outputdir), "step", iteration)
+                    # SURVEY §5 "failure detection: none").  Two alternating
+                    # slots so the save in progress can never destroy the
+                    # only valid snapshot; vocab/config are already on disk
+                    slot = f"step_{(iteration // ckpt_every) % 2}"
+                    save_checkpoint(str(outputdir), slot, state)
+                    write_ckpt_step(str(outputdir), slot, iteration)
                 if fault_step and iteration >= fault_step:
                     # fault injection: simulate a preemption to test the
                     # checkpoint_every_steps + resume recovery path
@@ -516,7 +522,7 @@ class Runner:
                         f"fault_abort_step: injected failure at step "
                         f"{iteration}")
 
-            if profile_dir and iteration >= 1:
+            if profile_dir and profile_start is not None:
                 # short epochs: close the trace at first-epoch end
                 jax.profiler.stop_trace()
                 profile_dir = None
@@ -555,10 +561,14 @@ class Runner:
             if crtrn_imprvd(score):
                 save_checkpoint(str(outputdir), "best", state, vocabulary, conf)
             save_checkpoint(str(outputdir), "last", state, vocabulary, conf)
-            from acvae_tpu.train.checkpoints import (remove_checkpoint,
-                                                     write_ckpt_step)
-            write_ckpt_step(str(outputdir), "last", int(state.step))
-            remove_checkpoint(str(outputdir), "step")  # superseded by last
+            extra = {"best_score": crtrn_imprvd.best}
+            if plateau is not None:
+                extra.update(plateau_best=plateau.best,
+                             plateau_num_bad=plateau.num_bad,
+                             plateau_scale=plateau.scale)
+            write_ckpt_step(str(outputdir), "last", int(state.step), **extra)
+            for stale in ("step_0", "step_1", "step"):  # superseded by last
+                remove_checkpoint(str(outputdir), stale)
         if metrics_log is not None:
             metrics_log.close()
         return str(outputdir)

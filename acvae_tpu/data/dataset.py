@@ -226,10 +226,14 @@ class CaptionLoader:
         # never wired up)
         return self._global_perm()[self.host_id::self.host_count]
 
-    def prefetch(self, depth: int = 2) -> Iterator[Batch]:
+    def prefetch(self, depth: int = 2, skip_batches: int = 0
+                 ) -> Iterator[Batch]:
         """Iterate with a background-thread prefetcher — the TPU-side
         replacement for torch DataLoader workers (HDF5 reads + numpy collate
-        overlap with device compute)."""
+        overlap with device compute).  ``skip_batches`` fast-forwards a
+        mid-epoch resume at the *index* level: the skipped batches are never
+        read from HDF5 or collated (the epoch permutation is deterministic,
+        so batch k of the resumed epoch is batch k of the original one)."""
         import queue
         import threading
 
@@ -237,9 +241,14 @@ class CaptionLoader:
         sentinel = object()
         error: list = []
 
+        # plain iteration when not skipping, so subclass __iter__ overrides
+        # keep working through prefetch()
+        source = (self if not skip_batches
+                  else self._iter_batches(skip_batches))
+
         def producer():
             try:
-                for batch in self:
+                for batch in source:
                     q.put(batch)
             except BaseException as e:  # re-raised on the consumer side
                 error.append(e)
@@ -257,9 +266,13 @@ class CaptionLoader:
             yield item
 
     def __iter__(self) -> Iterator[Batch]:
+        return self._iter_batches(0)
+
+    def _iter_batches(self, skip_batches: int = 0) -> Iterator[Batch]:
         idx = self._indices()
         L = self.dataset.max_cap_len
-        for start in range(0, len(idx), self.batch_size):
+        for start in range(skip_batches * self.batch_size, len(idx),
+                           self.batch_size):
             chunk = idx[start:start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break

@@ -37,35 +37,49 @@ def save_checkpoint(exp_dir: str, name: str, state, vocabulary: Optional[Vocabul
             dump_config(config, os.path.join(exp_dir, "config.yaml"))
 
 
-def write_ckpt_step(exp_dir: str, name: str, step: int) -> None:
-    """Record a checkpoint's step count in ``ckpt_steps.json`` so resume can
-    pick the newest of ``last`` (epoch-end) and ``step`` (mid-epoch,
-    ``checkpoint_every_steps``) without restoring both."""
+def _write_meta(exp_dir: str, steps: dict) -> None:
+    """Atomic (tmp + rename) write — ckpt_steps.json is written exactly when
+    preemptions strike, so a torn write must never brick resume."""
     import json
+    path = os.path.join(exp_dir, "ckpt_steps.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(steps, f)
+    os.replace(tmp, path)
+
+
+def write_ckpt_step(exp_dir: str, name: str, step: int, **extra) -> None:
+    """Record a checkpoint's step count (plus any extra scalars, e.g. the
+    best val score or plateau-scheduler state) in ``ckpt_steps.json`` so
+    resume can pick the newest checkpoint and re-seed host-side training
+    state."""
     if jax.process_index() != 0:
         return
-    path = os.path.join(exp_dir, "ckpt_steps.json")
-    steps = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            steps = json.load(f)
+    steps = read_ckpt_steps(exp_dir)
     steps[name] = int(step)
-    with open(path, "w") as f:
-        json.dump(steps, f)
+    steps.update(extra)
+    _write_meta(exp_dir, steps)
 
 
 def read_ckpt_steps(exp_dir: str) -> dict:
+    """Tolerates a missing or torn file (empty dict) — resume must survive
+    a preemption that landed mid-write before the writes became atomic."""
     import json
     path = os.path.join(exp_dir, "ckpt_steps.json")
     if not os.path.exists(path):
         return {}
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        logging.getLogger("acvae_tpu").warning(
+            "ckpt_steps.json in %s is unreadable; ignoring it", exp_dir)
+        return {}
 
 
 def remove_checkpoint(exp_dir: str, name: str) -> None:
-    """Drop a stale checkpoint dir (e.g. the mid-epoch ``step`` checkpoint
-    once the epoch-end ``last`` supersedes it).  Primary-only: checkpoints
+    """Drop a stale checkpoint dir (e.g. the mid-epoch ``step`` checkpoints
+    once the epoch-end ``last`` supersedes them).  Primary-only: checkpoints
     live on a filesystem every process can read (same assumption orbax's
     own save path makes here)."""
     import shutil
@@ -76,10 +90,51 @@ def remove_checkpoint(exp_dir: str, name: str) -> None:
         shutil.rmtree(path)
     steps = read_ckpt_steps(exp_dir)
     if name in steps:
-        import json
         del steps[name]
-        with open(os.path.join(exp_dir, "ckpt_steps.json"), "w") as f:
-            json.dump(steps, f)
+        _write_meta(exp_dir, steps)
+
+
+#: resume candidates: epoch-end `last`, alternating mid-epoch slots
+#: (`step_0`/`step_1` — two slots so the in-progress save can never destroy
+#: the only snapshot), plus legacy single-slot `step` dirs
+RESUME_CANDIDATES = ("last", "step_0", "step_1", "step")
+
+
+def resume_newest(exp_dir: str, state):
+    """Restore the newest available checkpoint.
+
+    Candidates are ordered by their recorded step counts, but the *restored*
+    ``state.step`` is authoritative: if a crash landed between an orbax save
+    and its meta write (or vice versa), the meta may be stale, so when the
+    restored step falls short of another candidate's recorded step the other
+    candidate is restored too and the larger actual step wins.  Returns
+    ``(state, name)``; ``(state, None)`` when nothing restorable exists."""
+    meta = read_ckpt_steps(exp_dir)
+    avail = [n for n in RESUME_CANDIDATES
+             if os.path.isdir(os.path.join(os.path.abspath(exp_dir), n))]
+    if not avail:
+        return state, None
+    # meta-recorded step, then `last` on ties (its host files are complete)
+    avail.sort(key=lambda n: (meta.get(n, -1), n == "last"), reverse=True)
+    best, best_name = None, None
+    for n in avail:
+        try:
+            s = restore_checkpoint(exp_dir, n, state, on_mismatch="raise")
+        except Exception as e:  # half-written snapshot: try the next one
+            logging.getLogger("acvae_tpu").warning(
+                "checkpoint %s/%s unrestorable (%s); trying older ones",
+                exp_dir, n, type(e).__name__)
+            continue
+        if best is None or int(s.step) > int(best.step):
+            best, best_name = s, n
+        others = [meta.get(m, -1) for m in avail if m != best_name]
+        if int(best.step) >= max(others, default=-1):
+            break  # no other candidate can beat the restored step
+    if best is None:
+        raise RuntimeError(
+            f"resume: no checkpoint in {exp_dir} could be restored "
+            f"(tried {avail})")
+    return best, best_name
 
 
 def _resolve_checkpoint_path(exp_dir: str, name: str) -> str:
@@ -140,16 +195,24 @@ def load_raw_checkpoint(exp_dir: str, name: str = "best"):
     return ocp.StandardCheckpointer().restore(path)
 
 
-def criterion_improver(mode: str):
-    """Closure tracking best value (utils/train_util.py:117-131)."""
+def criterion_improver(mode: str, initial: Optional[float] = None):
+    """Closure tracking best value (utils/train_util.py:117-131).
+
+    ``initial`` re-seeds the best value on resume (read back from
+    ``ckpt_steps.json``) so a resumed run cannot overwrite a good ``best``
+    checkpoint with a worse post-resume score; ``inner.best`` exposes the
+    current value for persisting."""
     assert mode in ("loss", "acc", "score")
-    best = float("inf") if mode == "loss" else 0.0
+    best = (float("inf") if mode == "loss" else 0.0) \
+        if initial is None else float(initial)
 
     def inner(x: float) -> bool:
         nonlocal best
         improved = x < best if mode == "loss" else x > best
         if improved:
             best = x
+        inner.best = best
         return improved
 
+    inner.best = best
     return inner

@@ -139,10 +139,10 @@ class TestCLI:
         p.write_text(yaml.safe_dump(cfg))
         with pytest.raises(SystemExit, match="injected failure at step 1"):
             Runner().train(str(p), seed=11, remark="pre")
-        # the crash left a mid-epoch step checkpoint but no epoch-end last
+        # the crash left a mid-epoch step snapshot but no epoch-end last
         import glob
         [exp] = glob.glob(str(tmp_path / "exp_pre" / "*" / "*" / "seed_11"))
-        assert os.path.isdir(os.path.join(exp, "step"))
+        assert glob.glob(os.path.join(exp, "step_*"))
         assert not os.path.isdir(os.path.join(exp, "last"))
         exp2 = Runner().train(str(p), seed=11, remark="pre", resume=True,
                               fault_abort_step=0)
@@ -151,9 +151,12 @@ class TestCLI:
         assert "resumed from" in log and "skipping 1 consumed batches" in log
         lines = open(os.path.join(exp, "metrics.jsonl")).readlines()
         assert json.loads(lines[-1])["epoch"] == 2
-        # the stale step checkpoint is dropped once `last` supersedes it
+        # the stale step snapshots are dropped once `last` supersedes them
         assert os.path.isdir(os.path.join(exp, "last"))
-        assert not os.path.isdir(os.path.join(exp, "step"))
+        assert not glob.glob(os.path.join(exp, "step_*"))
+        # best-score + step meta survives for the next resume
+        meta = json.load(open(os.path.join(exp, "ckpt_steps.json")))
+        assert "last" in meta and "best_score" in meta
 
     def test_ss_ratio_closed_form(self):
         """ss_ratio_at(i) must equal i iterative update_ss_ratio steps."""

@@ -185,6 +185,14 @@ def test_prefetch_matches_direct_iteration(tmp_path):
         np.testing.assert_array_equal(a.feats, b.feats)
         np.testing.assert_array_equal(a.caps, b.caps)
 
+    # mid-epoch resume fast-forward: skip_batches=k yields the exact tail
+    # of the same epoch permutation without reading the skipped batches
+    tail = list(loader.prefetch(skip_batches=2))
+    assert len(tail) == len(direct) - 2
+    for a, b in zip(direct[2:], tail):
+        np.testing.assert_array_equal(a.feats, b.feats)
+        np.testing.assert_array_equal(a.caps, b.caps)
+
     class Boom(CaptionLoader):
         def __iter__(self):
             yield direct[0]
