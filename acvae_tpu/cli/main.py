@@ -912,6 +912,38 @@ class Runner:
         return results
 
     # ------------------------------------------------------------------ #
+    def average_checkpoints(self, experiment_path: str,
+                            names: str = "best,last",
+                            output_name: str = "avg"):
+        """Elementwise weight averaging of same-layout checkpoints within an
+        experiment (SWA-style; the cheap sibling of ``ensemble``'s
+        probability averaging — one decode instead of K).  The averaged
+        params/batch_stats are saved as a new named checkpoint, usable by
+        ``evaluate --checkpoint=<output_name>``.  Beyond the reference: its
+        only aggregate is the prob-averaged ensemble (base_runner.py:397)."""
+        import orbax.checkpoint as ocp
+
+        from acvae_tpu.train.checkpoints import load_raw_checkpoint
+
+        name_list = [n.strip() for n in str(names).split(",") if n.strip()]
+        if len(name_list) < 2:
+            raise ValueError(f"need >= 2 checkpoint names, got {name_list}")
+        trees = [load_raw_checkpoint(experiment_path, n) for n in name_list]
+        # inference artifact: average the model (params + BN stats), keep
+        # the newest step, drop optimizer state (meaningless to average)
+        avg = {
+            k: jax.tree.map(lambda *xs: sum(xs[1:], xs[0]) / len(xs),
+                            *[t[k] for t in trees])
+            for k in ("params", "batch_stats") if trees[0].get(k) is not None
+        }
+        avg["step"] = max(t["step"] for t in trees)
+        path = os.path.join(os.path.abspath(experiment_path), output_name)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, avg, force=True)
+        ckptr.wait_until_finished()
+        print(f"averaged {name_list} -> {path}")
+        return path
+
     def ensemble(self, *experiment_paths, eval_h5_csv: Optional[str] = None,
                  eval_caption_file: Optional[str] = None,
                  decode_method: str = "beam", beam_size: int = 3,

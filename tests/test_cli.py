@@ -197,6 +197,27 @@ class TestCLI:
         assert os.path.exists(os.path.join(self.exp_dir,
                                            "scores_beam_3_int8.txt"))
 
+    def test_average_checkpoints(self, workspace):
+        """SWA-style weight averaging: avg = mean(best, last) elementwise,
+        saved as a named checkpoint that evaluate can consume."""
+        import jax
+        import numpy as onp
+
+        from acvae_tpu.train.checkpoints import load_raw_checkpoint
+
+        Runner().average_checkpoints(self.exp_dir, names="best,last")
+        avg = load_raw_checkpoint(self.exp_dir, "avg")
+        b = load_raw_checkpoint(self.exp_dir, "best")
+        l = load_raw_checkpoint(self.exp_dir, "last")
+        la, lb, ll = (jax.tree_util.tree_leaves(t["params"])
+                      for t in (avg, b, l))
+        for xa, xb, xl in zip(la, lb, ll):
+            onp.testing.assert_allclose(onp.asarray(xa),
+                                        (onp.asarray(xb) + onp.asarray(xl))
+                                        / 2, rtol=1e-6)
+        scores = Runner().evaluate(self.exp_dir, checkpoint="avg")
+        assert "CIDEr" in scores and np.isfinite(scores["CIDEr"])
+
     def test_main_dispatch(self, workspace, capsys):
         main(["diversity",
               os.path.join(self.exp_dir, "eval_output_dbs_4.json")])
