@@ -278,9 +278,12 @@ class TestMultiProcess:
     (pytorch_runner_vae.py:155-161) and never tests.  Both processes run the
     `distributed: true` CLI train path with host-sharded CaptionLoaders and
     must agree on the epoch loss (the sharded jit's psum keeps them in
-    lockstep)."""
+    lockstep).  mp=2 additionally tensor-parallels the vocab-sized params
+    over a (2 data, 2 model) mesh spanning both processes — exercising
+    shard_by_vocab's multi-process make_array_from_callback path."""
 
-    def test_two_process_cli_train(self, tmp_path):
+    @pytest.mark.parametrize("mp", [1, 2])
+    def test_two_process_cli_train(self, tmp_path, mp):
         import json as _json
         import os
         import re
@@ -304,6 +307,8 @@ class TestMultiProcess:
         pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
             tmp_path / "m.csv", sep="\t", index=False)
         (tmp_path / "text.json").write_text(_json.dumps({"audios": info}))
+        while len(vocab) % 2:  # vocab-TP placement needs |V| % model == 0
+            vocab.add_word("<pad_0>")
         vocab.save(str(tmp_path / "vocab.pkl"))
         E = 16
         cfg = {
@@ -321,7 +326,7 @@ class TestMultiProcess:
             "outputpath": str(tmp_path / "exp"),
             "epochs": 1, "batch_size": 8, "train_percent": 80,
             "scheduler": "constant", "scheduler_args": {},
-            "distributed": True,
+            "distributed": True, "model_parallel": mp,
         }
         with open(tmp_path / "c.yaml", "w") as f:
             yaml.safe_dump(cfg, f)
@@ -375,6 +380,11 @@ class TestMultiProcess:
         assert len(exp_dirs) == 1
         rec = _json.loads(open(exp_dirs[0]).readline())
         assert abs(rec["train_loss"] - losses[0]) < 1e-5
+        log = open(exp_dirs[0].parent / "train_caption.log").read()
+        if mp == 2:  # the (2 data, 2 model) mesh spans both processes
+            assert "'data': 2" in log and "'model': 2" in log
+        else:
+            assert "'data': 4" in log
 
 
 def test_pad_to_multiple_exceeding_batch():
