@@ -731,7 +731,8 @@ class Runner:
 
         model = build_model(conf, len(vocabulary), ds.data_dim)
         state, _ = self._init_state(conf, model, loader, 1)
-        state = restore_checkpoint(str(exp), checkpoint, state)
+        state = restore_checkpoint(str(exp), checkpoint, state,
+                                   params_only=True)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         key = jax.random.key(seed)
@@ -829,7 +830,8 @@ class Runner:
         loader = CaptionLoader(ds, conf.get("batch_size", 32))
         model = build_model(conf, len(vocabulary), ds.data_dim)
         state, _ = self._init_state(conf, model, loader, 1)
-        state = restore_checkpoint(str(exp), checkpoint, state)
+        state = restore_checkpoint(str(exp), checkpoint, state,
+                                   params_only=True)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         rows = []
         key = jax.random.key(seed)
@@ -926,8 +928,16 @@ class Runner:
         from acvae_tpu.train.checkpoints import load_raw_checkpoint
 
         name_list = [n.strip() for n in str(names).split(",") if n.strip()]
-        if len(name_list) < 2:
-            raise ValueError(f"need >= 2 checkpoint names, got {name_list}")
+        if len(set(name_list)) < 2:
+            raise ValueError(f"need >= 2 distinct checkpoint names, got "
+                             f"{name_list}")
+        missing = [n for n in name_list if not os.path.isdir(
+            os.path.join(os.path.abspath(experiment_path), n))]
+        if missing:
+            # no best->last fallback here: silently averaging `last` with
+            # itself would produce a bogus artifact
+            raise FileNotFoundError(
+                f"checkpoint(s) {missing} not found in {experiment_path}")
         trees = [load_raw_checkpoint(experiment_path, n) for n in name_list]
         # inference artifact: average the model (params + BN stats), keep
         # the newest step, drop optimizer state (meaningless to average)
@@ -974,7 +984,8 @@ class Runner:
             loader = CaptionLoader(ds, conf.get("batch_size", 32))
             model = build_model(conf, len(vocabulary), ds.data_dim)
             state, _ = self._init_state(conf, model, loader, 1)
-            state = restore_checkpoint(str(exp), checkpoint, state)
+            state = restore_checkpoint(str(exp), checkpoint, state,
+                                       params_only=True)
             members.append((model, {"params": state.params,
                                     "batch_stats": state.batch_stats}))
         key = jax.random.key(seed)

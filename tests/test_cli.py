@@ -205,17 +205,39 @@ class TestCLI:
 
         from acvae_tpu.train.checkpoints import load_raw_checkpoint
 
-        Runner().average_checkpoints(self.exp_dir, names="best,last")
+        import orbax.checkpoint as ocp
+
+        # guaranteed-distinct second member: alt = 3 * last, so
+        # mean(last, alt) must equal exactly 2 * last leafwise
+        last = load_raw_checkpoint(self.exp_dir, "last")
+        alt = dict(last)
+        alt["params"] = jax.tree.map(lambda x: 3.0 * x, last["params"])
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(self.exp_dir, "alt"), alt, force=True)
+        ckptr.wait_until_finished()
+        Runner().average_checkpoints(self.exp_dir, names="last,alt")
         avg = load_raw_checkpoint(self.exp_dir, "avg")
-        b = load_raw_checkpoint(self.exp_dir, "best")
-        l = load_raw_checkpoint(self.exp_dir, "last")
-        la, lb, ll = (jax.tree_util.tree_leaves(t["params"])
-                      for t in (avg, b, l))
-        for xa, xb, xl in zip(la, lb, ll):
+        for xa, xl in zip(jax.tree_util.tree_leaves(avg["params"]),
+                          jax.tree_util.tree_leaves(last["params"])):
             onp.testing.assert_allclose(onp.asarray(xa),
-                                        (onp.asarray(xb) + onp.asarray(xl))
-                                        / 2, rtol=1e-6)
-        scores = Runner().evaluate(self.exp_dir, checkpoint="avg")
+                                        2.0 * onp.asarray(xl), rtol=1e-6)
+        with pytest.raises(ValueError, match="distinct"):
+            Runner().average_checkpoints(self.exp_dir, names="last,last")
+        with pytest.raises(FileNotFoundError):
+            Runner().average_checkpoints(self.exp_dir, names="last,nope")
+        # evaluate(checkpoint=avg) overwrites the beam-3 artifacts the
+        # earlier checkpoint=last evaluation wrote — snapshot and restore
+        import shutil
+        arts = [os.path.join(self.exp_dir, n)
+                for n in ("eval_output_beam_3.json", "scores_beam_3.txt")]
+        saved = {a: a + ".orig" for a in arts if os.path.exists(a)}
+        for a, s in saved.items():
+            shutil.copy(a, s)
+        try:
+            scores = Runner().evaluate(self.exp_dir, checkpoint="avg")
+        finally:
+            for a, s in saved.items():
+                shutil.move(s, a)
         assert "CIDEr" in scores and np.isfinite(scores["CIDEr"])
 
     def test_main_dispatch(self, workspace, capsys):

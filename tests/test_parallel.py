@@ -229,8 +229,10 @@ class TestDistributedCLI:
         pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
             tmp_path / "m.csv", sep="\t", index=False)
         (tmp_path / "text.json").write_text(_json.dumps({"audios": info}))
-        while len(vocab) % 2:  # vocab-TP placement needs |V| % model == 0
-            vocab.add_word("<pad_0>")
+        k = 0  # vocab-TP placement needs |V| % model == 0; incrementing
+        while len(vocab) % 2:  # pads (add_word dedupes a repeated name)
+            vocab.add_word(f"<pad_{k}>")
+            k += 1
         vocab.save(str(tmp_path / "vocab.pkl"))
         E = 16
         cfg = {
@@ -307,8 +309,10 @@ class TestMultiProcess:
         pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5}).to_csv(
             tmp_path / "m.csv", sep="\t", index=False)
         (tmp_path / "text.json").write_text(_json.dumps({"audios": info}))
-        while len(vocab) % 2:  # vocab-TP placement needs |V| % model == 0
-            vocab.add_word("<pad_0>")
+        k = 0  # vocab-TP placement needs |V| % model == 0; incrementing
+        while len(vocab) % 2:  # pads (add_word dedupes a repeated name)
+            vocab.add_word(f"<pad_{k}>")
+            k += 1
         vocab.save(str(tmp_path / "vocab.pkl"))
         E = 16
         cfg = {
