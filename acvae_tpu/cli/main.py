@@ -914,6 +914,51 @@ class Runner:
         return results
 
     # ------------------------------------------------------------------ #
+    def export_model(self, experiment_path: str, checkpoint: str = "best",
+                     decode_method: str = "beam", beam_size: int = 3,
+                     max_length: int = 20, t_mel: int = 1024,
+                     batch_size: Optional[int] = None, seed: int = 1,
+                     output_dir: Optional[str] = None):
+        """Export the trained decode program to a self-contained serialized
+        StableHLO artifact (jax.export) — weights baked in, loadable by any
+        JAX runtime via ``acvae_tpu.export.load_exported`` with no model
+        code/config/checkpoint.  The XLA-native analogue of torchscript
+        export; the reference deploys by unpickling its Python classes
+        (base_runner.py:38-115).  ``batch_size`` omitted = symbolic batch
+        dim when the program supports it (one artifact, any batch)."""
+        from acvae_tpu.export import export_decode, save_exported
+
+        exp = Path(experiment_path)
+        conf = load_config(str(exp / "config.yaml"))
+        vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
+        src = _feature_source(conf.get("val_h5_csv") or conf["h5_csv"])
+        info = load_caption_info(
+            conf.get("val_caption_file") or conf["caption_file"],
+            conf.get("zh", False))
+        ds = CaptionDataset(**src, caption_info=info, vocabulary=vocabulary)
+        loader = CaptionLoader(ds, conf.get("batch_size", 32))
+        model = build_model(conf, len(vocabulary), ds.data_dim)
+        state, _ = self._init_state(conf, model, loader, 1)
+        state = restore_checkpoint(str(exp), checkpoint, state,
+                                   params_only=True)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        exported, batch_desc = export_decode(
+            model, variables, t_mel=t_mel, n_mels=ds.data_dim,
+            batch=batch_size, decode_method=decode_method,
+            beam_size=beam_size, max_length=max_length)
+        out = output_dir or str(exp / "export")
+        path = save_exported(exported, out, {
+            "decode_method": decode_method, "beam_size": beam_size,
+            "max_length": max_length, "t_mel": t_mel,
+            "n_mels": ds.data_dim, "batch": batch_desc,
+            "checkpoint": checkpoint, "experiment": str(exp)})
+        import shutil
+        shutil.copy(str(exp / "vocab.pkl"), os.path.join(out, "vocab.pkl"))
+        print(f"exported {decode_method}-{beam_size} decode "
+              f"(batch={batch_desc}, T={t_mel}) -> {path}")
+        return out
+
     def average_checkpoints(self, experiment_path: str,
                             names: str = "best,last",
                             output_name: str = "avg"):

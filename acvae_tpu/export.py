@@ -1,0 +1,87 @@
+"""Serialized AOT decode artifacts (jax.export / StableHLO).
+
+Deployment story the reference lacks entirely (its runners unpickle the
+full Python model class — ``runners/base_runner.py:38-115``): the trained
+decode program is exported once — weights baked in as constants — to a
+self-contained StableHLO artifact that any JAX runtime can deserialize and
+call without the model code, config, or checkpoint tree.  This is the
+XLA-native analogue of a torchscript/ONNX export.
+
+The batch dimension is exported symbolically when the program supports it
+(``jax.export`` shape polymorphism), so one artifact serves any batch size;
+mel time stays static (the data pipeline is bucketed anyway —
+``DEFAULT_BUCKETS``).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def build_decode_fn(model, variables: Dict[str, Any], **decode_kwargs):
+    """Decode closure with weights captured as constants; the rng comes in
+    as a plain uint32 seed so the artifact's calling convention is
+    framework-neutral (no typed PRNG keys in the signature)."""
+
+    def decode(feats, feat_lens, seed):
+        out = model.apply(variables, feats, feat_lens,
+                          rngs={"sample": jax.random.key(seed)},
+                          **decode_kwargs)
+        return {"seqs": out["seqs"]}
+
+    return decode
+
+
+def export_decode(model, variables: Dict[str, Any], t_mel: int, n_mels: int,
+                  batch: Optional[int] = None, **decode_kwargs):
+    """Export the decode program.  ``batch=None`` tries a symbolic batch
+    dimension first and falls back to a static default of 32 if the program
+    does not trace under shape polymorphism; returns (exported, batch_desc).
+    """
+    from jax import export as jexport
+
+    fn = jax.jit(build_decode_fn(model, variables, **decode_kwargs))
+    seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+
+    if batch is None:
+        try:
+            (b,) = jexport.symbolic_shape("b")
+            exp = jexport.export(fn)(
+                jax.ShapeDtypeStruct((b, t_mel, n_mels), jnp.float32),
+                jax.ShapeDtypeStruct((b,), jnp.int32), seed_spec)
+            return exp, "symbolic"
+        except Exception:  # program not shape-polymorphic: pin the batch
+            batch = 32
+    exp = jexport.export(fn)(
+        jax.ShapeDtypeStruct((batch, t_mel, n_mels), jnp.float32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32), seed_spec)
+    return exp, str(batch)
+
+
+def save_exported(exp, out_dir: str, meta: Dict[str, Any]) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    blob = exp.serialize()
+    path = os.path.join(out_dir, "decode.jaxexport")
+    with open(path, "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({**meta, "jax_version": jax.__version__,
+                   "artifact_bytes": len(blob)}, f, indent=1)
+    return path
+
+
+def load_exported(export_dir: str):
+    """(callable, meta): deserialize a saved decode artifact.  The callable
+    takes (feats [N, T, F] f32, feat_lens [N] i32, seed uint32-scalar) and
+    returns {"seqs": ...} — no model code or checkpoint needed."""
+    from jax import export as jexport
+
+    with open(os.path.join(export_dir, "decode.jaxexport"), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    with open(os.path.join(export_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return exp.call, meta

@@ -240,6 +240,48 @@ class TestCLI:
                 shutil.move(s, a)
         assert "CIDEr" in scores and np.isfinite(scores["CIDEr"])
 
+    def test_export_model_roundtrip(self, workspace, tmp_path):
+        """jax.export deployment artifact: serialize the trained beam decode
+        (weights baked in), deserialize WITHOUT model code, and get
+        token-identical sequences to the live jitted decode."""
+        import jax
+        import jax.numpy as jnp
+
+        from acvae_tpu.export import load_exported
+
+        out = Runner().export_model(self.exp_dir, checkpoint="last",
+                                    t_mel=128, max_length=8,
+                                    output_dir=str(tmp_path / "export"))
+        decode, meta = load_exported(out)
+        assert meta["decode_method"] == "beam" and meta["t_mel"] == 128
+        assert os.path.exists(os.path.join(out, "vocab.pkl"))
+
+        rng = np.random.default_rng(5)
+        n = 4 if meta["batch"] == "symbolic" else int(meta["batch"])
+        feats = jnp.asarray(rng.normal(size=(n, 128, 64)).astype(np.float32))
+        lens = jnp.full((n,), 128, jnp.int32)
+        got = np.asarray(decode(feats, lens, jnp.uint32(7))["seqs"])
+
+        # live reference decode with the same seed
+        import yaml
+
+        from acvae_tpu.core.config import load_config
+        from acvae_tpu.data.vocab import Vocabulary
+        from acvae_tpu.models.build import build_model
+        from acvae_tpu.train.checkpoints import load_raw_checkpoint
+
+        conf = load_config(os.path.join(self.exp_dir, "config.yaml"))
+        vocab = Vocabulary.load(os.path.join(self.exp_dir, "vocab.pkl"))
+        model = build_model(conf, len(vocab), 64)
+        tree = load_raw_checkpoint(self.exp_dir, "last")
+        variables = {"params": tree["params"],
+                     "batch_stats": tree.get("batch_stats", {})}
+        want = np.asarray(model.apply(
+            variables, feats, lens, decode_method="beam", beam_size=3,
+            max_length=8, rngs={"sample": jax.random.key(jnp.uint32(7))})
+            ["seqs"])
+        np.testing.assert_array_equal(got, want)
+
     def test_main_dispatch(self, workspace, capsys):
         main(["diversity",
               os.path.join(self.exp_dir, "eval_output_dbs_4.json")])
