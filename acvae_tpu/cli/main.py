@@ -859,18 +859,21 @@ class Runner:
               beam_size: int = 3, max_length: int = 20,
               batch_size: int = 16, mel_bucket: int = 1024,
               max_wait_ms: float = 20.0, checkpoint: str = "best",
-              encoder_int8: bool = False):
+              encoder_int8: bool = False, exported: Optional[str] = None):
         """Micro-batching caption inference server (new — deployment
         surface the reference lacks).  POST /caption with {"mel": [[T×F]]}
         or {"wav": [...], "sr": N}; GET /health.  Requests are batched up
-        to batch_size or max_wait_ms before one fixed-shape decode."""
+        to batch_size or max_wait_ms before one fixed-shape decode.
+        ``--exported=<dir>`` serves a ``cli export_model`` artifact instead
+        of a checkpoint (decode config comes from the artifact's meta)."""
         from acvae_tpu.serve import CaptionService, run_server
 
         service = CaptionService(
             experiment_path, checkpoint=checkpoint,
             decode_method=decode_method, beam_size=beam_size,
             max_length=max_length, batch_size=batch_size,
-            mel_bucket=mel_bucket, encoder_int8=encoder_int8)
+            mel_bucket=mel_bucket, encoder_int8=encoder_int8,
+            exported=exported)
         run_server(service, host=host, port=port, max_wait_ms=max_wait_ms)
 
     # ------------------------------------------------------------------ #

@@ -37,12 +37,37 @@ class CaptionService:
                  decode_method: str = "beam", beam_size: int = 3,
                  max_length: int = 20, batch_size: int = 16,
                  mel_bucket: int = 1024, seed: int = 1,
-                 encoder_int8: bool = False):
+                 encoder_int8: bool = False,
+                 exported: "Optional[str]" = None):
         from acvae_tpu.core.config import load_config
         from acvae_tpu.data.vocab import Vocabulary
         from acvae_tpu.models.build import build_model
         from acvae_tpu.train.checkpoints import _resolve_checkpoint_path
         import orbax.checkpoint as ocp
+
+        if exported is not None:
+            # serve a jax.export artifact (cli export_model): no model code,
+            # config, or checkpoint tree — the serialized program is the
+            # whole deployment
+            from acvae_tpu.export import load_exported
+            call, meta = load_exported(exported)
+            self.vocab = Vocabulary.load(
+                str(Path(exported) / "vocab.pkl"))
+            self.bucket = int(meta["t_mel"])
+            self.data_dim = int(meta["n_mels"])
+            self.batch_size = (batch_size if meta["batch"] == "symbolic"
+                               else int(meta["batch"]))
+            self.variables = None
+            self._seed = np.uint32(seed + 2)
+
+            def decode(variables, feats, feat_lens, seed_scalar):
+                return call(feats, feat_lens, seed_scalar)
+
+            self._decode = decode
+            self._key = None
+            self._lock = threading.Lock()
+            self.caption([np.zeros((64, self.data_dim), np.float32)])
+            return
 
         exp = Path(experiment_path)
         self.conf = load_config(str(exp / "config.yaml"))
@@ -111,7 +136,11 @@ class CaptionService:
         for i, mel in enumerate(mels):
             feats[i], lens[i] = self._prep(mel)
         with self._lock:
-            self._key, sub = jax.random.split(self._key)
+            if self._key is None:  # exported artifact: plain uint32 seeds
+                sub = jnp.uint32(self._seed)
+                self._seed = np.uint32(self._seed + 1)
+            else:
+                self._key, sub = jax.random.split(self._key)
             out = self._decode(self.variables, jnp.asarray(feats),
                                jnp.asarray(lens), sub)
         seqs = np.asarray(out["seqs"])

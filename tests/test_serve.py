@@ -66,6 +66,32 @@ def test_caption_service_batches(experiment):
         svc.caption(list(feats.values())[:5] + mels)  # > batch_size
 
 
+def test_caption_service_from_export(experiment, tmp_path):
+    """Serving a jax.export artifact (cli export_model): the service loads
+    vocab + decode config from the artifact (no checkpoint/model code),
+    captions end-to-end, and is deterministic — a fresh service with the
+    same artifact and inputs yields identical captions (the uint32 seed
+    counter restarts)."""
+    from acvae_tpu.cli.main import Runner
+    from acvae_tpu.serve import CaptionService
+
+    exp, feats = experiment
+    out = Runner().export_model(exp, checkpoint="last", t_mel=128,
+                                max_length=8,
+                                output_dir=str(tmp_path / "export"))
+    svc = CaptionService(exp, batch_size=4, exported=out)
+    assert svc.bucket == 128 and svc.variables is None
+    mels = list(feats.values())[:3]
+    caps = svc.caption(mels)
+    assert len(caps) == 3 and all(isinstance(c, str) for c in caps)
+    # same artifact, same seed -> identical captions (fresh service resets
+    # the seed counter)
+    svc2 = CaptionService(exp, batch_size=4, exported=out)
+    assert svc2.caption(mels) == caps
+    with pytest.raises(ValueError):
+        svc.caption([np.zeros((16, 7), np.float32)])  # wrong mel dim
+
+
 def test_http_server_round_trip(experiment):
     from acvae_tpu.serve import CaptionService, run_server
 
