@@ -921,14 +921,17 @@ class Runner:
                      decode_method: str = "beam", beam_size: int = 3,
                      max_length: int = 20, t_mel: int = 1024,
                      batch_size: Optional[int] = None, seed: int = 1,
-                     output_dir: Optional[str] = None):
+                     output_dir: Optional[str] = None,
+                     platforms: Optional[str] = None):
         """Export the trained decode program to a self-contained serialized
         StableHLO artifact (jax.export) — weights baked in, loadable by any
         JAX runtime via ``acvae_tpu.export.load_exported`` with no model
         code/config/checkpoint.  The XLA-native analogue of torchscript
         export; the reference deploys by unpickling its Python classes
         (base_runner.py:38-115).  ``batch_size`` omitted = symbolic batch
-        dim when the program supports it (one artifact, any batch)."""
+        dim when the program supports it (one artifact, any batch).
+        ``--platforms=cpu,tpu`` lowers for several targets in one artifact
+        (a CPU dev host can produce TPU-servable exports)."""
         from acvae_tpu.export import export_decode, save_exported
 
         exp = Path(experiment_path)
@@ -946,15 +949,18 @@ class Runner:
                                    params_only=True)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+        plat = ([p.strip() for p in str(platforms).split(",") if p.strip()]
+                if platforms else None)
         exported, batch_desc = export_decode(
             model, variables, t_mel=t_mel, n_mels=ds.data_dim,
-            batch=batch_size, decode_method=decode_method,
+            batch=batch_size, platforms=plat, decode_method=decode_method,
             beam_size=beam_size, max_length=max_length)
         out = output_dir or str(exp / "export")
         path = save_exported(exported, out, {
             "decode_method": decode_method, "beam_size": beam_size,
             "max_length": max_length, "t_mel": t_mel,
             "n_mels": ds.data_dim, "batch": batch_desc,
+            "platforms": list(exported.platforms),
             "checkpoint": checkpoint, "experiment": str(exp)})
         import shutil
         shutil.copy(str(exp / "vocab.pkl"), os.path.join(out, "vocab.pkl"))

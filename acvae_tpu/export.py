@@ -37,26 +37,30 @@ def build_decode_fn(model, variables: Dict[str, Any], **decode_kwargs):
 
 
 def export_decode(model, variables: Dict[str, Any], t_mel: int, n_mels: int,
-                  batch: Optional[int] = None, **decode_kwargs):
+                  batch: Optional[int] = None,
+                  platforms: Optional[list] = None, **decode_kwargs):
     """Export the decode program.  ``batch=None`` tries a symbolic batch
     dimension first and falls back to a static default of 32 if the program
     does not trace under shape polymorphism; returns (exported, batch_desc).
-    """
+    ``platforms`` lowers for multiple targets in one artifact (e.g.
+    ``["cpu", "tpu"]`` — a CPU dev host can produce TPU-servable
+    artifacts); default is the exporting process's platform."""
     from jax import export as jexport
 
     fn = jax.jit(build_decode_fn(model, variables, **decode_kwargs))
     seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+    kw = {"platforms": platforms} if platforms else {}
 
     if batch is None:
         try:
             (b,) = jexport.symbolic_shape("b")
-            exp = jexport.export(fn)(
+            exp = jexport.export(fn, **kw)(
                 jax.ShapeDtypeStruct((b, t_mel, n_mels), jnp.float32),
                 jax.ShapeDtypeStruct((b,), jnp.int32), seed_spec)
             return exp, "symbolic"
         except Exception:  # program not shape-polymorphic: pin the batch
             batch = 32
-    exp = jexport.export(fn)(
+    exp = jexport.export(fn, **kw)(
         jax.ShapeDtypeStruct((batch, t_mel, n_mels), jnp.float32),
         jax.ShapeDtypeStruct((batch,), jnp.int32), seed_spec)
     return exp, str(batch)

@@ -251,9 +251,12 @@ class TestCLI:
 
         out = Runner().export_model(self.exp_dir, checkpoint="last",
                                     t_mel=128, max_length=8,
-                                    output_dir=str(tmp_path / "export"))
+                                    output_dir=str(tmp_path / "export"),
+                                    platforms="cpu,tpu")
         decode, meta = load_exported(out)
         assert meta["decode_method"] == "beam" and meta["t_mel"] == 128
+        # multi-platform lowering: a CPU host produced a TPU-servable export
+        assert meta["platforms"] == ["cpu", "tpu"]
         assert os.path.exists(os.path.join(out, "vocab.pkl"))
 
         rng = np.random.default_rng(5)
