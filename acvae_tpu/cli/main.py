@@ -854,7 +854,8 @@ class Runner:
         return output
 
     # ------------------------------------------------------------------ #
-    def serve(self, experiment_path: str, host: str = "127.0.0.1",
+    def serve(self, experiment_path: Optional[str] = None,
+              host: str = "127.0.0.1",
               port: int = 8976, decode_method: str = "beam",
               beam_size: int = 3, max_length: int = 20,
               batch_size: int = 16, mel_bucket: int = 1024,
@@ -864,10 +865,19 @@ class Runner:
         surface the reference lacks).  POST /caption with {"mel": [[T×F]]}
         or {"wav": [...], "sr": N}; GET /health.  Requests are batched up
         to batch_size or max_wait_ms before one fixed-shape decode.
-        ``--exported=<dir>`` serves a ``cli export_model`` artifact instead
-        of a checkpoint (decode config comes from the artifact's meta)."""
+        ``--exported=<dir>`` serves a ``cli export_model`` artifact —
+        no experiment dir needed, and the decode config/precision is the
+        artifact's (--decode_method/--beam_size/--max_length/--mel_bucket/
+        --checkpoint/--encoder_int8 do not apply)."""
         from acvae_tpu.serve import CaptionService, run_server
 
+        if exported is None and experiment_path is None:
+            raise ValueError("serve needs an experiment dir or --exported")
+        if exported is not None and encoder_int8:
+            raise ValueError(
+                "--encoder_int8 does not apply to an exported artifact: "
+                "the serialized program's precision is fixed at export "
+                "time (quantized export is not implemented)")
         service = CaptionService(
             experiment_path, checkpoint=checkpoint,
             decode_method=decode_method, beam_size=beam_size,
@@ -920,7 +930,7 @@ class Runner:
     def export_model(self, experiment_path: str, checkpoint: str = "best",
                      decode_method: str = "beam", beam_size: int = 3,
                      max_length: int = 20, t_mel: int = 1024,
-                     batch_size: Optional[int] = None, seed: int = 1,
+                     batch_size: Optional[int] = None,
                      output_dir: Optional[str] = None,
                      platforms: Optional[str] = None):
         """Export the trained decode program to a self-contained serialized
@@ -937,29 +947,28 @@ class Runner:
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
         vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
-        src = _feature_source(conf.get("val_h5_csv") or conf["h5_csv"])
-        info = load_caption_info(
-            conf.get("val_caption_file") or conf["caption_file"],
-            conf.get("zh", False))
-        ds = CaptionDataset(**src, caption_info=info, vocabulary=vocabulary)
-        loader = CaptionLoader(ds, conf.get("batch_size", 32))
-        model = build_model(conf, len(vocabulary), ds.data_dim)
-        state, _ = self._init_state(conf, model, loader, 1)
-        state = restore_checkpoint(str(exp), checkpoint, state,
-                                   params_only=True)
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-        plat = ([p.strip() for p in str(platforms).split(",") if p.strip()]
-                if platforms else None)
+        data_dim = int(conf.get("data_dim", 64))
+        model = build_model(conf, len(vocabulary), data_dim)
+        # template-free: the checkpoint provides the full tree — no dataset
+        # pass / jitted model.init (minutes over the tunneled runtime)
+        from acvae_tpu.train.checkpoints import load_raw_checkpoint
+        tree = load_raw_checkpoint(str(exp), checkpoint)
+        variables = {"params": tree["params"],
+                     "batch_stats": tree.get("batch_stats", {})}
+        if platforms and not isinstance(platforms, (list, tuple)):
+            # yaml coercion may deliver "--platforms=[cpu,tpu]" as a list
+            platforms = [p.strip() for p in str(platforms).split(",")
+                         if p.strip()]
         exported, batch_desc = export_decode(
-            model, variables, t_mel=t_mel, n_mels=ds.data_dim,
-            batch=batch_size, platforms=plat, decode_method=decode_method,
+            model, variables, t_mel=t_mel, n_mels=data_dim,
+            batch=batch_size, platforms=list(platforms) if platforms
+            else None, decode_method=decode_method,
             beam_size=beam_size, max_length=max_length)
         out = output_dir or str(exp / "export")
         path = save_exported(exported, out, {
             "decode_method": decode_method, "beam_size": beam_size,
             "max_length": max_length, "t_mel": t_mel,
-            "n_mels": ds.data_dim, "batch": batch_desc,
+            "n_mels": data_dim, "batch": batch_desc,
             "platforms": list(exported.platforms),
             "checkpoint": checkpoint, "experiment": str(exp)})
         import shutil

@@ -58,7 +58,14 @@ def export_decode(model, variables: Dict[str, Any], t_mel: int, n_mels: int,
                 jax.ShapeDtypeStruct((b, t_mel, n_mels), jnp.float32),
                 jax.ShapeDtypeStruct((b,), jnp.int32), seed_spec)
             return exp, "symbolic"
-        except Exception:  # program not shape-polymorphic: pin the batch
+        except Exception as e:  # program not shape-polymorphic: pin the
+            # batch — LOUDLY, because it changes the artifact's contract
+            # (serve then forces this batch size); a real lowering error
+            # will re-raise identically from the pinned export below
+            import logging
+            logging.getLogger("acvae_tpu").warning(
+                "symbolic-batch export failed (%s: %s); pinning batch=32",
+                type(e).__name__, str(e).splitlines()[0][:120])
             batch = 32
     exp = jexport.export(fn, **kw)(
         jax.ShapeDtypeStruct((batch, t_mel, n_mels), jnp.float32),

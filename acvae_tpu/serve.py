@@ -33,7 +33,8 @@ import numpy as np
 class CaptionService:
     """Fixed-shape batched decoding over a trained experiment dir."""
 
-    def __init__(self, experiment_path: str, checkpoint: str = "best",
+    def __init__(self, experiment_path: Optional[str] = None,
+                 checkpoint: str = "best",
                  decode_method: str = "beam", beam_size: int = 3,
                  max_length: int = 20, batch_size: int = 16,
                  mel_bucket: int = 1024, seed: int = 1,

@@ -257,17 +257,18 @@ class TestCLI:
         assert meta["decode_method"] == "beam" and meta["t_mel"] == 128
         # multi-platform lowering: a CPU host produced a TPU-servable export
         assert meta["platforms"] == ["cpu", "tpu"]
+        # the documented contract: one artifact, any batch — a silent
+        # fallback to a pinned batch is a regression, not an alternative
+        assert meta["batch"] == "symbolic"
         assert os.path.exists(os.path.join(out, "vocab.pkl"))
 
         rng = np.random.default_rng(5)
-        n = 4 if meta["batch"] == "symbolic" else int(meta["batch"])
+        n = 4
         feats = jnp.asarray(rng.normal(size=(n, 128, 64)).astype(np.float32))
         lens = jnp.full((n,), 128, jnp.int32)
         got = np.asarray(decode(feats, lens, jnp.uint32(7))["seqs"])
 
         # live reference decode with the same seed
-        import yaml
-
         from acvae_tpu.core.config import load_config
         from acvae_tpu.data.vocab import Vocabulary
         from acvae_tpu.models.build import build_model
