@@ -1897,6 +1897,14 @@ class Runner:
 
 
 def main(argv: Optional[List[str]] = None) -> Any:
+    # honor JAX_PLATFORMS for CLI runs: the axon TPU plugin ignores the env
+    # var itself, but the config route (applied before first backend use)
+    # works — `JAX_PLATFORMS=cpu python -m acvae_tpu.cli ...` forces CPU
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception as e:  # backend already initialized (library use)
+            print(f"[cli] JAX_PLATFORMS ignored: {e}", file=sys.stderr)
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print(__doc__)
