@@ -877,7 +877,7 @@ class Runner:
             raise ValueError(
                 "--encoder_int8 does not apply to an exported artifact: "
                 "the serialized program's precision is fixed at export "
-                "time (quantized export is not implemented)")
+                "time — quantize there (`export_model --encoder_int8`)")
         service = CaptionService(
             experiment_path, checkpoint=checkpoint,
             decode_method=decode_method, beam_size=beam_size,
@@ -932,7 +932,8 @@ class Runner:
                      max_length: int = 20, t_mel: int = 1024,
                      batch_size: Optional[int] = None,
                      output_dir: Optional[str] = None,
-                     platforms: Optional[str] = None):
+                     platforms: Optional[str] = None,
+                     encoder_int8: bool = False):
         """Export the trained decode program to a self-contained serialized
         StableHLO artifact (jax.export) — weights baked in, loadable by any
         JAX runtime via ``acvae_tpu.export.load_exported`` with no model
@@ -941,8 +942,11 @@ class Runner:
         (base_runner.py:38-115).  ``batch_size`` omitted = symbolic batch
         dim when the program supports it (one artifact, any batch).
         ``--platforms=cpu,tpu`` lowers for several targets in one artifact
-        (a CPU dev host can produce TPU-servable exports)."""
-        from acvae_tpu.export import export_decode, save_exported
+        (a CPU dev host can produce TPU-servable exports).
+        ``--encoder_int8`` bakes the int8 serving encoder (models/quant.py)
+        into the artifact — the quantized deployment in one file."""
+        from acvae_tpu.export import (build_decode_fn, build_decode_fn_int8,
+                                      export_decode, save_exported)
 
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
@@ -959,17 +963,26 @@ class Runner:
             # yaml coercion may deliver "--platforms=[cpu,tpu]" as a list
             platforms = [p.strip() for p in str(platforms).split(",")
                          if p.strip()]
+        kwargs = dict(decode_method=decode_method, beam_size=beam_size,
+                      max_length=max_length)
+        if encoder_int8:
+            from acvae_tpu.models.quant import quant_encoder_for
+            quant = quant_encoder_for(conf, model, variables["params"],
+                                      variables["batch_stats"])
+            fn = build_decode_fn_int8(model, variables, quant, **kwargs)
+        else:
+            fn = build_decode_fn(model, variables, **kwargs)
         exported, batch_desc = export_decode(
-            model, variables, t_mel=t_mel, n_mels=data_dim,
+            fn, t_mel=t_mel, n_mels=data_dim,
             batch=batch_size, platforms=list(platforms) if platforms
-            else None, decode_method=decode_method,
-            beam_size=beam_size, max_length=max_length)
+            else None)
         out = output_dir or str(exp / "export")
         path = save_exported(exported, out, {
             "decode_method": decode_method, "beam_size": beam_size,
             "max_length": max_length, "t_mel": t_mel,
             "n_mels": data_dim, "batch": batch_desc,
             "platforms": list(exported.platforms),
+            "encoder_int8": bool(encoder_int8),
             "checkpoint": checkpoint, "experiment": str(exp)})
         import shutil
         shutil.copy(str(exp / "vocab.pkl"), os.path.join(out, "vocab.pkl"))

@@ -36,10 +36,29 @@ def build_decode_fn(model, variables: Dict[str, Any], **decode_kwargs):
     return decode
 
 
-def export_decode(model, variables: Dict[str, Any], t_mel: int, n_mels: int,
+def build_decode_fn_int8(model, variables: Dict[str, Any], quant,
+                         **decode_kwargs):
+    """Same calling convention, with the int8 serving encoder
+    (models/quant.py) baked into the artifact in front of the model's
+    decode machinery — the quantized weights/scales become constants, so
+    the export IS the quantized deployment."""
+
+    def decode(feats, feat_lens, seed):
+        encoded = quant(feats, feat_lens)
+        out = model.apply(variables, encoded, apply_ln=True,
+                          rngs={"sample": jax.random.key(seed)},
+                          method=model.inference_from_encoded,
+                          **decode_kwargs)
+        return {"seqs": out["seqs"]}
+
+    return decode
+
+
+def export_decode(decode_fn, t_mel: int, n_mels: int,
                   batch: Optional[int] = None,
-                  platforms: Optional[list] = None, **decode_kwargs):
-    """Export the decode program.  ``batch=None`` tries a symbolic batch
+                  platforms: Optional[list] = None):
+    """Export a decode closure (from :func:`build_decode_fn` or
+    :func:`build_decode_fn_int8`).  ``batch=None`` tries a symbolic batch
     dimension first and falls back to a static default of 32 if the program
     does not trace under shape polymorphism; returns (exported, batch_desc).
     ``platforms`` lowers for multiple targets in one artifact (e.g.
@@ -47,7 +66,7 @@ def export_decode(model, variables: Dict[str, Any], t_mel: int, n_mels: int,
     artifacts); default is the exporting process's platform."""
     from jax import export as jexport
 
-    fn = jax.jit(build_decode_fn(model, variables, **decode_kwargs))
+    fn = jax.jit(decode_fn)
     seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
     kw = {"platforms": platforms} if platforms else {}
 

@@ -286,6 +286,46 @@ class TestCLI:
             ["seqs"])
         np.testing.assert_array_equal(got, want)
 
+    def test_export_model_int8_roundtrip(self, workspace, tmp_path):
+        """--encoder_int8 bakes the quantized serving encoder into the
+        artifact; the deserialized program matches the live int8 decode
+        token-for-token."""
+        import jax
+        import jax.numpy as jnp
+
+        from acvae_tpu.core.config import load_config
+        from acvae_tpu.data.vocab import Vocabulary
+        from acvae_tpu.export import load_exported
+        from acvae_tpu.models.build import build_model
+        from acvae_tpu.models.quant import int8_decode_fn, quant_encoder_for
+        from acvae_tpu.train.checkpoints import load_raw_checkpoint
+
+        out = Runner().export_model(self.exp_dir, checkpoint="last",
+                                    t_mel=128, max_length=8,
+                                    encoder_int8=True,
+                                    output_dir=str(tmp_path / "exp_i8"))
+        decode, meta = load_exported(out)
+        assert meta["encoder_int8"] is True
+
+        rng = np.random.default_rng(6)
+        feats = jnp.asarray(rng.normal(size=(4, 128, 64)).astype(np.float32))
+        lens = jnp.full((4,), 128, jnp.int32)
+        got = np.asarray(decode(feats, lens, jnp.uint32(9))["seqs"])
+
+        conf = load_config(os.path.join(self.exp_dir, "config.yaml"))
+        vocab = Vocabulary.load(os.path.join(self.exp_dir, "vocab.pkl"))
+        model = build_model(conf, len(vocab), 64)
+        tree = load_raw_checkpoint(self.exp_dir, "last")
+        variables = {"params": tree["params"],
+                     "batch_stats": tree.get("batch_stats", {})}
+        quant = quant_encoder_for(conf, model, variables["params"],
+                                  variables["batch_stats"])
+        live = int8_decode_fn(model, quant, decode_method="beam",
+                              beam_size=3, max_length=8)
+        want = np.asarray(live(variables, feats, lens,
+                               jax.random.key(jnp.uint32(9)))["seqs"])
+        np.testing.assert_array_equal(got, want)
+
     def test_main_dispatch(self, workspace, capsys):
         main(["diversity",
               os.path.join(self.exp_dir, "eval_output_dbs_4.json")])
