@@ -712,6 +712,10 @@ class Runner:
         distributed shards each decode batch over all visible devices
         (token-identical to the single-device decode — jax's threefry RNG is
         sharding-invariant)."""
+        # the reference's flag is --method (base_runner.py:199, SURVEY §3.2);
+        # accept it as an alias instead of letting it fall into decode_kwargs
+        # (where it would collide with flax's apply(method=...))
+        decode_method = decode_kwargs.pop("method", decode_method)
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
         vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))

@@ -22,6 +22,7 @@ Reference semantics reproduced exactly (SURVEY §7 "beam/DBS parity"):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -41,6 +42,37 @@ class BeamConfig:
     end_idx: int = END_IDX
     first_step_row0: bool = False
     end_handling: bool = False
+
+
+def beam_topk(total: jnp.ndarray, k: int,
+              impl: str | None = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the flattened (beam, vocab) axis of ``total [N, B, V]``.
+
+    Returns ``(scores [N, k], flat_idx [N, k])`` — identical (including tie
+    order) to ``lax.top_k(total.reshape(N, B*V), k)``.
+
+    ``impl`` (default from ``ACVAE_TOPK``, else ``"flat"``):
+
+    * ``"flat"`` — one ``lax.top_k`` over ``B*V`` columns.
+    * ``"two_stage"`` — per-beam top-k over ``V`` first, then top-k over the
+      ``B*k`` survivors.  Mathematically identical: any member of the flat
+      top-k is beaten by < k elements globally, hence by < k within its own
+      beam; and ``lax.top_k`` orders equal scores by ascending index, so the
+      stage-2 order (beam, per-beam rank) equals the flat order (beam, vocab)
+      on ties too.  Candidate for cutting the widest serial op in the decode
+      loop (top-k over ~15k columns at the flagship shapes); kept switchable
+      until measured faster on the real chip (docs/pallas_notes.md).
+    """
+    N, B, V = total.shape
+    impl = impl or os.environ.get("ACVAE_TOPK", "flat")
+    if impl == "two_stage" and B > 1:
+        k1 = min(k, V)  # a beam can contribute at most V candidates
+        cand_s, cand_w = jax.lax.top_k(total, k1)             # [N, B, k1]
+        scores, idx = jax.lax.top_k(cand_s.reshape(N, B * k1), k)
+        beam = idx // k1
+        words = jnp.take_along_axis(cand_w.reshape(N, B * k1), idx, axis=1)
+        return scores, beam * V + words
+    return jax.lax.top_k(total.reshape(N, B * V), k)
 
 
 def _gather_beams(state, prev_inds: jnp.ndarray, N: int, B: int):
@@ -89,7 +121,7 @@ def batched_beam_search(step_fn: StepFn, init_state: Any, batch_size: int,
             top_scores, next_words = jax.lax.top_k(total[:, 0], B)  # [N, B]
             prev_inds = jnp.zeros((N, B), jnp.int32)
         else:
-            top_scores, flat_idx = jax.lax.top_k(total.reshape(N, B * V), B)
+            top_scores, flat_idx = beam_topk(total, B)
             prev_inds = flat_idx // V
             next_words = flat_idx % V
 

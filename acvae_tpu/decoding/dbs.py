@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from acvae_tpu import END_IDX, START_IDX
-from acvae_tpu.decoding.beam import _gather_beams
+from acvae_tpu.decoding.beam import _gather_beams, beam_topk
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,8 +89,7 @@ def diverse_beam_search(make_step_fn: Callable[[int], Any],
                 top_scores, next_words = jax.lax.top_k(total[:, 0], bdash)
                 prev_inds = jnp.zeros((N, bdash), jnp.int32)
             else:
-                top_scores, flat_idx = jax.lax.top_k(
-                    total.reshape(N, bdash * V), bdash)
+                top_scores, flat_idx = beam_topk(total, bdash)
                 prev_inds = flat_idx // V
                 next_words = flat_idx % V
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from acvae_tpu import END_IDX, START_IDX
-from acvae_tpu.decoding.beam import BeamConfig, _freeze, _gather_beams
+from acvae_tpu.decoding.beam import BeamConfig, _freeze, _gather_beams, beam_topk
 
 StepFn = Callable[[Any, jnp.ndarray, int], Tuple[jnp.ndarray, Any]]
 
@@ -77,7 +77,7 @@ def ensemble_beam(step_fns: List[StepFn], init_states: List[Any],
             top_scores, next_words = jax.lax.top_k(total[:, 0], B)
             prev_inds = jnp.zeros((N, B), jnp.int32)
         else:
-            top_scores, flat_idx = jax.lax.top_k(total.reshape(N, B * V), B)
+            top_scores, flat_idx = beam_topk(total, B)
             prev_inds = flat_idx // V
             next_words = flat_idx % V
 

@@ -33,6 +33,48 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
 
+def _wait_for_device(deadline_s: float = None) -> None:
+    """Block until the (tunneled) device answers a tiny matmul, or give up.
+
+    The axon tunnel occasionally wedges: every device call hangs, even from
+    fresh processes (CLAUDE.md "Environment facts").  Without this guard the
+    first dispatch below (model.init) would hang *unboundedly* and the round
+    would record no benchmark at all.  Probe in short-timeout subprocesses
+    and retry until ``ACVAE_BENCH_PROBE_DEADLINE`` (seconds, default 1800 —
+    observed recoveries are usually within ~45 min); on a healthy device the
+    first probe returns in seconds.  If the deadline passes we proceed anyway
+    (the driver's own timeout then decides), having logged the wedge.
+    """
+    import subprocess
+
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("ACVAE_BENCH_PROBE_DEADLINE", 1800))
+    probe = ("import jax, numpy as np; x = jax.numpy.ones((64, 64)); "
+             "print(float(np.asarray(x @ x)[0, 0]))")
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=120)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# device recovered after {time.time() - t0:.0f}s "
+                          f"({attempt} probes)", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited >= deadline_s:
+            print(f"# WARNING: device probe failed for {waited:.0f}s "
+                  f"(tunnel wedged?) — proceeding anyway", file=sys.stderr)
+            return
+        print(f"# device probe {attempt} failed ({waited:.0f}s elapsed); "
+              f"retrying", file=sys.stderr)
+        time.sleep(min(60, max(5, deadline_s - waited)))
+
+
 def bench_jax() -> dict:
     import jax
     import jax.numpy as jnp
@@ -271,6 +313,7 @@ def bench_torch_baseline() -> float:
 
 
 def main():
+    _wait_for_device()
     ours = bench_jax()
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:

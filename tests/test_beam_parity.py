@@ -233,3 +233,51 @@ class TestDBSParity:
                     ref_out[i, row, :len(seq)] = seq
                     row += 1
         np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_out)
+
+
+class TestBeamTopkImpls:
+    """beam_topk's two implementations must agree exactly — selection AND
+    order, including ties (equal scores resolve by ascending flat index in
+    both, see the proof in the docstring)."""
+
+    def test_random_and_tied_inputs(self):
+        from acvae_tpu.decoding.beam import beam_topk
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            n, b, v = (int(rng.integers(1, 5)), int(rng.integers(2, 6)),
+                       int(rng.integers(4, 40)))
+            k = min(int(rng.integers(1, b * 2)), b * v)
+            if trial == 0:  # pin the k > V edge (stage-1 clamp)
+                n, b, v, k = 2, 3, 4, 7
+            total = rng.normal(size=(n, b, v)).astype(np.float32)
+            if trial % 2:  # force many exact ties across beams and words
+                total = np.round(total * 2.0) / 2.0
+                total[:, :, : v // 2] = total[:, ::-1, : v // 2]
+            flat_s, flat_i = beam_topk(jnp.asarray(total), k, impl="flat")
+            two_s, two_i = beam_topk(jnp.asarray(total), k, impl="two_stage")
+            np.testing.assert_array_equal(np.asarray(flat_s), np.asarray(two_s))
+            np.testing.assert_array_equal(np.asarray(flat_i), np.asarray(two_i))
+
+    def test_full_beam_search_identical(self, monkeypatch):
+        """End to end: ACVAE_TOPK=two_stage produces token-identical beams."""
+        word_table, time_table, inst_table = make_tables(11)
+
+        def step_fn(state, words, t):
+            logits = toy_logits(jnp.asarray(word_table), jnp.asarray(time_table),
+                                jnp.repeat(jnp.asarray(inst_table), 4, axis=0),
+                                words, t, state)
+            return logits, state + words
+
+        cfg = BeamConfig(beam_size=4, max_length=T, start_idx=START,
+                         end_idx=END, first_step_row0=False, end_handling=False)
+        outs = {}
+        for impl in ("flat", "two_stage"):
+            monkeypatch.setenv("ACVAE_TOPK", impl)
+            outs[impl] = jax.tree_util.tree_map(
+                np.asarray,
+                batched_beam_search(step_fn, jnp.zeros((N * 4,), jnp.int32),
+                                    N, cfg))
+        np.testing.assert_array_equal(outs["flat"]["seqs"],
+                                      outs["two_stage"]["seqs"])
+        np.testing.assert_array_equal(outs["flat"]["scores"],
+                                      outs["two_stage"]["scores"])
