@@ -821,8 +821,13 @@ class Runner:
     # ------------------------------------------------------------------ #
     def predict(self, experiment_path: str, h5_csv: str,
                 output: str = "predictions.csv", decode_method: str = "beam",
-                beam_size: int = 3, checkpoint: str = "best", seed: int = 1):
-        """DCASE-format CSV export (base_runner.py:336-395)."""
+                beam_size: int = 3, checkpoint: str = "best", seed: int = 1,
+                method: Optional[str] = None):
+        """DCASE-format CSV export (base_runner.py:336-395).
+
+        ``method`` is the reference's name for ``decode_method``
+        (base_runner.py:342) — accepted as an alias."""
+        decode_method = method or decode_method
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
         vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
@@ -1038,9 +1043,12 @@ class Runner:
                  eval_caption_file: Optional[str] = None,
                  decode_method: str = "beam", beam_size: int = 3,
                  max_length: int = 20, checkpoint: str = "best",
-                 output: str = "ensemble_scores.txt", seed: int = 1):
+                 output: str = "ensemble_scores.txt", seed: int = 1,
+                 method: Optional[str] = None):
         """Probability-averaged ensemble decode across experiment dirs
-        (base_runner.py:397-694)."""
+        (base_runner.py:397-694).  ``method`` aliases ``decode_method``
+        (the reference's kwarg name, base_runner.py:405)."""
+        decode_method = method or decode_method
         from acvae_tpu.decoding.ensemble import ensemble_decode
 
         members = []

@@ -79,8 +79,10 @@ class TestCLI:
                                            "eval_output_beam_3.json"))
 
     def test_evaluate_dbs_multicandidate(self, workspace):
+        # "method" is the reference's flag name (base_runner.py:199) —
+        # exercised here as the alias for decode_method
         scores = Runner().evaluate(self.exp_dir, checkpoint="last",
-                                   decode_method="dbs", beam_size=4,
+                                   method="dbs", beam_size=4,
                                    group_size=2)
         out = json.load(open(os.path.join(
             self.exp_dir, "eval_output_dbs_4.json")))

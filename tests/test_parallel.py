@@ -365,7 +365,7 @@ class TestMultiProcess:
         outs = []
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=540)
+                out, _ = p.communicate(timeout=900)  # generous: two concurrent compiles on a loaded host
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
