@@ -145,6 +145,20 @@ def _train_val_split(caption_info: List[dict], percent: float, seed: int):
     return idx[:n_train].tolist(), idx[n_train:].tolist()
 
 
+def _method_alias(method: Optional[str], decode_method: str,
+                  default: str = "beam") -> str:
+    """Resolve the reference's ``method`` kwarg (base_runner.py:199,342,405)
+    against our ``decode_method``; conflicting explicit values raise instead
+    of one silently winning."""
+    if method is None:
+        return decode_method
+    if decode_method != default and method != decode_method:
+        raise ValueError(
+            f"conflicting flags: --decode_method={decode_method} vs "
+            f"--method={method} (method is an alias; pass only one)")
+    return method
+
+
 class Runner:
     """AC-VAE experiment runner (reference Runner, pytorch_runner_vae.py:30)."""
 
@@ -244,6 +258,7 @@ class Runner:
             # so raise instead of warn-and-continue
             multiproc_intended = (
                 dist_kw.get("num_processes", 1) > 1
+                or "coordinator_address" in dist_kw
                 or any(os.environ.get(v) for v in
                        ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
                 or any(int(os.environ.get(v) or 1) > 1 for v in
@@ -715,7 +730,8 @@ class Runner:
         # the reference's flag is --method (base_runner.py:199, SURVEY §3.2);
         # accept it as an alias instead of letting it fall into decode_kwargs
         # (where it would collide with flax's apply(method=...))
-        decode_method = decode_kwargs.pop("method", decode_method)
+        decode_method = _method_alias(decode_kwargs.pop("method", None),
+                                      decode_method)
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
         vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
@@ -827,7 +843,7 @@ class Runner:
 
         ``method`` is the reference's name for ``decode_method``
         (base_runner.py:342) — accepted as an alias."""
-        decode_method = method or decode_method
+        decode_method = _method_alias(method, decode_method)
         exp = Path(experiment_path)
         conf = load_config(str(exp / "config.yaml"))
         vocabulary = Vocabulary.load(str(exp / "vocab.pkl"))
@@ -882,11 +898,23 @@ class Runner:
 
         if exported is None and experiment_path is None:
             raise ValueError("serve needs an experiment dir or --exported")
-        if exported is not None and encoder_int8:
-            raise ValueError(
-                "--encoder_int8 does not apply to an exported artifact: "
-                "the serialized program's precision is fixed at export "
-                "time — quantize there (`export_model --encoder_int8`)")
+        if exported is not None:
+            # ALL decode-config flags are baked into the artifact at export
+            # time; reject any explicitly-changed one instead of silently
+            # serving the artifact's values (operators tuning latency via
+            # these flags must re-export)
+            changed = [name for name, val, dflt in [
+                ("decode_method", decode_method, "beam"),
+                ("beam_size", beam_size, 3), ("max_length", max_length, 20),
+                ("mel_bucket", mel_bucket, 1024),
+                ("checkpoint", checkpoint, "best"),
+                ("encoder_int8", encoder_int8, False)] if val != dflt]
+            if changed:
+                raise ValueError(
+                    f"flag(s) --{', --'.join(changed)} do not apply to an "
+                    f"exported artifact: the decode config and precision "
+                    f"are fixed at export time — set them on "
+                    f"`export_model` and re-export")
         service = CaptionService(
             experiment_path, checkpoint=checkpoint,
             decode_method=decode_method, beam_size=beam_size,
@@ -1048,7 +1076,7 @@ class Runner:
         """Probability-averaged ensemble decode across experiment dirs
         (base_runner.py:397-694).  ``method`` aliases ``decode_method``
         (the reference's kwarg name, base_runner.py:405)."""
-        decode_method = method or decode_method
+        decode_method = _method_alias(method, decode_method)
         from acvae_tpu.decoding.ensemble import ensemble_decode
 
         members = []

@@ -28,6 +28,5 @@ def eps_stack(key, steps: int, rows: int, dim: int):
     from step 1 on.  Splitting per step makes the leading rows invariant to
     the batch size: padded / mesh-sharded decodes are token-identical to
     the unpadded decode."""
-    import jax
     return jax.vmap(lambda k: jax.random.normal(k, (rows, dim)))(
         jax.random.split(key, steps))

@@ -105,12 +105,16 @@ class QuantPannEncoder:
                  calib_feats: jnp.ndarray, calib_lens: jnp.ndarray,
                  arch: str = "Cnn10",
                  channels: Sequence[int] = (64, 128, 256, 512),
-                 stem_lane_pad: int = 2):
+                 stem_lane_pad: Optional[int] = None):
         params = variables["params"]
         stats = variables["batch_stats"]
         spec = _arch_spec(arch, channels)
         self.subsample = spec["subsample"]
-        self.stem_lane_pad = stem_lane_pad
+        # default tracks the f32 encoders' staging constant so the two
+        # paths cannot desync (encoders._stage_mel / pretrained.pann_to_flax)
+        from acvae_tpu.models.encoders import STEM_LANE_PAD
+        self.stem_lane_pad = (STEM_LANE_PAD if stem_lane_pad is None
+                              else stem_lane_pad)
         self.bn0 = _fold_bn(params["_MelBatchNorm_0"]["bn0"],
                             stats["_MelBatchNorm_0"]["bn0"])
         self.blocks: List[Dict[str, Any]] = []

@@ -183,7 +183,19 @@ def restore_checkpoint(exp_dir: str, name: str, state, params_only=False,
                 "templated restore of %s failed (%s: %s); restoring "
                 "params/batch_stats only and resetting the optimizer",
                 path, type(e).__name__, str(e).splitlines()[0])
-    restored = ckptr.restore(path)
+    # partial restore: don't deserialize opt_state at all (Adam mu/nu is
+    # ~2x the params bytes — wasted I/O on every inference-side load)
+    item = {"params": state.params}
+    if state.batch_stats:
+        item["batch_stats"] = state.batch_stats
+    try:
+        restored = ocp.PyTreeCheckpointer().restore(
+            path, args=ocp.args.PyTreeRestore(item=item,
+                                              partial_restore=True))
+    except Exception:
+        # structure drift (e.g. checkpoint without batch_stats) — fall back
+        # to the template-free full read
+        restored = ckptr.restore(path)
     return state.replace(params=restored["params"],
                          batch_stats=restored.get("batch_stats", {}))
 
