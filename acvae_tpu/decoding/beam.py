@@ -100,24 +100,25 @@ def batched_beam_search(step_fn: StepFn, init_state: Any, batch_size: int,
     init_state: pytree with leading dim N*B (already replicated per beam).
     Returns {"seqs": [N, B, T], "scores": [N, B]} with beams in score order
     as maintained by top-k (beam 0 = best live beam).
+
+    The time loop is a ``lax.scan`` over steps 1..T−1 (step 0 runs outside:
+    ``first_step_row0`` needs a structurally different top-k) — the compiled
+    program holds ONE copy of the step graph instead of T, which cuts the
+    flagship decode's cold-compile time ~an order of magnitude (serve first
+    launch, export_model lowering).  ``ACVAE_BEAM_LOOP=unroll`` restores the
+    python-unrolled loop (token-identical; kept for on-chip A/B).
     """
     N, B, V_end = batch_size, cfg.beam_size, cfg.end_idx
     T = cfg.max_length
 
-    words = jnp.full((N * B,), cfg.start_idx, jnp.int32)
-    scores = jnp.zeros((N, B))
-    seqs = jnp.full((N, B, T), V_end, jnp.int32)
-    done_count = jnp.zeros((N,), jnp.int32)
-    stopped = jnp.zeros((N,), bool)
-    state = init_state
-
-    for t in range(T):
+    def advance(carry, t, first_step: bool):
+        state, words, scores, seqs, done_count, stopped = carry
         logits, new_state = step_fn(state, words, t)
         V = logits.shape[-1]
         logprobs = jax.nn.log_softmax(logits, axis=-1).reshape(N, B, V)
         total = scores[:, :, None] + logprobs
 
-        if t == 0 and cfg.first_step_row0:
+        if first_step and cfg.first_step_row0:
             top_scores, next_words = jax.lax.top_k(total[:, 0], B)  # [N, B]
             prev_inds = jnp.zeros((N, B), jnp.int32)
         else:
@@ -146,5 +147,22 @@ def batched_beam_search(step_fn: StepFn, init_state: Any, batch_size: int,
         done_count = jnp.where(stopped, done_count, new_done)
         if cfg.end_handling:
             stopped = stopped | (done_count >= B)
+        return (state, words, scores, seqs, done_count, stopped)
 
+    carry = (init_state,
+             jnp.full((N * B,), cfg.start_idx, jnp.int32),
+             jnp.zeros((N, B)),
+             jnp.full((N, B, T), V_end, jnp.int32),
+             jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N,), bool))
+    if os.environ.get("ACVAE_BEAM_LOOP") == "unroll":
+        for t in range(T):
+            carry = advance(carry, t, t == 0)
+    else:
+        carry = advance(carry, 0, True)
+        if T > 1:
+            carry, _ = jax.lax.scan(
+                lambda c, t: (advance(c, t, False), None),
+                carry, jnp.arange(1, T))
+    _, _, scores, seqs, _, _ = carry
     return {"seqs": seqs, "scores": scores}

@@ -31,21 +31,25 @@ def ensemble_greedy(step_fns: List[StepFn], init_states: List[Any],
                     start_idx: int = START_IDX,
                     end_idx: int = END_IDX) -> Dict[str, jnp.ndarray]:
     """Prob-averaged greedy decode."""
-    words = jnp.full((batch_size,), start_idx, jnp.int32)
-    finished = jnp.zeros((batch_size,), bool)
-    seqs = jnp.full((batch_size, max_length), end_idx, jnp.int32)
-    states = list(init_states)
-    for t in range(max_length):
-        logits_list = []
+    def body(carry, t):
+        words, finished, seqs, states = carry
+        logits_list, new_states = [], []
         for m, fn in enumerate(step_fns):
-            logits_m, states[m] = fn(states[m], words, t)
+            logits_m, s_m = fn(states[m], words, t)
             logits_list.append(logits_m)
+            new_states.append(s_m)
         logprobs = _mean_logprobs(logits_list)
         w_t = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
         w_t = jnp.where(finished, end_idx, w_t)
         finished = finished | (w_t == end_idx)
         seqs = seqs.at[:, t].set(w_t)
-        words = w_t
+        return (w_t, finished, seqs, tuple(new_states)), None
+
+    carry = (jnp.full((batch_size,), start_idx, jnp.int32),
+             jnp.zeros((batch_size,), bool),
+             jnp.full((batch_size, max_length), end_idx, jnp.int32),
+             tuple(init_states))
+    (_, _, seqs, _), _ = jax.lax.scan(body, carry, jnp.arange(max_length))
     return {"seqs": seqs}
 
 
@@ -55,25 +59,19 @@ def ensemble_beam(step_fns: List[StepFn], init_states: List[Any],
     acvae_tpu.decoding.beam, states kept per member)."""
     N, B = batch_size, cfg.beam_size
     T = cfg.max_length
-    words = jnp.full((N * B,), cfg.start_idx, jnp.int32)
-    scores = jnp.zeros((N, B))
-    seqs = jnp.full((N, B, T), cfg.end_idx, jnp.int32)
-    done_count = jnp.zeros((N,), jnp.int32)
-    stopped = jnp.zeros((N,), bool)
-    states = list(init_states)
 
-    for t in range(T):
-        logits_list = []
-        new_states = []
+    def advance(carry, t, first_step: bool):
+        words, scores, seqs, done_count, stopped, states = carry
+        logits_list, stepped = [], []
         for m, fn in enumerate(step_fns):
             logits_m, s_m = fn(states[m], words, t)
             logits_list.append(logits_m)
-            new_states.append(s_m)
+            stepped.append(s_m)
         logprobs = _mean_logprobs(logits_list)
         V = logprobs.shape[-1]
         total = scores[:, :, None] + logprobs.reshape(N, B, V)
 
-        if t == 0 and cfg.first_step_row0:
+        if first_step and cfg.first_step_row0:
             top_scores, next_words = jax.lax.top_k(total[:, 0], B)
             prev_inds = jnp.zeros((N, B), jnp.int32)
         else:
@@ -81,7 +79,7 @@ def ensemble_beam(step_fns: List[StepFn], init_states: List[Any],
             prev_inds = flat_idx // V
             next_words = flat_idx % V
 
-        new_states = [_gather_beams(s, prev_inds, N, B) for s in new_states]
+        stepped = [_gather_beams(s, prev_inds, N, B) for s in stepped]
         new_seqs = jnp.take_along_axis(seqs, prev_inds[:, :, None], axis=1)
         new_seqs = new_seqs.at[:, :, t].set(next_words)
         new_words = next_words.reshape(N * B).astype(jnp.int32)
@@ -93,15 +91,29 @@ def ensemble_beam(step_fns: List[StepFn], init_states: List[Any],
         else:
             new_done, new_scores = done_count, top_scores
 
-        states = [_freeze(s, ns, stopped, N, B)
-                  for s, ns in zip(states, new_states)]
+        states = tuple(_freeze(s, ns, stopped, N, B)
+                       for s, ns in zip(states, stepped))
         seqs = jnp.where(stopped[:, None, None], seqs, new_seqs)
         scores = jnp.where(stopped[:, None], scores, new_scores)
         words = jnp.where(jnp.repeat(stopped, B), words, new_words)
         done_count = jnp.where(stopped, done_count, new_done)
         if cfg.end_handling:
             stopped = stopped | (done_count >= B)
+        return (words, scores, seqs, done_count, stopped, states)
 
+    carry = (jnp.full((N * B,), cfg.start_idx, jnp.int32),
+             jnp.zeros((N, B)),
+             jnp.full((N, B, T), cfg.end_idx, jnp.int32),
+             jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N,), bool),
+             tuple(init_states))
+    # step 0 outside the scan (first_step_row0 changes the top-k structure);
+    # one step-graph copy in the compiled program instead of T
+    carry = advance(carry, 0, True)
+    if T > 1:
+        carry, _ = jax.lax.scan(lambda c, t: (advance(c, t, False), None),
+                                carry, jnp.arange(1, T))
+    _, scores, seqs, _, _, _ = carry
     return {"seqs": seqs, "scores": scores}
 
 

@@ -279,5 +279,9 @@ class TestBeamTopkImpls:
                                     N, cfg))
         np.testing.assert_array_equal(outs["flat"]["seqs"],
                                       outs["two_stage"]["seqs"])
-        np.testing.assert_array_equal(outs["flat"]["scores"],
-                                      outs["two_stage"]["scores"])
+        # scores: the two jit programs fuse log_softmax differently, so the
+        # accumulated floats may differ by ~1 ULP (selection is identical —
+        # beam_topk itself is bit-exact on a given score tensor, see
+        # test_random_and_tied_inputs)
+        np.testing.assert_allclose(outs["flat"]["scores"],
+                                   outs["two_stage"]["scores"], rtol=1e-6)
