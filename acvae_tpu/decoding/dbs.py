@@ -59,19 +59,25 @@ def diverse_beam_search(make_step_fn: Callable[[int], Any],
     CAP = bdash * T  # max done-beams a group can record
 
     step_fns = [make_step_fn(g) for g in range(G)]
-    states = [make_init_state() for _ in range(G)]
-    words = [jnp.full((N * bdash,), cfg.start_idx, jnp.int32) for _ in range(G)]
-    scores = [jnp.zeros((N, bdash)) for _ in range(G)]
-    seqs = [jnp.full((N, bdash, T), cfg.end_idx, jnp.int32) for _ in range(G)]
-    done_scores = jnp.full((N, G, CAP), -jnp.inf)
-    done_seqs = jnp.full((N, G, CAP, T), cfg.end_idx, jnp.int32)
-    done_count = jnp.zeros((N, G), jnp.int32)
 
-    for t in range(T + G - 1):
+    def advance(carry, t):
+        """One global timestep: every group steps, inactive groups (t < g or
+        t > T+g−1) compute-and-freeze.  The time loop is a ``lax.scan``
+        (ONE copy of the G step graphs in the HLO instead of T+G−1 — the
+        unrolled DBS program held ~(T+G−1)·G step graphs and dominated
+        cold-compile time); ``t`` is traced, so the staggering (``lt = t−g``),
+        the local-step-0 top-k and the final-step force-record become
+        masked/`lax.cond` selections instead of python branches.  Groups run
+        in order inside the body so group g sees earlier groups' tokens
+        updated at this same t (the Hamming coupling, word_model.py:298-312).
+        """
+        states, words, scores, seqs, done_scores, done_seqs, done_count = carry
+        states, words, scores, seqs = (list(states), list(words),
+                                       list(scores), list(seqs))
         for g in range(G):
-            if not (g <= t <= T + g - 1):
-                continue
-            lt = t - g  # local position within group g's sequence
+            lt = t - g  # local position within group g's sequence (traced)
+            active = (lt >= 0) & (lt <= T - 1)
+            lt_c = jnp.clip(lt, 0, T - 1)  # safe index while inactive
             logits, new_state = step_fns[g](states[g], words[g], t)
             V = logits.shape[-1]
             lp = jax.nn.log_softmax(logits, axis=-1)
@@ -81,27 +87,34 @@ def diverse_beam_search(make_step_fn: Callable[[int], Any],
                 # Hamming penalty from earlier groups' tokens at position lt
                 change = jnp.zeros((N, V))
                 for prev in range(g):
+                    tok = jnp.take(seqs[prev], lt_c, axis=2)  # [N, bdash]
                     change = change + jnp.sum(
-                        jax.nn.one_hot(seqs[prev][:, :, lt], V), axis=1)
+                        jax.nn.one_hot(tok, V), axis=1)
                 lp = lp - cfg.diversity_lambda * change[:, None, :]
             total = scores[g][:, :, None] + lp
-            if lt == 0:
-                top_scores, next_words = jax.lax.top_k(total[:, 0], bdash)
-                prev_inds = jnp.zeros((N, bdash), jnp.int32)
-            else:
-                top_scores, flat_idx = beam_topk(total, bdash)
-                prev_inds = flat_idx // V
-                next_words = flat_idx % V
 
-            states[g] = _gather_beams(new_state, prev_inds, N, bdash)
-            seqs[g] = jnp.take_along_axis(seqs[g], prev_inds[:, :, None], axis=1)
-            seqs[g] = seqs[g].at[:, :, lt].set(next_words)
-            words[g] = next_words.reshape(N * bdash).astype(jnp.int32)
+            def first_step():
+                ts, nw = jax.lax.top_k(total[:, 0], bdash)
+                return ts, jnp.zeros((N, bdash), jnp.int32), nw
+
+            def later_step():
+                ts, flat_idx = beam_topk(total, bdash)
+                return ts, flat_idx // V, flat_idx % V
+
+            top_scores, prev_inds, next_words = jax.lax.cond(
+                lt_c == 0, first_step, later_step)
+
+            new_state = _gather_beams(new_state, prev_inds, N, bdash)
+            new_seqs = jnp.take_along_axis(seqs[g], prev_inds[:, :, None],
+                                           axis=1)
+            new_seqs = new_seqs.at[:, :, lt_c].set(next_words)
+            new_words = next_words.reshape(N * bdash).astype(jnp.int32)
 
             is_end = next_words == cfg.end_idx
-            if t == T + g - 1:  # force-record every beam at the final step
-                is_end = jnp.ones_like(is_end)
-            norm_scores = top_scores / (lt + 1)
+            # force-record every beam at the final local step (t == T+g−1)
+            is_end = is_end | (lt_c == T - 1)
+            is_end = is_end & active  # inactive groups record nothing
+            norm_scores = top_scores / (lt_c + 1)
 
             # record ending beams into the done store (static loop over bdash)
             prior_ends = jnp.zeros((N,), jnp.int32)
@@ -112,13 +125,34 @@ def diverse_beam_search(make_step_fn: Callable[[int], Any],
                       & write[:, None])  # [N, CAP]
                 ds_g = jnp.where(oh, norm_scores[:, b:b + 1], done_scores[:, g])
                 done_scores = done_scores.at[:, g].set(ds_g)
-                dq_g = jnp.where(oh[:, :, None], seqs[g][:, b:b + 1, :],
+                dq_g = jnp.where(oh[:, :, None], new_seqs[:, b:b + 1, :],
                                  done_seqs[:, g])
                 done_seqs = done_seqs.at[:, g].set(dq_g)
                 prior_ends = prior_ends + write.astype(jnp.int32)
             done_count = done_count.at[:, g].add(
                 jnp.sum(is_end, axis=1, dtype=jnp.int32))
-            scores[g] = jnp.where(is_end, top_scores - 1000.0, top_scores)
+            new_scores = jnp.where(is_end, top_scores - 1000.0, top_scores)
+
+            # freeze everything while this group is inactive
+            states[g] = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(active, n, o), new_state, states[g])
+            seqs[g] = jnp.where(active, new_seqs, seqs[g])
+            words[g] = jnp.where(active, new_words, words[g])
+            scores[g] = jnp.where(active, new_scores, scores[g])
+        return (tuple(states), tuple(words), tuple(scores), tuple(seqs),
+                done_scores, done_seqs, done_count), None
+
+    carry = (tuple(make_init_state() for _ in range(G)),
+             tuple(jnp.full((N * bdash,), cfg.start_idx, jnp.int32)
+                   for _ in range(G)),
+             tuple(jnp.zeros((N, bdash)) for _ in range(G)),
+             tuple(jnp.full((N, bdash, T), cfg.end_idx, jnp.int32)
+                   for _ in range(G)),
+             jnp.full((N, G, CAP), -jnp.inf),
+             jnp.full((N, G, CAP, T), cfg.end_idx, jnp.int32),
+             jnp.zeros((N, G), jnp.int32))
+    carry, _ = jax.lax.scan(advance, carry, jnp.arange(T + G - 1))
+    _, _, _, _, done_scores, done_seqs, done_count = carry
 
     # assemble output: sort each group's done beams by score desc
     order = jnp.argsort(-done_scores, axis=-1)  # [N, G, CAP]
