@@ -210,7 +210,10 @@ class Runner:
         sched_name = conf.get("scheduler", "constant")
         sched_args = dict(conf.get("scheduler_args", {}))
         if sched_name == "ExponentialDecayScheduler":
-            sched_args.setdefault("total_iters", total_iters)
+            # the inner schedule advances once per APPLIED update, which with
+            # gradient accumulation is one per accum_steps micro-batches
+            accum = int(conf.get("accum_steps", 1) or 1)
+            sched_args.setdefault("total_iters", max(1, total_iters // accum))
         if sched_name in SCHEDULES:
             schedule = SCHEDULES.build(sched_name, base_lr=base_lr, **sched_args)
         else:  # ReduceLROnPlateau & other epoch schedulers: host-adjusted lr
@@ -238,7 +241,9 @@ class Runner:
 
         tx = build_optimizer(conf.get("optimizer", "Adam"), schedule,
                              max_grad_norm=conf.get("max_grad_norm"),
-                             trainable_mask=mask, **opt_args)
+                             trainable_mask=mask,
+                             accum_steps=int(conf.get("accum_steps", 1) or 1),
+                             **opt_args)
         return TrainState.create(variables, tx), variables
 
     # ------------------------------------------------------------------ #

@@ -126,13 +126,21 @@ class ReduceLROnPlateau:
 def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
                     max_grad_norm: Optional[float] = None,
                     trainable_mask: Optional[Any] = None,
+                    accum_steps: int = 1,
                     **kwargs) -> optax.GradientTransformation:
     """torch-style optimizer names → optax chains, with the reference's global
     grad-norm clip (pytorch_runner_vae.py:322-323) folded in.
 
     trainable_mask: optional pytree of bools (True = trainable) implementing
     freeze_encoder / freeze_word_embedding (word_model.py:37-39,
-    pytorch_runner_vae.py:55) via multi_transform + set_to_zero."""
+    pytorch_runner_vae.py:55) via multi_transform + set_to_zero.
+
+    accum_steps > 1 wraps the whole chain in ``optax.MultiSteps``: gradients
+    from k consecutive micro-batches are averaged before one real update
+    (clip/optimizer/schedule all see the averaged gradient), trading steps
+    for effective batch size when a batch does not fit HBM (config key
+    ``accum_steps``; no reference counterpart).  Note BatchNorm statistics
+    still update per micro-batch."""
     opts = {
         "Adam": optax.adam, "AdamW": optax.adamw, "SGD": optax.sgd,
         "RMSprop": optax.rmsprop, "Adagrad": optax.adagrad,
@@ -156,10 +164,14 @@ def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
         # "frozen" params).  multi_transform + set_to_zero actually freezes.
         labels = jax.tree_util.tree_map(
             lambda t: "train" if t else "freeze", trainable_mask)
-        return optax.multi_transform(
+        tx = optax.multi_transform(
             {"train": optax.chain(*chain), "freeze": optax.set_to_zero()},
             labels)
-    return optax.chain(*chain)
+    else:
+        tx = optax.chain(*chain)
+    if accum_steps and accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum_steps))
+    return tx
 
 
 def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,

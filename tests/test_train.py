@@ -202,3 +202,47 @@ def test_exponential_decay_short_run_bounded():
     it = 501
     expect = 1.0 * 5e-4 * math.exp(((it - 10) / 1000) * math.log(5e-7 / 5e-4))
     assert abs(float(sch2(500)) - expect) / expect < 1e-5
+
+
+class TestGradAccumulation:
+    """accum_steps > 1 wraps the chain in optax.MultiSteps: params hold
+    still for k-1 micro-batches, then one update with the MEAN gradient."""
+
+    def test_mean_gradient_applied_every_k(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        params = {"w": jnp.zeros((3,))}
+        tx = build_optimizer("SGD", 1.0, accum_steps=2)
+        opt_state = tx.init(params)
+        g1 = {"w": jnp.asarray([1.0, 2.0, 3.0])}
+        g2 = {"w": jnp.asarray([3.0, 0.0, -1.0])}
+
+        upd, opt_state = tx.update(g1, opt_state, params)
+        p1 = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        np.testing.assert_array_equal(np.asarray(p1["w"]), 0.0)  # held
+
+        upd, opt_state = tx.update(g2, opt_state, p1)
+        p2 = jax.tree_util.tree_map(lambda p, u: p + u, p1, upd)
+        np.testing.assert_allclose(  # SGD lr=1: -mean(g1, g2)
+            np.asarray(p2["w"]), -np.asarray((g1["w"] + g2["w"]) / 2),
+            rtol=1e-6)
+
+    def test_composes_with_clip_and_freeze(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        params = {"enc": jnp.ones((2,)), "dec": jnp.ones((2,))}
+        mask = {"enc": False, "dec": True}
+        tx = build_optimizer("SGD", 1.0, max_grad_norm=1e9,
+                             trainable_mask=mask, accum_steps=3)
+        opt_state = tx.init(params)
+        g = {"enc": jnp.full((2,), 5.0), "dec": jnp.full((2,), 2.0)}
+        p = params
+        for _ in range(3):
+            upd, opt_state = tx.update(g, opt_state, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+        np.testing.assert_array_equal(np.asarray(p["enc"]), 1.0)  # frozen
+        np.testing.assert_allclose(np.asarray(p["dec"]), 1.0 - 2.0, rtol=1e-6)
