@@ -1770,6 +1770,82 @@ class Runner:
         return output
 
     # ------------------------------------------------------------------ #
+    def doctor(self, probe_timeout: float = 120.0):
+        """Bounded environment diagnostic (new — no reference counterpart).
+
+        The tunneled TPU runtime on some hosts wedges so that EVERY device
+        call hangs, including from fresh processes; debugging model code
+        against a wedged device wastes hours (CLAUDE.md "Environment
+        facts").  This probes the device in a *subprocess with a timeout*
+        so the answer is always bounded:
+
+        * platform / device list / jax version,
+        * tiny-matmul round trip (compile + dispatch) timing — the per-call
+          dispatch overhead estimate,
+        * persistent compilation-cache location and entry count.
+
+        Exit status is nonzero when the device probe fails, so scripts can
+        gate TPU-dependent work on ``cli doctor``.
+        """
+        import subprocess
+        import time as _time
+
+        report: Dict[str, Any] = {"jax_version": jax.__version__}
+        cache = os.environ.get(
+            "ACVAE_XLA_CACHE",
+            os.path.expanduser("~/.cache/acvae_tpu/xla"))
+        if cache and cache != "off" and os.path.isdir(cache):
+            report["compilation_cache"] = {
+                "path": cache,
+                "entries": len(os.listdir(cache))}
+        else:
+            report["compilation_cache"] = {"path": cache, "entries": 0}
+        probe = (
+            "import os, time, jax, numpy as np\n"
+            # the axon TPU plugin ignores the raw env var; re-apply it via
+            # the config route exactly like main() does for the CLI itself
+            "if os.environ.get('JAX_PLATFORMS'):\n"
+            "    jax.config.update('jax_platforms',"
+            " os.environ['JAX_PLATFORMS'])\n"
+            "t0 = time.perf_counter()\n"
+            "x = jax.numpy.ones((128, 128))\n"
+            "np.asarray(x @ x)\n"
+            "t1 = time.perf_counter()\n"
+            "ts = []\n"
+            "for _ in range(5):\n"
+            "    t = time.perf_counter()\n"
+            "    np.asarray(x @ x)\n"
+            "    ts.append(time.perf_counter() - t)\n"
+            "import json\n"
+            "print(json.dumps({'devices': [str(d) for d in jax.devices()],"
+            " 'platform': jax.default_backend(),"
+            " 'first_call_s': round(t1 - t0, 3),"
+            " 'dispatch_ms_p50': round(sorted(ts)[2] * 1000, 2)}))\n")
+        t0 = _time.perf_counter()
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout)
+            if r.returncode == 0:
+                report["device"] = json.loads(r.stdout.splitlines()[-1])
+                report["ok"] = True
+            else:
+                report["ok"] = False
+                report["error"] = (r.stderr or "").splitlines()[-1:]
+        except subprocess.TimeoutExpired:
+            report["ok"] = False
+            report["error"] = (
+                f"device probe hung for {probe_timeout:.0f}s — the tunneled "
+                f"runtime is likely wedged; known to recover in ~45 min to "
+                f"3+ h.  Work on CPU (JAX_PLATFORMS=cpu through this CLI) "
+                f"and re-probe.")
+        report["probe_wall_s"] = round(_time.perf_counter() - t0, 1)
+        print(json.dumps(report, indent=1))
+        if not report["ok"]:
+            sys.exit(1)
+        return report
+
+    # ------------------------------------------------------------------ #
     def sweep(self, config: str, param: Optional[str] = None,
               values: Optional[str] = None, space: Optional[str] = None,
               mode: str = "grid", n_trials: Optional[int] = None,

@@ -296,3 +296,39 @@ class TestMultiParamSweep:
             runner.sweep("cfg.yaml", space="{beta: 0.5}")
         with _pytest.raises(ValueError):
             runner.sweep("cfg.yaml")
+
+
+class TestDoctor:
+    """cli doctor: bounded device diagnostic (the probe runs in a subprocess
+    so a wedged tunneled runtime cannot hang the command)."""
+
+    def test_healthy_cpu_probe(self, monkeypatch, capsys):
+        import json as _json
+
+        from acvae_tpu.cli.main import Runner
+
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        report = Runner().doctor(probe_timeout=120)
+        assert report["ok"] is True
+        assert report["device"]["platform"] == "cpu"
+        assert report["device"]["dispatch_ms_p50"] >= 0
+        _json.loads(capsys.readouterr().out)  # machine-readable output
+
+    def test_wedged_device_bounded_and_nonzero(self, monkeypatch):
+        import subprocess
+        import sys as _sys
+
+        import pytest as _pytest
+
+        from acvae_tpu.cli.main import Runner
+
+        real_run = subprocess.run
+
+        def hang(cmd, **kw):  # simulate a wedged runtime: probe times out
+            raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 1))
+
+        monkeypatch.setattr(subprocess, "run", hang)
+        with _pytest.raises(SystemExit) as e:
+            Runner().doctor(probe_timeout=1)
+        assert e.value.code == 1
+        monkeypatch.setattr(subprocess, "run", real_run)
