@@ -20,6 +20,7 @@ two ways:
 Usage (run on the real chip, from the repo root):
     python tools/probe_decode.py slope [output|output2|attn|gru|lstm|gather|all]
     python tools/probe_decode.py topk_ab
+    python tools/probe_decode.py loop_ab     # scanned vs unrolled time loop
     python tools/probe_decode.py ablate [S|V|E|B]
 """
 import os
@@ -199,6 +200,29 @@ def make_decode(model, variables, beam=B, max_len=MAX_LEN):
     return dec
 
 
+def loop_ab():
+    """Scanned vs unrolled beam time loop: cold compile, runtime, tokens."""
+    model, variables, encoded = _flagship_decode()
+    outs, decs = {}, {}
+    for mode in ("scan", "unroll"):
+        os.environ["ACVAE_BEAM_LOOP"] = mode
+        decs[mode] = make_decode(model, variables)
+        t0 = time.perf_counter()
+        outs[mode] = decs[mode](variables, encoded, jax.random.key(2))
+        np.asarray(outs[mode]["seqs"])
+        print(f"{mode:7s}: first call (compile+run) "
+              f"{time.perf_counter() - t0:.1f} s", flush=True)
+    same = np.array_equal(np.asarray(outs["scan"]["seqs"]),
+                          np.asarray(outs["unroll"]["seqs"]))
+    print(f"token-identical: {same}", flush=True)
+    for rnd in range(3):
+        for mode in ("scan", "unroll"):
+            t = _time(lambda: decs[mode](variables, encoded,
+                                         jax.random.key(3 + rnd)))
+            print(f"round {rnd} {mode:7s}: {t * 1000:.1f} ms decode-only",
+                  flush=True)
+
+
 def topk_ab():
     model, variables, encoded = _flagship_decode()
     decs, outs = {}, {}
@@ -244,6 +268,8 @@ if __name__ == "__main__":
             SLOPES[name]()
     elif cmd == "topk_ab":
         topk_ab()
+    elif cmd == "loop_ab":
+        loop_ab()
     elif cmd == "ablate":
         ablate(sys.argv[2] if len(sys.argv) > 2 else "V")
     else:
