@@ -342,7 +342,7 @@ def main():
                  f"fwd+bwd (batch={train['train_batch']}, bf16 encoder)")
     except Exception as e:  # auxiliary metric only — report, don't die
         tail += f"; train bench failed: {str(e).splitlines()[0][:80]}"
-    if os.environ.get("ACVAE_BENCH_INT8"):
+    if os.environ.get("ACVAE_BENCH_INT8", "1") != "0":
         try:
             tail += (f"; int8-encoder decode "
                      f"{bench_int8()['captions_per_sec']:.0f} captions/s")
