@@ -401,7 +401,8 @@ class Runner:
                 audio_dim=dsc_conf.get("discriminator_audio_dim", 512),
                 **dsc_conf.get("discriminator_args", {}))
             dtree = load_raw_checkpoint(
-                dsc_dir, adv_conf.pop("checkpoint", "best"))
+                dsc_dir, adv_conf.pop("checkpoint", "best"),
+                subset=("params",))
             dparams = dtree["params"]["dscrm"]
             adversarial = {
                 "apply": lambda b: dm.apply({"params": dparams}, b),
@@ -687,10 +688,13 @@ class Runner:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if jax.process_count() > 1:
             # state leaves are global (multi-process) arrays; the validation
-            # decode runs per-host on local devices, so fetch the (fully
-            # replicated) values to host first.  Every host decodes the full
-            # val set redundantly — scores stay identical across processes,
-            # keeping criterion_improver / plateau decisions in lockstep.
+            # decode runs per-host on local devices, so fetch the values to
+            # host first.  This is legal even under vocab-TP because
+            # make_mesh_2d guarantees the model axis is host-local (every
+            # shard has an addressable replica on this host); params are
+            # replicated over the cross-host data axis.  Every host decodes
+            # the full val set redundantly — scores stay identical across
+            # processes, keeping criterion_improver / plateau in lockstep.
             variables = jax.device_get(variables)
         cache = getattr(self, "_val_decode_cache", None)
         if cache is None:
@@ -908,12 +912,13 @@ class Runner:
             # time; reject any explicitly-changed one instead of silently
             # serving the artifact's values (operators tuning latency via
             # these flags must re-export)
-            changed = [name for name, val, dflt in [
-                ("decode_method", decode_method, "beam"),
-                ("beam_size", beam_size, 3), ("max_length", max_length, 20),
-                ("mel_bucket", mel_bucket, 1024),
-                ("checkpoint", checkpoint, "best"),
-                ("encoder_int8", encoder_int8, False)] if val != dflt]
+            import inspect
+            defaults = {k: p.default for k, p in
+                        inspect.signature(self.serve).parameters.items()}
+            baked = {"decode_method": decode_method, "beam_size": beam_size,
+                     "max_length": max_length, "mel_bucket": mel_bucket,
+                     "checkpoint": checkpoint, "encoder_int8": encoder_int8}
+            changed = [k for k, v in baked.items() if v != defaults[k]]
             if changed:
                 raise ValueError(
                     f"flag(s) --{', --'.join(changed)} do not apply to an "
@@ -996,9 +1001,11 @@ class Runner:
         data_dim = int(conf.get("data_dim", 64))
         model = build_model(conf, len(vocabulary), data_dim)
         # template-free: the checkpoint provides the full tree — no dataset
-        # pass / jitted model.init (minutes over the tunneled runtime)
+        # pass / jitted model.init (minutes over the tunneled runtime);
+        # subset skips deserializing the Adam opt_state entirely
         from acvae_tpu.train.checkpoints import load_raw_checkpoint
-        tree = load_raw_checkpoint(str(exp), checkpoint)
+        tree = load_raw_checkpoint(str(exp), checkpoint,
+                                   subset=("params", "batch_stats"))
         variables = {"params": tree["params"],
                      "batch_stats": tree.get("batch_stats", {})}
         if platforms and not isinstance(platforms, (list, tuple)):
@@ -1056,7 +1063,9 @@ class Runner:
             # itself would produce a bogus artifact
             raise FileNotFoundError(
                 f"checkpoint(s) {missing} not found in {experiment_path}")
-        trees = [load_raw_checkpoint(experiment_path, n) for n in name_list]
+        trees = [load_raw_checkpoint(experiment_path, n,
+                                     subset=("params", "batch_stats", "step"))
+                 for n in name_list]
         # inference artifact: average the model (params + BN stats), keep
         # the newest step, drop optimizer state (meaningless to average)
         avg = {
@@ -1787,8 +1796,9 @@ class Runner:
         Exit status is nonzero when the device probe fails, so scripts can
         gate TPU-dependent work on ``cli doctor``.
         """
-        import subprocess
         import time as _time
+
+        from acvae_tpu.core.devprobe import probe_device
 
         report: Dict[str, Any] = {"jax_version": jax.__version__}
         cache = os.environ.get(
@@ -1800,45 +1810,12 @@ class Runner:
                 "entries": len(os.listdir(cache))}
         else:
             report["compilation_cache"] = {"path": cache, "entries": 0}
-        probe = (
-            "import os, time, jax, numpy as np\n"
-            # the axon TPU plugin ignores the raw env var; re-apply it via
-            # the config route exactly like main() does for the CLI itself
-            "if os.environ.get('JAX_PLATFORMS'):\n"
-            "    jax.config.update('jax_platforms',"
-            " os.environ['JAX_PLATFORMS'])\n"
-            "t0 = time.perf_counter()\n"
-            "x = jax.numpy.ones((128, 128))\n"
-            "np.asarray(x @ x)\n"
-            "t1 = time.perf_counter()\n"
-            "ts = []\n"
-            "for _ in range(5):\n"
-            "    t = time.perf_counter()\n"
-            "    np.asarray(x @ x)\n"
-            "    ts.append(time.perf_counter() - t)\n"
-            "import json\n"
-            "print(json.dumps({'devices': [str(d) for d in jax.devices()],"
-            " 'platform': jax.default_backend(),"
-            " 'first_call_s': round(t1 - t0, 3),"
-            " 'dispatch_ms_p50': round(sorted(ts)[2] * 1000, 2)}))\n")
         t0 = _time.perf_counter()
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, text=True,
-                               timeout=probe_timeout)
-            if r.returncode == 0:
-                report["device"] = json.loads(r.stdout.splitlines()[-1])
-                report["ok"] = True
-            else:
-                report["ok"] = False
-                report["error"] = (r.stderr or "").splitlines()[-1:]
-        except subprocess.TimeoutExpired:
-            report["ok"] = False
-            report["error"] = (
-                f"device probe hung for {probe_timeout:.0f}s — the tunneled "
-                f"runtime is likely wedged; known to recover in ~45 min to "
-                f"3+ h.  Work on CPU (JAX_PLATFORMS=cpu through this CLI) "
-                f"and re-probe.")
+        report.update(probe_device(probe_timeout))
+        if not report["ok"]:
+            report["error"] = (f"{report['error']}.  Work on CPU "
+                               f"(JAX_PLATFORMS=cpu through this CLI) "
+                               f"and re-probe.")
         report["probe_wall_s"] = round(_time.perf_counter() - t0, 1)
         print(json.dumps(report, indent=1))
         if not report["ok"]:

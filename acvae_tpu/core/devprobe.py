@@ -1,0 +1,53 @@
+"""Bounded device-health probe (shared by ``cli doctor`` and ``bench.py``).
+
+The tunneled axon TPU runtime on this image occasionally wedges so that
+EVERY in-process device call hangs — including ``jax.devices()`` from a
+fresh interpreter.  The only safe probe is a tiny matmul in a *subprocess
+with a timeout*; this module is the single implementation so the
+config-route ``JAX_PLATFORMS`` workaround and the timing details cannot
+drift between consumers.
+"""
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from typing import Any, Dict
+
+# the axon TPU plugin ignores the raw JAX_PLATFORMS env var; the probe
+# re-applies it via the config route exactly like cli.main() does
+_PROBE = (
+    "import os, time, jax, numpy as np\n"
+    "if os.environ.get('JAX_PLATFORMS'):\n"
+    "    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])\n"
+    "t0 = time.perf_counter()\n"
+    "x = jax.numpy.ones((128, 128))\n"
+    "np.asarray(x @ x)\n"
+    "t1 = time.perf_counter()\n"
+    "ts = []\n"
+    "for _ in range(5):\n"
+    "    t = time.perf_counter()\n"
+    "    np.asarray(x @ x)\n"
+    "    ts.append(time.perf_counter() - t)\n"
+    "import json\n"
+    "print(json.dumps({'devices': [str(d) for d in jax.devices()],"
+    " 'platform': jax.default_backend(),"
+    " 'first_call_s': round(t1 - t0, 3),"
+    " 'dispatch_ms_p50': round(sorted(ts)[2] * 1000, 2)}))\n")
+
+
+def probe_device(timeout: float = 120.0) -> Dict[str, Any]:
+    """One bounded probe.  Returns ``{"ok": True, "device": {...}}`` on a
+    healthy device, ``{"ok": False, "error": ...}`` on failure or timeout —
+    never hangs longer than ``timeout`` seconds."""
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE],
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"ok": False,
+                "error": f"device probe hung for {timeout:.0f}s — the "
+                         f"tunneled runtime is likely wedged; known to "
+                         f"recover in ~45 min to 3+ h"}
+    if r.returncode != 0:
+        return {"ok": False, "error": (r.stderr or "").splitlines()[-1:]}
+    return {"ok": True, "device": json.loads(r.stdout.splitlines()[-1])}

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
@@ -103,12 +103,16 @@ RESUME_CANDIDATES = ("last", "step_0", "step_1", "step")
 def resume_newest(exp_dir: str, state):
     """Restore the newest available checkpoint.
 
-    Candidates are ordered by their recorded step counts, but the *restored*
-    ``state.step`` is authoritative: if a crash landed between an orbax save
-    and its meta write (or vice versa), the meta may be stale, so when the
-    restored step falls short of another candidate's recorded step the other
-    candidate is restored too and the larger actual step wins.  Returns
-    ``(state, name)``; ``(state, None)`` when nothing restorable exists."""
+    The *restored* ``state.step`` is authoritative — never the meta: a crash
+    between an orbax save and its ``ckpt_steps.json`` update leaves the meta
+    stale in EITHER direction (stale-high: meta written, save torn;
+    stale-low: save completed, meta not yet updated — or the meta file
+    itself torn/missing).  So every restorable candidate is tried and the
+    largest actual step wins; with at most three candidates
+    (``last`` + two alternating step slots) the extra reads are negligible
+    next to losing up to 2×``checkpoint_every_steps`` of progress to a
+    stale-low meta.  Returns ``(state, name)``; ``(state, None)`` when
+    nothing restorable exists."""
     meta = read_ckpt_steps(exp_dir)
     avail = [n for n in RESUME_CANDIDATES
              if os.path.isdir(os.path.join(os.path.abspath(exp_dir), n))]
@@ -127,9 +131,6 @@ def resume_newest(exp_dir: str, state):
             continue
         if best is None or int(s.step) > int(best.step):
             best, best_name = s, n
-        others = [meta.get(m, -1) for m in avail if m != best_name]
-        if int(best.step) >= max(others, default=-1):
-            break  # no other candidate can beat the restored step
     if best is None:
         raise RuntimeError(
             f"resume: no checkpoint in {exp_dir} could be restored "
@@ -200,11 +201,33 @@ def restore_checkpoint(exp_dir: str, name: str, state, params_only=False,
                          batch_stats=restored.get("batch_stats", {}))
 
 
-def load_raw_checkpoint(exp_dir: str, name: str = "best"):
+def load_raw_checkpoint(exp_dir: str, name: str = "best",
+                        subset: Optional[Tuple[str, ...]] = None):
     """Template-free restore of a checkpoint tree (e.g. a pretrained
-    discriminator's params consumed by the ``adverse_loss`` train path)."""
+    discriminator's params consumed by the ``adverse_loss`` train path).
+
+    ``subset`` restricts deserialization to the named top-level keys using
+    the checkpoint's own metadata as the template — inference-side consumers
+    pass ``("params", "batch_stats", "step")`` to skip reading the Adam
+    opt_state (~2x the params bytes).  Falls back to the full read if the
+    metadata route fails (e.g. older orbax layouts)."""
     path = _resolve_checkpoint_path(exp_dir, name)
-    return ocp.StandardCheckpointer().restore(path)
+    ckptr = ocp.StandardCheckpointer()
+    if subset:
+        try:
+            md = ckptr.metadata(path).item_metadata.tree
+            item = {k: jax.tree_util.tree_map(
+                        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+                        md[k])
+                    for k in subset if k in md}
+            return ocp.PyTreeCheckpointer().restore(
+                path, args=ocp.args.PyTreeRestore(item=item,
+                                                  partial_restore=True))
+        except Exception as e:
+            logging.getLogger("acvae_tpu").warning(
+                "partial restore of %s failed (%s); reading the full tree",
+                path, type(e).__name__)
+    return ckptr.restore(path)
 
 
 def criterion_improver(mode: str, initial: Optional[float] = None):

@@ -45,26 +45,19 @@ def _wait_for_device(deadline_s: float = None) -> None:
     first probe returns in seconds.  If the deadline passes we proceed anyway
     (the driver's own timeout then decides), having logged the wedge.
     """
-    import subprocess
+    from acvae_tpu.core.devprobe import probe_device
 
     if deadline_s is None:
         deadline_s = float(os.environ.get("ACVAE_BENCH_PROBE_DEADLINE", 1800))
-    probe = ("import jax, numpy as np; x = jax.numpy.ones((64, 64)); "
-             "print(float(np.asarray(x @ x)[0, 0]))")
     t0 = time.time()
     attempt = 0
     while True:
         attempt += 1
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, timeout=120)
-            if r.returncode == 0:
-                if attempt > 1:
-                    print(f"# device recovered after {time.time() - t0:.0f}s "
-                          f"({attempt} probes)", file=sys.stderr)
-                return
-        except subprocess.TimeoutExpired:
-            pass
+        if probe_device(timeout=120)["ok"]:
+            if attempt > 1:
+                print(f"# device recovered after {time.time() - t0:.0f}s "
+                      f"({attempt} probes)", file=sys.stderr)
+            return
         waited = time.time() - t0
         if waited >= deadline_s:
             print(f"# WARNING: device probe failed for {waited:.0f}s "
@@ -135,8 +128,9 @@ def bench_jax() -> dict:
 
 def bench_int8() -> dict:
     """Decode throughput with the int8 serving encoder (models/quant.py).
-    Opt-in via ACVAE_BENCH_INT8=1 (adds a second multi-minute compile to
-    the bench run); numbers are recorded in RESULTS.md."""
+    Runs by default as a stderr tail metric (so BENCH_r* records capture the
+    serving configuration); ACVAE_BENCH_INT8=0 skips it to save the second
+    multi-minute compile.  Numbers are recorded in RESULTS.md."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -160,9 +160,10 @@ SLOPES = {
 
 
 # ------------------------------------------------------------- full-model A/B
-def _flagship_decode(batch=N, t_mel=T_MEL, vocab=V):
+def _flagship_decode(batch=N, t_mel=T_MEL, vocab=V, e=512):
     from __graft_entry__ import _build_flagship
-    model = _build_flagship(vocab_size=vocab, enc_dtype=jnp.bfloat16)
+    model = _build_flagship(vocab_size=vocab, enc_dtype=jnp.bfloat16,
+                            channels=(64, 128, 256, e))
     fi = jnp.asarray(_r.normal(size=(8, 256, F_MEL)).astype(np.float32))
     variables = model.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
@@ -246,12 +247,15 @@ def ablate(dim):
     """Decode-only time vs one shape dim; others at flagship values."""
     grids = {"S": [(256, "S=16"), (1024, "S=64"), (2048, "S=128")],
              "V": [(1024, "V=1k"), (4981, "V=5k"), (16384, "V=16k")],
-             "B": [(1, "B=1"), (3, "B=3"), (8, "B=8")]}
+             "B": [(1, "B=1"), (3, "B=3"), (8, "B=8")],
+             "E": [(256, "E=256"), (512, "E=512"), (768, "E=768")]}
     for val, label in grids[dim]:
         t_mel = val if dim == "S" else T_MEL
         vocab = val if dim == "V" else V
         beam = val if dim == "B" else B
-        model, variables, encoded = _flagship_decode(t_mel=t_mel, vocab=vocab)
+        e = val if dim == "E" else 512
+        model, variables, encoded = _flagship_decode(t_mel=t_mel, vocab=vocab,
+                                                     e=e)
         dec = make_decode(model, variables, beam=beam)
         out = dec(variables, encoded, jax.random.key(2))
         np.asarray(out["seqs"])
