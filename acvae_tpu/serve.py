@@ -10,9 +10,10 @@ a micro-batching caption service over a trained experiment directory.
   ``POST /caption`` with JSON ``{"mel": [[T×F floats]]}`` (the training
   log-mel format) or ``{"wav": [...], "sr": N}`` (waveform, converted on
   device via the log-mel frontend); responds ``{"caption": "..."}``.
-  ``GET /health`` reports readiness.  Incoming requests queue and are
-  decoded together, up to ``batch_size`` or ``max_wait_ms``, whichever
-  comes first — batching is where TPU decode throughput comes from
+  ``GET /health`` reports readiness; ``GET /stats`` reports operational
+  counters (request outcomes, batch sizes, latency percentiles, queue
+  depth).  Incoming requests queue and are decoded together, up to
+  ``batch_size`` or ``max_wait_ms``, whichever comes first — batching is where TPU decode throughput comes from
   (bench.py: ~3.9k captions/s at batch 512 vs ~6 captions/s batch-1
   round trips).
 """
@@ -43,8 +44,7 @@ class CaptionService:
         from acvae_tpu.core.config import load_config
         from acvae_tpu.data.vocab import Vocabulary
         from acvae_tpu.models.build import build_model
-        from acvae_tpu.train.checkpoints import _resolve_checkpoint_path
-        import orbax.checkpoint as ocp
+        from acvae_tpu.train.checkpoints import load_raw_checkpoint
 
         if exported is not None:
             # serve a jax.export artifact (cli export_model): no model code,
@@ -79,8 +79,9 @@ class CaptionService:
         model = build_model(self.conf, len(self.vocab), self.data_dim)
 
         # no model.init needed: the checkpoint provides the full param tree
-        path = _resolve_checkpoint_path(str(exp), checkpoint)
-        restored = ocp.StandardCheckpointer().restore(path)
+        # (subset restore skips deserializing the Adam opt_state)
+        restored = load_raw_checkpoint(str(exp), checkpoint,
+                                       subset=("params", "batch_stats"))
         self.variables = {"params": restored["params"],
                           "batch_stats": restored.get("batch_stats", {})}
 
@@ -159,6 +160,19 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
 
     requests: "queue.Queue" = queue.Queue()
 
+    # operational counters (GET /stats); lock-guarded — handlers run in
+    # ThreadingHTTPServer threads, the batcher in its own
+    import collections
+    stats_lock = threading.Lock()
+    stats = {"started_at": time.time(), "requests": 0, "ok": 0,
+             "client_errors": 0, "server_errors": 0, "timeouts": 0,
+             "dropped_after_timeout": 0, "batches": 0, "batched_requests": 0}
+    latencies: "collections.deque" = collections.deque(maxlen=1000)
+
+    def _bump(key, n=1):
+        with stats_lock:
+            stats[key] += n
+
     def batcher():
         while True:
             first = requests.get()
@@ -180,9 +194,13 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
             # drop requests whose handler already timed out (504 sent):
             # under a wedged device / sustained overload the queue backlog
             # must not keep burning decode slots on abandoned clients
-            batch = [b for b in batch if not b[3].is_set()]
+            kept = [b for b in batch if not b[3].is_set()]
+            _bump("dropped_after_timeout", len(batch) - len(kept))
+            batch = kept
             if not batch:
                 continue
+            _bump("batches")
+            _bump("batched_requests", len(batch))
             try:
                 captions = service.caption([mel for mel, _, _, _ in batch])
                 for (_, result, event, _), cap in zip(batch, captions):
@@ -213,6 +231,22 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                 self._reply(200, {"status": "ok",
                                   "batch_size": service.batch_size,
                                   "mel_bucket": service.bucket})
+            elif self.path == "/stats":
+                with stats_lock:
+                    snap = dict(stats)
+                    lat = sorted(latencies)
+                snap["uptime_s"] = round(time.time() - snap.pop("started_at"),
+                                         1)
+                snap["queue_depth"] = requests.qsize()
+                snap["mean_batch_size"] = round(
+                    snap["batched_requests"] / snap["batches"], 2) \
+                    if snap["batches"] else None
+                if lat:
+                    snap["latency_ms_p50"] = round(
+                        lat[len(lat) // 2] * 1000, 1)
+                    snap["latency_ms_p95"] = round(
+                        lat[int(len(lat) * 0.95)] * 1000, 1)
+                self._reply(200, snap)
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -220,6 +254,8 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
             if self.path != "/caption":
                 self._reply(404, {"error": "unknown path"})
                 return
+            t_arrival = time.monotonic()
+            _bump("requests")
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 ctype = self.headers.get("Content-Type", "")
@@ -242,10 +278,12 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                         wave[None], sr=int(req.get("sr", 32000)),
                         n_mels=service.data_dim, top_db=None)[0])
                 else:
+                    _bump("client_errors")
                     self._reply(400, {"error": "need 'mel' or 'wav'"})
                     return
                 mel = service.validate(mel)
             except Exception as e:
+                _bump("client_errors")
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
             result: dict = {}
@@ -254,11 +292,16 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
             requests.put((mel, result, event, cancelled))
             if not event.wait(timeout=120.0):
                 cancelled.set()  # batcher skips this entry if still queued
+                _bump("timeouts")
                 self._reply(504, {"error": "decode timeout"})
                 return
             if "error" in result:
+                _bump("server_errors")
                 self._reply(500, result)
             else:
+                _bump("ok")
+                with stats_lock:
+                    latencies.append(time.monotonic() - t_arrival)
                 self._reply(200, result)
 
     server = ThreadingHTTPServer((host, port), Handler)
@@ -266,7 +309,7 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
     server._acvae_queue = requests  # exposed for tests/operational probes
     if block:  # pragma: no cover - interactive path
         print(f"serving on http://{host}:{server.server_address[1]} "
-              f"(POST /caption, GET /health)")
+              f"(POST /caption, GET /health, GET /stats)")
         try:
             server.serve_forever()
         finally:

@@ -134,6 +134,14 @@ def test_http_server_round_trip(experiment):
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(bad, timeout=30)
         assert e.value.code == 400
+
+        # operational counters reflect the traffic above
+        snap = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30).read())
+        assert snap["requests"] == 3 and snap["ok"] == 2
+        assert snap["client_errors"] == 1 and snap["server_errors"] == 0
+        assert snap["batches"] >= 1 and snap["batched_requests"] == 2
+        assert snap["latency_ms_p50"] > 0 and snap["uptime_s"] >= 0
     finally:
         server._acvae_stop()
         thread.join(timeout=10)
