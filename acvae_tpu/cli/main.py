@@ -21,7 +21,6 @@ import logging
 import os
 import random
 import sys
-import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from acvae_tpu.core.config import Config, dump_config, load_config
-from acvae_tpu.data.dataset import CaptionDataset, CaptionLoader, DEFAULT_BUCKETS
+from acvae_tpu.data.dataset import CaptionDataset, CaptionLoader
 from acvae_tpu.data.vocab import Vocabulary, build_vocab as _build_vocab, load_caption_info
 from acvae_tpu.evaluation.coco import score_captions
 from acvae_tpu.evaluation.diversity import eval_div_stats, novelty, self_bleu

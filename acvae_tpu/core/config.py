@@ -13,7 +13,7 @@ from __future__ import annotations
 import copy
 import json
 import re
-from typing import Any, Dict, Mapping
+from typing import Any, Mapping
 
 import yaml
 

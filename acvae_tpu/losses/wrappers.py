@@ -23,12 +23,12 @@ The plain CE/KL used by the main AC-VAE runner live in
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from acvae_tpu.ops.losses import cross_entropy, label_smoothing_loss, normal_kl_loss
+from acvae_tpu.ops.losses import cross_entropy, normal_kl_loss
 from acvae_tpu.ops.masked import length_mask, mean_with_lens
 
 

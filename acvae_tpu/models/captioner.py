@@ -14,7 +14,7 @@ Both share the encoder dict contract and the decoding API of the VAE models.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

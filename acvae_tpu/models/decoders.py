@@ -19,7 +19,7 @@ caption models can drive them inside ``lax.scan`` / beam search.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from acvae_tpu.core.registry import DECODERS
 from acvae_tpu.models.attention import AdditiveAttention
 from acvae_tpu.models.rnn import GRUCell
-from acvae_tpu.ops.masked import NEG_INF, length_mask
+from acvae_tpu.ops.masked import length_mask
 
 
 @DECODERS.register("RNNDecoder")

@@ -13,7 +13,7 @@ argmax or gumbel samples from the generator) or as int ids [N, T].
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -37,7 +37,7 @@ from acvae_tpu.core.registry import LATENTS
 from acvae_tpu.models.attention import AdditiveAttention
 from acvae_tpu.models.common import scan_or_init
 from acvae_tpu.models.rnn import GRU, LSTMCell
-from acvae_tpu.ops.masked import length_mask, max_with_lens, mean_with_lens
+from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
 
 
 def reparameterize(mean: jnp.ndarray, log: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:

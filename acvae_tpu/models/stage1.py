@@ -11,13 +11,12 @@ through ``embedding_path`` (SURVEY §3.5).
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from acvae_tpu.models.rnn import GRU, LSTMCell
+from acvae_tpu.models.rnn import GRU
 from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
 
 

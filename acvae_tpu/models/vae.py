@@ -25,7 +25,7 @@ per beam and uses flat top-k from step 0 with no end handling
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

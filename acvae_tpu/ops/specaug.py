@@ -17,7 +17,6 @@ same sampling semantics (per-sample random extents, mean-fill by default):
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

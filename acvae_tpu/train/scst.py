@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from acvae_tpu import END_IDX, START_IDX
+from acvae_tpu import END_IDX
 from acvae_tpu.evaluation.coco import CiderScorer
 from acvae_tpu.ops.losses import scst_loss
 from acvae_tpu.train.trainer import TrainState

@@ -17,7 +17,7 @@ TPU-native equivalent of ``runners/pytorch_runner_vae.py``'s training loop
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import flax
 import jax
