@@ -431,6 +431,14 @@ class Runner:
         iteration = int(state.step)
         compiled_sigs: dict = {}  # shape sig -> AOT-compiled step (multiproc)
         aug_prob = conf.get("use_aug_prob")
+        up_dtype = str(conf.get("upload_dtype", "float32"))
+        if up_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"upload_dtype must be float32 or bfloat16, "
+                             f"got {up_dtype!r}")
+        upload_bf16 = up_dtype == "bfloat16"
+        if upload_bf16:
+            import ml_dtypes
+            _ml_bf16 = ml_dtypes.bfloat16
         ckpt_every = int(conf.get("checkpoint_every_steps", 0) or 0)
         fault_step = int(conf.get("fault_abort_step", 0) or 0)
         # profile_dir: trace steps 1-15 (or the first epoch, if shorter)
@@ -471,7 +479,15 @@ class Runner:
                 # every batch device→host→device
                 stage = (jnp.asarray if mesh is None
                          or jax.process_count() == 1 else np.asarray)
-                arrays = {k: stage(v) for k, v in batch.arrays().items()}
+                raw = batch.arrays()
+                if upload_bf16:
+                    # halve the host→device feature bytes (the dominant
+                    # per-step transfer: batch·T·F f32 mels).  The epoch is
+                    # upload-bound over the tunneled runtime (RESULTS.md);
+                    # BN/conv math promotes back to the compute dtype on
+                    # device.  Opt-in: upload_dtype: bfloat16
+                    raw["feats"] = raw["feats"].astype(_ml_bf16)
+                arrays = {k: stage(v) for k, v in raw.items()}
                 if aug_prob is not None:
                     # AugmentLossWrapper path (loss.py:72-94): drop augmented
                     # captions (cap_id contains "aug") with prob 1-p.

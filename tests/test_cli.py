@@ -123,6 +123,22 @@ class TestCLI:
         rec = json.loads(open(os.path.join(exp, "metrics.jsonl")).readline())
         assert np.isfinite(rec["train_loss"])
 
+    def test_train_bf16_upload(self, workspace, tmp_path):
+        """upload_dtype: bfloat16 halves the host->device feature bytes
+        (the dominant per-step transfer); training stays sane."""
+        import yaml
+        cfg = yaml.safe_load(open(workspace / "config.yaml"))
+        cfg.update(upload_dtype="bfloat16",
+                   outputpath=str(tmp_path / "exp_bf16up"))
+        p = tmp_path / "c_bf16.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        exp = Runner().train(str(p), seed=9, remark="bf16up")
+        rec = json.loads(open(os.path.join(exp, "metrics.jsonl")).readline())
+        assert np.isfinite(rec["train_loss"])
+        with pytest.raises(ValueError):
+            Runner().train(str(p), seed=9, remark="bad",
+                           upload_dtype="float16")
+
     def test_preemption_recovery(self, workspace, tmp_path):
         """checkpoint_every_steps + fault_abort_step + resume: a run killed
         mid-epoch restarts from the step checkpoint, skips the consumed
