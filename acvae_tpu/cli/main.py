@@ -909,7 +909,8 @@ class Runner:
               beam_size: int = 3, max_length: int = 20,
               batch_size: int = 16, mel_bucket: int = 1024,
               max_wait_ms: float = 20.0, checkpoint: str = "best",
-              encoder_int8: bool = False, exported: Optional[str] = None):
+              encoder_int8: bool = False, exported: Optional[str] = None,
+              upload_dtype: str = "float32"):
         """Micro-batching caption inference server (new — deployment
         surface the reference lacks).  POST /caption with {"mel": [[T×F]]}
         or {"wav": [...], "sr": N}; GET /health.  Requests are batched up
@@ -945,7 +946,7 @@ class Runner:
             decode_method=decode_method, beam_size=beam_size,
             max_length=max_length, batch_size=batch_size,
             mel_bucket=mel_bucket, encoder_int8=encoder_int8,
-            exported=exported)
+            exported=exported, upload_dtype=upload_dtype)
         run_server(service, host=host, port=port, max_wait_ms=max_wait_ms)
 
     # ------------------------------------------------------------------ #

@@ -40,11 +40,28 @@ class CaptionService:
                  max_length: int = 20, batch_size: int = 16,
                  mel_bucket: int = 1024, seed: int = 1,
                  encoder_int8: bool = False,
-                 exported: "Optional[str]" = None):
+                 exported: "Optional[str]" = None,
+                 upload_dtype: str = "float32"):
         from acvae_tpu.core.config import load_config
         from acvae_tpu.data.vocab import Vocabulary
         from acvae_tpu.models.build import build_model
         from acvae_tpu.train.checkpoints import load_raw_checkpoint
+
+        if upload_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"upload_dtype must be float32 or bfloat16, "
+                             f"got {upload_dtype!r}")
+        if upload_dtype == "bfloat16" and exported is not None:
+            raise ValueError("upload_dtype does not apply to an exported "
+                             "artifact (its input dtype is baked at export "
+                             "time)")
+        self._upload_dtype = None
+        if upload_dtype == "bfloat16":
+            # halve the host→device mel bytes per micro-batch — the decode
+            # request's dominant transfer over the tunneled runtime; the
+            # caption may differ within bf16 mel quantization (opt-in, like
+            # --encoder_int8)
+            import ml_dtypes
+            self._upload_dtype = ml_dtypes.bfloat16
 
         if exported is not None:
             # serve a jax.export artifact (cli export_model): no model code,
@@ -137,6 +154,8 @@ class CaptionService:
         lens = np.ones((self.batch_size,), np.int32)
         for i, mel in enumerate(mels):
             feats[i], lens[i] = self._prep(mel)
+        if self._upload_dtype is not None:
+            feats = feats.astype(self._upload_dtype)
         with self._lock:
             if self._key is None:  # exported artifact: plain uint32 seeds
                 sub = jnp.uint32(self._seed)

@@ -66,6 +66,22 @@ def test_caption_service_batches(experiment):
         svc.caption(list(feats.values())[:5] + mels)  # > batch_size
 
 
+def test_caption_service_bf16_upload(experiment):
+    """upload_dtype=bfloat16 halves the per-batch mel transfer; captions
+    stay valid strings (opt-in precision, like --encoder_int8)."""
+    from acvae_tpu.serve import CaptionService
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
+                         checkpoint="last", upload_dtype="bfloat16")
+    caps = svc.caption(list(feats.values())[:2])
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+    with pytest.raises(ValueError):
+        CaptionService(exp, upload_dtype="float16")
+    with pytest.raises(ValueError):
+        CaptionService(exported="/nonexistent", upload_dtype="bfloat16")
+
+
 def test_caption_service_from_export(experiment, tmp_path):
     """Serving a jax.export artifact (cli export_model): the service loads
     vocab + decode config from the artifact (no checkpoint/model code),
