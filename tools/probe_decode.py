@@ -47,9 +47,17 @@ F_MEL = 64
 
 _r = np.random.default_rng(0)
 
+# PROBE_DTYPE=bfloat16 casts every slope-probe operand (weights AND
+# activations), answering per-component whether the step is f32-matmul-bound
+# — the full-decode bf16 A/B measured flat (docs/pallas_notes.md "bf16
+# decode"), which contradicts a matmul-bound estimate; component slopes
+# disambiguate.
+_DTYPE = jnp.dtype(os.environ.get("PROBE_DTYPE", "float32"))
+
 
 def f32(*shape):
-    return jnp.asarray(_r.normal(size=shape).astype(np.float32) * 0.05)
+    return jnp.asarray(_r.normal(size=shape).astype(np.float32) * 0.05,
+                       dtype=_DTYPE)
 
 
 def _time(fn, reps=3):
