@@ -70,6 +70,9 @@ def diverse_beam_search(make_step_fn: Callable[[int], Any],
         masked/`lax.cond` selections instead of python branches.  Groups run
         in order inside the body so group g sees earlier groups' tokens
         updated at this same t (the Hamming coupling, word_model.py:298-312).
+        Cost of the masking: inactive groups still execute their step —
+        G·(G−1) extra step executions over the whole search (~15% at
+        G=4, T=20) traded for the ~(T+G−1)× smaller program.
         """
         states, words, scores, seqs, done_scores, done_seqs, done_count = carry
         states, words, scores, seqs = (list(states), list(words),
