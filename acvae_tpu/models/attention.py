@@ -33,6 +33,20 @@ class AdditiveAttention(nn.Module):
                         name="enc_proj")(h_enc)
 
     @nn.compact
+    def query(self, h_dec: jnp.ndarray) -> jnp.ndarray:
+        """Project a query only ([Nq, hs_dec] -> [Nq, attn]) — the decoder
+        half of one read, for :func:`stacked_attention_read` (shares the
+        ``dec_proj`` kernel with :meth:`__call__` by name)."""
+        return nn.Dense(self.attn_size, use_bias=False,
+                        kernel_init=nn.initializers.kaiming_uniform(),
+                        name="dec_proj")(h_dec)
+
+    @nn.compact
+    def v_vec(self) -> jnp.ndarray:
+        """The score vector ``v`` (shared with :meth:`__call__` by name)."""
+        return self.param("v", nn.initializers.normal(1.0), (self.attn_size,))
+
+    @nn.compact
     def __call__(self, h_dec: jnp.ndarray, h_enc: jnp.ndarray,
                  enc_proj: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -73,3 +87,48 @@ class AdditiveAttention(nn.Module):
         weights = jax.nn.softmax(score, axis=-1)
         ctx = jnp.einsum("ns,nse->ne", weights, h_enc)
         return ctx, weights
+
+
+def stacked_attention_read(enc_projs, queries, vs, h_enc, mask=None):
+    """K additive-attention reads over the SAME memory in one fused pass.
+
+    The VAE decode step performs TWO independent reads whose queries are both
+    available at step start — the prior's word→audio attention (query = word
+    embedding) and the decoder's Bahdanau attention (query = previous decoder
+    state), over the same ``enc_mem`` (vae_model.py:116-139).  Executing them
+    as one stacked computation halves the serial elementwise chain (one
+    tanh / one masked softmax / one context einsum instead of two of each);
+    the per-read math is unchanged: ``softmax(v_k · tanh(E_k + q_k)) @ h``.
+
+    enc_projs: K × [N, S, A] (equal A required); queries: K × [Nq, A]
+    (projected, from :meth:`AdditiveAttention.query`); vs: K × [A];
+    h_enc: [N, S, E]; mask: [N, S] bool.  ``Nq`` may be ``N*B``
+    (beam-folded, row-major per instance, as in
+    :meth:`AdditiveAttention.__call__`).
+
+    Returns K × (ctx [Nq, E], weights [Nq, S]).
+    """
+    K = len(enc_projs)
+    A = enc_projs[0].shape[-1]
+    assert all(p.shape[-1] == A for p in enc_projs), "stacked reads need equal attn_size"
+    E_k = jnp.stack(enc_projs, axis=-2)        # [N, S, K, A]
+    q_k = jnp.stack(queries, axis=-2)          # [Nq, K, A]
+    v_k = jnp.stack(vs, axis=0)                # [K, A]
+    N, Nq = h_enc.shape[0], q_k.shape[0]
+    if Nq != N:  # beam-folded
+        B = Nq // N
+        attn = jnp.tanh(E_k[:, None] + q_k.reshape(N, B, 1, K, A))
+        score = jnp.einsum("nbska,ka->nbsk", attn, v_k)   # [N, B, S, K]
+        if mask is not None:
+            score = jnp.where(mask[:, None, :, None], score, NEG_INF)
+        w = jax.nn.softmax(score, axis=2)
+        ctx = jnp.einsum("nbsk,nse->nbke", w, h_enc)      # [N, B, K, E]
+        return [(ctx[:, :, k].reshape(Nq, -1),
+                 w[:, :, :, k].reshape(Nq, -1)) for k in range(K)]
+    attn = jnp.tanh(E_k + q_k[:, None])                   # [N, S, K, A]
+    score = jnp.einsum("nska,ka->nsk", attn, v_k)         # [N, S, K]
+    if mask is not None:
+        score = jnp.where(mask[:, :, None], score, NEG_INF)
+    w = jax.nn.softmax(score, axis=1)
+    ctx = jnp.einsum("nsk,nse->nke", w, h_enc)            # [N, K, E]
+    return [(ctx[:, k], w[:, :, k]) for k in range(K)]

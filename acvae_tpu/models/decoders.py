@@ -112,8 +112,20 @@ class _AttnRNNBase(nn.Module):
         return self.attn.project_enc(enc_mem)
 
     def _step(self, word, state, enc_mem, enc_proj, enc_mask, z, train):
-        emb = self.dropoutlayer(self.word_embeddings(word), deterministic=not train)
         ctx, attn_w = self.attn(state, enc_mem, enc_proj, enc_mask)
+        return self._step_from_ctx(word, state, ctx, attn_w, z, train)
+
+    def attn_query(self, state: jnp.ndarray) -> jnp.ndarray:
+        """Projected attention query (the fused-attention path computes the
+        read outside, models/attention.py ``stacked_attention_read``)."""
+        return self.attn.query(state)
+
+    def attn_v(self) -> jnp.ndarray:
+        return self.attn.v_vec()
+
+    def _step_from_ctx(self, word, state, ctx, attn_w, z, train):
+        """The post-attention half of :meth:`_step`."""
+        emb = self.dropoutlayer(self.word_embeddings(word), deterministic=not train)
         parts = [emb, ctx] + ([z] if z is not None else [])
         rnn_input = jnp.concatenate(parts, axis=-1)
         h = self.cell(rnn_input, state)
@@ -177,6 +189,11 @@ class VAERNNBahdanauAttnDecoder(_AttnRNNBase):
     def step(self, word, state, enc_mem, enc_proj, enc_mask, z,
              train: bool = False) -> Dict[str, Any]:
         return self._step(word, state, enc_mem, enc_proj, enc_mask, z, train)
+
+    def step_from_ctx(self, word, state, ctx, attn_w, z,
+                      train: bool = False) -> Dict[str, Any]:
+        """Post-attention half of :meth:`step` (fused-attention path)."""
+        return self._step_from_ctx(word, state, ctx, attn_w, z, train)
 
 
 def sinusoidal_pe(max_len: int, d_model: int) -> jnp.ndarray:

@@ -200,6 +200,22 @@ class PriorRNN(nn.Module):
         """
         x = self.word_embedding(word)
         ctx, attn_w = self.word_attn(x, enc_mem, enc_proj, enc_mask)
+        return self.step_from_ctx(x, ctx, attn_w, state, last_z, eps)
+
+    def embed(self, word: jnp.ndarray) -> jnp.ndarray:
+        """Word embedding alone (the fused-attention path computes the
+        attention read outside, models/attention.py
+        ``stacked_attention_read``)."""
+        return self.word_embedding(word)
+
+    def attn_query(self, emb: jnp.ndarray) -> jnp.ndarray:
+        return self.word_attn.query(emb)
+
+    def attn_v(self) -> jnp.ndarray:
+        return self.word_attn.v_vec()
+
+    def step_from_ctx(self, x, ctx, attn_w, state, last_z, eps) -> Dict[str, Any]:
+        """The post-attention half of :meth:`step`."""
         h, c = self.network(jnp.concatenate([x, ctx, last_z], axis=-1), state)
         ml = self.mean_log_out(h)
         mean, log = split_mean_log(ml)

@@ -95,6 +95,40 @@ class VAECaptionModel(nn.Module):
         d_proj = self.decoder.project_enc(enc_mem)
         return enc_mem, enc_mask, p_proj, d_proj
 
+    def _step_pair(self, word, dec_h, p_state, last_z, eps_t, z_fn,
+                   enc_mem, enc_mask, p_proj, d_proj, train=False):
+        """One prior step + one decoder step (the serial core of every
+        decode flavor, vae_model.py:116-139).  ``z_fn(p) -> z`` picks the
+        decoder latent (prior sample at inference; dis-coin mix at train).
+
+        ``ACVAE_FUSED_ATTN=1`` computes the two attention reads — both
+        queries are available at step start (prior: word embedding;
+        decoder: previous state) — as ONE stacked pass
+        (models/attention.py ``stacked_attention_read``), halving the
+        attention ops on the serial chain.  Same math; kept switchable
+        until measured on-chip (docs/pallas_notes.md)."""
+        import os
+        if (os.environ.get("ACVAE_FUSED_ATTN") == "1"
+                and p_proj.shape[-1] == d_proj.shape[-1]
+                and not self.is_initializing()):
+            from acvae_tpu.models.attention import stacked_attention_read
+            emb_p = self.pnet.embed(word)
+            (ctx_p, w_p), (ctx_d, w_d) = stacked_attention_read(
+                [p_proj, d_proj],
+                [self.pnet.attn_query(emb_p), self.decoder.attn_query(dec_h)],
+                [self.pnet.attn_v(), self.decoder.attn_v()],
+                enc_mem, enc_mask)
+            p = self.pnet.step_from_ctx(emb_p, ctx_p, w_p, p_state, last_z,
+                                        eps_t)
+            d = self.decoder.step_from_ctx(word, dec_h, ctx_d, w_d,
+                                           z_fn(p), train=train)
+            return p, d
+        p = self.pnet.step(word, enc_mem, p_proj, enc_mask, p_state,
+                           last_z, eps_t)
+        d = self.decoder.step(word, dec_h, enc_mem, d_proj, enc_mask,
+                              z_fn(p), train=train)
+        return p, d
+
     # ------------------------------------------------------------------ #
     # training forward
     # ------------------------------------------------------------------ #
@@ -135,11 +169,10 @@ class VAECaptionModel(nn.Module):
             dec_h, p_state, last_z, prev_word = carry
             teacher_word, q_z_t, eps_t, ss_coin, dis_coin, key_t = xs
             word = jnp.where(ss_coin, teacher_word, prev_word)
-            p = self.pnet.step(word, enc_mem, p_proj, enc_mask,
-                               p_state, last_z, eps_t)
-            z = jnp.where(dis_coin, p["z"], q_z_t)
-            d = self.decoder.step(word, dec_h, enc_mem, d_proj, enc_mask, z,
-                                  train=train)
+            p, d = self._step_pair(
+                word, dec_h, p_state, last_z, eps_t,
+                lambda p: jnp.where(dis_coin, p["z"], q_z_t),
+                enc_mem, enc_mask, p_proj, d_proj, train=train)
             w_t, lp_t = sample_next_word(d["logits"], key_t, "greedy")
             carry = (d["state"], p["state"], p["z"], w_t)
             ys = {"logits": d["logits"], "output": d["output"],
@@ -222,10 +255,9 @@ class VAECaptionModel(nn.Module):
         def step(carry, xs):
             dec_h, p_state, last_z, prev_word, finished = carry
             eps_t, key_t = xs
-            p = self.pnet.step(prev_word, enc_mem, p_proj, enc_mask,
-                               p_state, last_z, eps_t)
-            d = self.decoder.step(prev_word, dec_h, enc_mem, d_proj, enc_mask,
-                                  p["z"], train=False)
+            p, d = self._step_pair(prev_word, dec_h, p_state, last_z, eps_t,
+                                   lambda p: p["z"],
+                                   enc_mem, enc_mask, p_proj, d_proj)
             w_t, lp_t = sample_next_word(d["logits"], key_t, method, temp)
             w_t = jnp.where(finished, self.end_idx, w_t)
             finished = finished | (w_t == self.end_idx)
@@ -258,10 +290,9 @@ class VAECaptionModel(nn.Module):
         """One decode step driven from outside (decoding.ensemble)."""
         enc_mem, enc_mask, p_proj, d_proj = ctx
         dec_h, p_state, last_z = state
-        p = self.pnet.step(words, enc_mem, p_proj, enc_mask, p_state,
-                           last_z, eps_t)
-        d = self.decoder.step(words, dec_h, enc_mem, d_proj, enc_mask,
-                              p["z"], train=False)
+        p, d = self._step_pair(words, dec_h, p_state, last_z, eps_t,
+                               lambda p: p["z"],
+                               enc_mem, enc_mask, p_proj, d_proj)
         return d["logits"], (d["state"], p["state"], p["z"])
 
     def forced_decode(self, feats, feat_lens, given_seqs) -> Dict[str, Any]:
@@ -285,10 +316,9 @@ class VAECaptionModel(nn.Module):
         def step(carry, xs):
             dec_h, p_state, last_z, prev_word = carry
             eps_t, given_t = xs
-            p = self.pnet.step(prev_word, enc_mem, p_proj, enc_mask,
-                               p_state, last_z, eps_t)
-            d = self.decoder.step(prev_word, dec_h, enc_mem, d_proj, enc_mask,
-                                  p["z"], train=False)
+            p, d = self._step_pair(prev_word, dec_h, p_state, last_z, eps_t,
+                                   lambda p: p["z"],
+                                   enc_mem, enc_mask, p_proj, d_proj)
             logprobs = jax.nn.log_softmax(d["logits"], axis=-1)
             lp_t = jnp.take_along_axis(logprobs, given_t[:, None], -1)[:, 0]
             carry = (d["state"], p["state"], p["z"], given_t)
@@ -318,10 +348,9 @@ class VAECaptionModel(nn.Module):
 
         def step_fn(state, words, t):
             dec_h, p_state, last_z = state
-            p = self.pnet.step(words, enc_mem, p_proj, enc_mask,
-                               p_state, last_z, eps_p[t])
-            d = self.decoder.step(words, dec_h, enc_mem, d_proj,
-                                  enc_mask, p["z"], train=False)
+            p, d = self._step_pair(words, dec_h, p_state, last_z, eps_p[t],
+                                   lambda p: p["z"],
+                                   enc_mem, enc_mask, p_proj, d_proj)
             return d["logits"], (d["state"], p["state"], p["z"])
 
         init_state = (self.decoder.init_state(N * B),
@@ -356,10 +385,9 @@ class VAECaptionModel(nn.Module):
         def make_step_fn(g):
             def step_fn(state, words, t):
                 dec_h, p_state, last_z = state
-                p = self.pnet.step(words, enc_mem, p_proj, enc_mask,
-                                   p_state, last_z, eps_p[g, t])
-                d = self.decoder.step(words, dec_h, enc_mem, d_proj,
-                                      enc_mask, p["z"], train=False)
+                p, d = self._step_pair(words, dec_h, p_state, last_z,
+                                       eps_p[g, t], lambda p: p["z"],
+                                       enc_mem, enc_mask, p_proj, d_proj)
                 return d["logits"], (d["state"], p["state"], p["z"])
             return step_fn
 

@@ -205,3 +205,53 @@ class TestSimpleVAE:
                            beam_size=2, max_length=6,
                            rngs={"sample": jax.random.key(4)})
         assert beam["seqs"].shape == (N, 2, 6)
+
+
+class TestFusedAttention:
+    """ACVAE_FUSED_ATTN=1 computes the prior and decoder attention reads as
+    one stacked pass (models/attention.py stacked_attention_read) — same
+    math, fewer serial ops; every decode flavor must match the sequential
+    path to float tolerance, and beam tokens exactly (at these scales)."""
+
+    def _decode(self, model, variables, feats, feat_lens, fused,
+                monkeypatch, method="beam", **kw):
+        if fused:
+            monkeypatch.setenv("ACVAE_FUSED_ATTN", "1")
+        else:
+            monkeypatch.delenv("ACVAE_FUSED_ATTN", raising=False)
+        return model.apply(variables, feats, feat_lens,
+                           decode_method=method, max_length=6,
+                           rngs={"sample": jax.random.key(5)}, **kw)
+
+    def test_beam_and_greedy_match(self, model_and_params, batch,
+                                   monkeypatch):
+        model, variables = model_and_params
+        feats, feat_lens, _, _ = batch
+        for method, kw in (("beam", {"beam_size": 3}), ("greedy", {}),
+                           ("dbs", {"beam_size": 4, "group_size": 2})):
+            a = self._decode(model, variables, feats, feat_lens, False,
+                             monkeypatch, method, **kw)
+            b = self._decode(model, variables, feats, feat_lens, True,
+                             monkeypatch, method, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(a["seqs"]), np.asarray(b["seqs"]),
+                err_msg=f"{method} tokens diverged under fused attention")
+
+    def test_train_forward_matches(self, model_and_params, batch,
+                                   monkeypatch):
+        model, variables = model_and_params
+        feats, feat_lens, caps, lens = batch
+
+        def fwd():
+            return model.apply(variables, feats, feat_lens, caps, lens,
+                               ss_ratio=0.8, dis_ratio=0.3, train=False,
+                               rngs={"sample": jax.random.key(3)})
+        monkeypatch.delenv("ACVAE_FUSED_ATTN", raising=False)
+        a = fwd()
+        monkeypatch.setenv("ACVAE_FUSED_ATTN", "1")
+        b = fwd()
+        for k in ("logits", "p_means", "p_logs"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=2e-5, atol=2e-6, err_msg=k)
+        np.testing.assert_array_equal(np.asarray(a["seqs"]),
+                                      np.asarray(b["seqs"]))

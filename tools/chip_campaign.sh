@@ -22,6 +22,7 @@ run doctor       300  python -m acvae_tpu.cli doctor
 run bench        3600 python bench.py
 run loop_ab      3600 python tools/probe_decode.py loop_ab
 run topk_ab      2400 python tools/probe_decode.py topk_ab
+run attn_ab      2400 python tools/probe_decode.py attn_ab
 run slope_all    2400 python tools/probe_decode.py slope all
 run slope_bf16   2400 env PROBE_DTYPE=bfloat16 python tools/probe_decode.py slope all
 run ablate_V     2400 python tools/probe_decode.py ablate V

@@ -21,6 +21,7 @@ Usage (run on the real chip, from the repo root):
     python tools/probe_decode.py slope [output|output2|attn|gru|lstm|gather|all]
     python tools/probe_decode.py topk_ab
     python tools/probe_decode.py loop_ab     # scanned vs unrolled time loop
+    python tools/probe_decode.py attn_ab     # fused vs sequential dual attention
     python tools/probe_decode.py ablate [S|V|E|B]
 """
 import os
@@ -232,6 +233,26 @@ def loop_ab():
                   flush=True)
 
 
+def attn_ab():
+    """Fused (stacked) vs sequential dual-attention decode A/B."""
+    model, variables, encoded = _flagship_decode()
+    outs, decs = {}, {}
+    for mode in ("seq", "fused"):
+        os.environ["ACVAE_FUSED_ATTN"] = "1" if mode == "fused" else "0"
+        decs[mode] = make_decode(model, variables)
+        outs[mode] = decs[mode](variables, encoded, jax.random.key(2))
+        np.asarray(outs[mode]["seqs"])
+    same = np.array_equal(np.asarray(outs["seq"]["seqs"]),
+                          np.asarray(outs["fused"]["seqs"]))
+    print(f"token-identical: {same}", flush=True)
+    for rnd in range(3):
+        for mode in ("seq", "fused"):
+            t = _time(lambda: decs[mode](variables, encoded,
+                                         jax.random.key(3 + rnd)))
+            print(f"round {rnd} {mode:6s}: {t * 1000:.1f} ms decode-only",
+                  flush=True)
+
+
 def topk_ab():
     model, variables, encoded = _flagship_decode()
     decs, outs = {}, {}
@@ -282,6 +303,8 @@ if __name__ == "__main__":
         topk_ab()
     elif cmd == "loop_ab":
         loop_ab()
+    elif cmd == "attn_ab":
+        attn_ab()
     elif cmd == "ablate":
         ablate(sys.argv[2] if len(sys.argv) > 2 else "V")
     else:
