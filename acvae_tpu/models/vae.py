@@ -110,6 +110,7 @@ class VAECaptionModel(nn.Module):
         import os
         if (os.environ.get("ACVAE_FUSED_ATTN") == "1"
                 and p_proj.shape[-1] == d_proj.shape[-1]
+                and hasattr(self.pnet, "step_from_ctx")  # GMM prior: seq only
                 and not self.is_initializing()):
             from acvae_tpu.models.attention import stacked_attention_read
             emb_p = self.pnet.embed(word)
