@@ -20,6 +20,8 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run doctor       300  python -m acvae_tpu.cli doctor
 run bench        3600 python bench.py
+run bench_640    3600 env ACVAE_BENCH_BATCH=640 ACVAE_BENCH_INT8=0 python bench.py
+run bench_fused  3600 env ACVAE_FUSED_ATTN=1 ACVAE_BENCH_INT8=0 python bench.py
 run loop_ab      3600 python tools/probe_decode.py loop_ab
 run topk_ab      2400 python tools/probe_decode.py topk_ab
 run attn_ab      2400 python tools/probe_decode.py attn_ab
