@@ -190,6 +190,15 @@ class VAECaptionModel(nn.Module):
         _, ys = scan_or_init(self, step, carry0, xs, T)
 
         output = {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
+        if output["p_means"].ndim == 4:
+            # GMM prior (pnet.gmm_kernel path): per-step moments are
+            # [K, N, E], so the scan+moveaxis above yields [K, T, N, E];
+            # the reference buffer layout is [K, N, T, E]
+            # (vae_model.py:100-101).  Surface the mixture logits for
+            # the trainer's gmm_kl_loss.
+            output["p_means"] = jnp.moveaxis(output["p_means"], 1, 2)
+            output["p_logs"] = jnp.moveaxis(output["p_logs"], 1, 2)
+            output["p_mixture_logits"] = self.pnet.mixture_logits
         output.update({k: v for k, v in qnetout.items() if v is not None})
         # encoder memory for downstream consumers: the adversarial
         # discriminator's aud2cap branch (loss.py:308) consumes the RAW

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from acvae_tpu.ops.losses import (cross_entropy, label_smoothing_loss,
-                                  normal_kl_loss)
+from acvae_tpu.ops.losses import (cross_entropy, gmm_kl_loss,
+                                  label_smoothing_loss, normal_kl_loss)
 from acvae_tpu.ops.masked import length_mask
 
 
@@ -238,7 +238,19 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                 p_m, p_l = out["p_means"], out["p_logs"]
                 if q_m.ndim < 3:  # SimpleVAE: single global latent per clip
                     km = None
-                kl = normal_kl_loss(q_m, q_l, p_m, p_l, km)
+                if p_m.ndim == q_m.ndim + 1:
+                    # GMM prior ([K, N, T, E] moments + mixture logits).
+                    # The reference defines GMM_kl_loss
+                    # (utils/train_util.py:273-291) but its live runner
+                    # never wires it; completed here as the standard
+                    # mixture upper bound KL(q‖Σcₖpₖ) ≤ Σcₖ·KL(q‖pₖ):
+                    # the single-Gaussian posterior broadcasts over K and
+                    # both weight arguments get the prior's mixture
+                    # logits, zeroing the categorical term.
+                    c_p = out["p_mixture_logits"]
+                    kl = gmm_kl_loss(q_m, q_l, c_p, p_m, p_l, c_p, km)
+                else:
+                    kl = normal_kl_loss(q_m, q_l, p_m, p_l, km)
                 loss = ce + kl_weight * kl
                 metrics["kl"] = kl
             else:  # plain captioners: CE only (pytorch_runner.py:323-335)
