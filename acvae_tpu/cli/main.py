@@ -683,17 +683,24 @@ class Runner:
         except Exception:
             return None
 
-    def _decode_fn(self, model, quant_encoder=None, **decode_kwargs):
+    def _decode_fn(self, model, quant_encoder=None, decode_dtype=None,
+                   **decode_kwargs):
         """Jitted decode closure (per-bucket shapes compile once and cache
         on the jit; decode kwargs are baked in).  ``quant_encoder`` swaps in
         the int8 serving encoder (models/quant.py) in front of the model's
-        decode machinery."""
+        decode machinery.  ``decode_dtype`` (e.g. ``"bfloat16"``) runs the
+        decode loop in that dtype (ops/amp.py; beam scores stay f32) —
+        ~tokens may differ from the exact f32 default at float-noise level."""
         if quant_encoder is not None:
             from acvae_tpu.models.quant import int8_decode_fn
             return int8_decode_fn(model, quant_encoder, **decode_kwargs)
+        from acvae_tpu.ops.amp import cast_floats_for_decode, resolve_decode_dtype
+        dt = resolve_decode_dtype(decode_dtype)
 
         @jax.jit
         def decode(variables, feats, feat_lens, key):
+            if dt is not None:
+                variables = cast_floats_for_decode(variables, dt)
             return model.apply(variables, feats, feat_lens,
                                rngs={"sample": key}, **decode_kwargs)
         return decode
@@ -738,6 +745,7 @@ class Runner:
                  num_candidates: int = 1, max_length: Optional[int] = None,
                  checkpoint: str = "best", seed: int = 1,
                  encoder_int8: bool = False, distributed: bool = False,
+                 decode_dtype: Optional[str] = None,
                  **decode_kwargs):
         """Decode + score a test set (base_runner.py:199-333).
 
@@ -747,6 +755,10 @@ class Runner:
 
         encoder_int8 swaps in the int8 serving encoder (models/quant.py) so
         its accuracy delta can be measured with the full metric harness.
+
+        decode_dtype=bfloat16 runs the decode loop in bf16 (ops/amp.py;
+        ~1.4× faster serving decode, tokens may flip near-ties vs f32) —
+        like encoder_int8, its accuracy delta is measurable right here.
 
         distributed shards each decode batch over all visible devices
         (token-identical to the single-device decode — jax's threefry RNG is
@@ -786,6 +798,7 @@ class Runner:
             quant = quant_encoder_for(conf, model, state.params,
                                       state.batch_stats)
         decode = self._decode_fn(model, quant_encoder=quant,
+                                 decode_dtype=decode_dtype,
                                  decode_method=decode_method,
                                  beam_size=beam_size, max_length=max_length,
                                  **decode_kwargs)
@@ -862,7 +875,8 @@ class Runner:
     def predict(self, experiment_path: str, h5_csv: str,
                 output: str = "predictions.csv", decode_method: str = "beam",
                 beam_size: int = 3, checkpoint: str = "best", seed: int = 1,
-                method: Optional[str] = None):
+                method: Optional[str] = None,
+                decode_dtype: Optional[str] = None):
         """DCASE-format CSV export (base_runner.py:336-395).
 
         ``method`` is the reference's name for ``decode_method``
@@ -885,7 +899,8 @@ class Runner:
         rows = []
         key = jax.random.key(seed)
         decode = self._decode_fn(model, decode_method=decode_method,
-                                 beam_size=beam_size)
+                                 beam_size=beam_size,
+                                 decode_dtype=decode_dtype)
         for batch in loader.prefetch():
             key, sub = jax.random.split(key)
             out = decode(variables, jnp.asarray(batch.feats),
@@ -910,7 +925,8 @@ class Runner:
               batch_size: int = 16, mel_bucket: int = 1024,
               max_wait_ms: float = 20.0, checkpoint: str = "best",
               encoder_int8: bool = False, exported: Optional[str] = None,
-              upload_dtype: str = "float32"):
+              upload_dtype: str = "float32",
+              decode_dtype: Optional[str] = None):
         """Micro-batching caption inference server (new — deployment
         surface the reference lacks).  POST /caption with {"mel": [[T×F]]}
         or {"wav": [...], "sr": N}; GET /health.  Requests are batched up
@@ -933,7 +949,8 @@ class Runner:
                         inspect.signature(self.serve).parameters.items()}
             baked = {"decode_method": decode_method, "beam_size": beam_size,
                      "max_length": max_length, "mel_bucket": mel_bucket,
-                     "checkpoint": checkpoint, "encoder_int8": encoder_int8}
+                     "checkpoint": checkpoint, "encoder_int8": encoder_int8,
+                     "decode_dtype": decode_dtype}
             changed = [k for k, v in baked.items() if v != defaults[k]]
             if changed:
                 raise ValueError(
@@ -946,7 +963,8 @@ class Runner:
             decode_method=decode_method, beam_size=beam_size,
             max_length=max_length, batch_size=batch_size,
             mel_bucket=mel_bucket, encoder_int8=encoder_int8,
-            exported=exported, upload_dtype=upload_dtype)
+            exported=exported, upload_dtype=upload_dtype,
+            decode_dtype=decode_dtype)
         run_server(service, host=host, port=port, max_wait_ms=max_wait_ms)
 
     # ------------------------------------------------------------------ #
@@ -996,7 +1014,8 @@ class Runner:
                      batch_size: Optional[int] = None,
                      output_dir: Optional[str] = None,
                      platforms: Optional[str] = None,
-                     encoder_int8: bool = False):
+                     encoder_int8: bool = False,
+                     decode_dtype: Optional[str] = None):
         """Export the trained decode program to a self-contained serialized
         StableHLO artifact (jax.export) — weights baked in, loadable by any
         JAX runtime via ``acvae_tpu.export.load_exported`` with no model
@@ -1007,7 +1026,9 @@ class Runner:
         ``--platforms=cpu,tpu`` lowers for several targets in one artifact
         (a CPU dev host can produce TPU-servable exports).
         ``--encoder_int8`` bakes the int8 serving encoder (models/quant.py)
-        into the artifact — the quantized deployment in one file."""
+        into the artifact — the quantized deployment in one file.
+        ``--decode_dtype=bfloat16`` bakes the bf16 decode loop (ops/amp.py)
+        — precision is fixed at export time, like --encoder_int8."""
         from acvae_tpu.export import (build_decode_fn, build_decode_fn_int8,
                                       export_decode, save_exported)
 
@@ -1036,7 +1057,10 @@ class Runner:
                                       variables["batch_stats"])
             fn = build_decode_fn_int8(model, variables, quant, **kwargs)
         else:
-            fn = build_decode_fn(model, variables, **kwargs)
+            from acvae_tpu.ops.amp import resolve_decode_dtype
+            fn = build_decode_fn(
+                model, variables,
+                decode_dtype=resolve_decode_dtype(decode_dtype), **kwargs)
         exported, batch_desc = export_decode(
             fn, t_mel=t_mel, n_mels=data_dim,
             batch=batch_size, platforms=list(platforms) if platforms
@@ -1048,6 +1072,7 @@ class Runner:
             "n_mels": data_dim, "batch": batch_desc,
             "platforms": list(exported.platforms),
             "encoder_int8": bool(encoder_int8),
+            "decode_dtype": str(decode_dtype or "float32"),
             "checkpoint": checkpoint, "experiment": str(exp)})
         import shutil
         shutil.copy(str(exp / "vocab.pkl"), os.path.join(out, "vocab.pkl"))

@@ -115,7 +115,10 @@ def batched_beam_search(step_fn: StepFn, init_state: Any, batch_size: int,
         state, words, scores, seqs, done_count, stopped = carry
         logits, new_state = step_fn(state, words, t)
         V = logits.shape[-1]
-        logprobs = jax.nn.log_softmax(logits, axis=-1).reshape(N, B, V)
+        # score math is always f32 (a no-op for the default f32 decode; the
+        # bf16 decode mode — ops/amp.py — hands bf16 logits in)
+        logprobs = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1).reshape(N, B, V)
         total = scores[:, :, None] + logprobs
 
         if first_step and cfg.first_step_row0:

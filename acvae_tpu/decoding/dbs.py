@@ -83,7 +83,8 @@ def diverse_beam_search(make_step_fn: Callable[[int], Any],
             lt_c = jnp.clip(lt, 0, T - 1)  # safe index while inactive
             logits, new_state = step_fns[g](states[g], words[g], t)
             V = logits.shape[-1]
-            lp = jax.nn.log_softmax(logits, axis=-1)
+            # score math always f32 (bf16 decode mode hands bf16 logits in)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             lp = jax.nn.log_softmax(lp / cfg.temperature, axis=-1)
             lp = lp.reshape(N, bdash, V)
             if g > 0:

@@ -22,7 +22,9 @@ def sample_next_word(logits: jnp.ndarray, key: jax.Array, method: str = "greedy"
     * ``sample``: multinomial over exp(logprobs / temp) — i.e. categorical with
       temperature applied to *logprobs* (word_model.py:198-203).
     """
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    # always f32: sampling probabilities / reported logprobs keep full
+    # precision even under the bf16 decode mode (ops/amp.py)
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     if method == "greedy":
         w = jnp.argmax(logprobs, axis=-1)
     elif method == "gumbel":

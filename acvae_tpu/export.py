@@ -22,12 +22,22 @@ import jax
 import jax.numpy as jnp
 
 
-def build_decode_fn(model, variables: Dict[str, Any], **decode_kwargs):
+def build_decode_fn(model, variables: Dict[str, Any],
+                    decode_dtype: Optional[Any] = None, **decode_kwargs):
     """Decode closure with weights captured as constants; the rng comes in
     as a plain uint32 seed so the artifact's calling convention is
-    framework-neutral (no typed PRNG keys in the signature)."""
+    framework-neutral (no typed PRNG keys in the signature).
+
+    ``decode_dtype`` (e.g. ``jnp.bfloat16``) casts the float params at this
+    boundary so the whole decode loop runs in that dtype (ops/amp.py; beam
+    scores / log-softmax stay f32).  None keeps the exact f32 default."""
+    if decode_dtype is not None:
+        from acvae_tpu.ops.amp import cast_floats_for_decode
+        variables = cast_floats_for_decode(variables, decode_dtype)
 
     def decode(feats, feat_lens, seed):
+        # feats stay as given (the encoder stem casts to its compute dtype
+        # itself; bn0 is f32 either way — use upload_dtype to shrink uploads)
         out = model.apply(variables, feats, feat_lens,
                           rngs={"sample": jax.random.key(seed)},
                           **decode_kwargs)

@@ -19,7 +19,7 @@ def scan_or_init(module: nn.Module, step, carry, xs, length: int):
     return jax.lax.scan(step, carry, xs)
 
 
-def eps_stack(key, steps: int, rows: int, dim: int):
+def eps_stack(key, steps: int, rows: int, dim: int, dtype=None):
     """[steps, rows, dim] standard normals, drawn per step (split + vmap).
 
     A single ``normal(key, (steps, rows, dim))`` draw indexes elements by
@@ -27,6 +27,11 @@ def eps_stack(key, steps: int, rows: int, dim: int):
     ``rows`` — padding a batch would silently change every real row's noise
     from step 1 on.  Splitting per step makes the leading rows invariant to
     the batch size: padded / mesh-sharded decodes are token-identical to
-    the unpadded decode."""
-    return jax.vmap(lambda k: jax.random.normal(k, (rows, dim)))(
+    the unpadded decode.
+
+    ``dtype``: always drawn in f32 (same underlying samples in every mode)
+    then cast, so a bf16 decode (ops/amp.py) sees the f32 noise rounded
+    rather than a different sample stream."""
+    eps = jax.vmap(lambda k: jax.random.normal(k, (rows, dim)))(
         jax.random.split(key, steps))
+    return eps if dtype is None else eps.astype(dtype)

@@ -55,6 +55,11 @@ class RNNDecoder(nn.Module):
     def init_state(self, batch: int, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.zeros((batch, self.hidden_size), dtype)
 
+    def state_dtype(self):
+        """The dtype decode-loop state should carry — follows the param dtype
+        so a bf16-cast variables tree (ops/amp.py) gets a bf16 loop."""
+        return self.cell.wh.dtype
+
     def step(self, word: jnp.ndarray, state: jnp.ndarray, enc_mem: jnp.ndarray,
              train: bool = False) -> Dict[str, Any]:
         """word: [N] int; state: [N, H]; enc_mem: [N, enc_mem_size]."""
@@ -107,6 +112,10 @@ class _AttnRNNBase(nn.Module):
     def init_state(self, batch: int, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.zeros((batch, self.hidden_size), dtype)
 
+    def state_dtype(self):
+        """Decode-loop state dtype — follows the param dtype (ops/amp.py)."""
+        return self.cell.wh.dtype
+
     def project_enc(self, enc_mem: jnp.ndarray) -> jnp.ndarray:
         """Precompute the attention encoder projection once per utterance."""
         return self.attn.project_enc(enc_mem)
@@ -158,6 +167,9 @@ class RNNLuongAttnDecoder(nn.Module):
 
     def init_state(self, batch: int, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.zeros((batch, self.hidden_size), dtype)
+
+    def state_dtype(self):
+        return self.cell.wh.dtype
 
     def project_enc(self, enc_mem: jnp.ndarray) -> jnp.ndarray:
         return self.attn.project_enc(enc_mem)

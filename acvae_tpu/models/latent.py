@@ -186,6 +186,10 @@ class PriorRNN(nn.Module):
         z = jnp.zeros((batch, self.hidden_size), dtype)
         return (z, z)
 
+    def state_dtype(self):
+        """Decode-loop state dtype — follows the param dtype (ops/amp.py)."""
+        return self.network.wh.dtype
+
     def project_enc(self, enc_mem: jnp.ndarray) -> jnp.ndarray:
         """Precompute the attention's encoder projection once per utterance."""
         return self.word_attn.project_enc(enc_mem)
@@ -250,6 +254,9 @@ class GMMPriorRNN(nn.Module):
     def init_state(self, batch: int, dtype=jnp.float32):
         z = jnp.zeros((batch, self.hidden_size), dtype)
         return (z, z)
+
+    def state_dtype(self):
+        return self.network.wh.dtype
 
     def project_enc(self, enc_mem: jnp.ndarray) -> jnp.ndarray:
         return self.word_attn.project_enc(enc_mem)

@@ -89,7 +89,11 @@ class VAECaptionModel(nn.Module):
     # shared per-step compute
     # ------------------------------------------------------------------ #
     def _prep_ctx(self, encoded):
-        enc_mem = encoded["audio_embeds"]
+        # enc_mem joins the decode loop's dtype (= the PARAM dtype,
+        # ops/amp.py).  Bit-identical in the default f32 mode: a bf16
+        # encoder output upcasts exactly, and the f32 attention projections
+        # already promoted every consumer to f32.
+        enc_mem = encoded["audio_embeds"].astype(self.decoder.state_dtype())
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         p_proj = self.pnet.project_enc(enc_mem)
         d_proj = self.decoder.project_enc(enc_mem)
@@ -155,15 +159,20 @@ class VAECaptionModel(nn.Module):
         encoded = self.encode(feats, feat_lens, train)
         enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
 
+        # loop-state dtype follows the PARAM dtype (not enc_mem's: the
+        # encoder may compute bf16 under f32 params) — a bf16-cast variables
+        # tree (ops/amp.py) gets a bf16 decode loop, the default stays f32
+        dt = self.decoder.state_dtype()
         key = self.make_rng("sample")
         k_q, k_p, k_coin1, k_coin2, k_samp = jax.random.split(key, 5)
 
-        qnetout = self.qnet(caps, cap_lens, jax.random.normal(k_q, (N, T, E)))
+        qnetout = self.qnet(caps, cap_lens,
+                            jax.random.normal(k_q, (N, T, E)).astype(dt))
 
         ss_coins = jax.random.uniform(k_coin1, (T,)) < ss_ratio
         dis_coins = ((jax.random.uniform(k_coin2, (T,)) <= dis_ratio)
                      & (jnp.asarray(dis_ratio) > 0))
-        eps_p = eps_stack(k_p, T, N, E)
+        eps_p = eps_stack(k_p, T, N, E, dt)
         samp_keys = jax.random.split(k_samp, T)
 
         def step(carry, xs):
@@ -181,9 +190,9 @@ class VAECaptionModel(nn.Module):
                   "seqs": w_t, "sampled_logprobs": lp_t}
             return carry, ys
 
-        carry0 = (self.decoder.init_state(N),
-                  self.pnet.init_state(N),
-                  jnp.zeros((N, E)),
+        carry0 = (self.decoder.init_state(N, dt),
+                  self.pnet.init_state(N, dt),
+                  jnp.zeros((N, E), dt),
                   jnp.full((N,), self.start_idx, jnp.int32))
         xs = (jnp.moveaxis(caps[:, :T], 0, 1), jnp.moveaxis(qnetout["q_z"], 0, 1),
               eps_p, ss_coins, dis_coins, samp_keys)
@@ -256,10 +265,11 @@ class VAECaptionModel(nn.Module):
         N = enc_mem.shape[0]
         E = self.decoder.embed_size
         T = max_length
+        dt = self.decoder.state_dtype()
 
         key = self.make_rng("sample")
         k_p, k_samp = jax.random.split(key)
-        eps_p = eps_stack(k_p, T, N, E)
+        eps_p = eps_stack(k_p, T, N, E, dt)
         samp_keys = jax.random.split(k_samp, T)
 
         def step(carry, xs):
@@ -277,8 +287,8 @@ class VAECaptionModel(nn.Module):
                   "seqs": w_t, "sampled_logprobs": lp_t}
             return carry, ys
 
-        carry0 = (self.decoder.init_state(N), self.pnet.init_state(N),
-                  jnp.zeros((N, E)),
+        carry0 = (self.decoder.init_state(N, dt), self.pnet.init_state(N, dt),
+                  jnp.zeros((N, E), dt),
                   jnp.full((N,), self.start_idx, jnp.int32),
                   jnp.zeros((N,), bool))
         _, ys = scan_or_init(self, step, carry0, (eps_p, samp_keys), T)
@@ -293,8 +303,10 @@ class VAECaptionModel(nn.Module):
         return self._prep_ctx(encoded)
 
     def init_decode_state(self, batch: int):
-        return (self.decoder.init_state(batch), self.pnet.init_state(batch),
-                jnp.zeros((batch, self.decoder.embed_size)))
+        dt = self.decoder.state_dtype()
+        return (self.decoder.init_state(batch, dt),
+                self.pnet.init_state(batch, dt),
+                jnp.zeros((batch, self.decoder.embed_size), dt))
 
     def decode_step_api(self, ctx, state, words, eps_t):
         """One decode step driven from outside (decoding.ensemble)."""
@@ -319,9 +331,10 @@ class VAECaptionModel(nn.Module):
         enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
         N, T = given_seqs.shape
         E = self.decoder.embed_size
+        dt = self.decoder.state_dtype()
         key = self.make_rng("sample")
         k_p, _k_samp = jax.random.split(key)   # mirror stepwise_decode
-        eps_p = eps_stack(k_p, T, N, E)
+        eps_p = eps_stack(k_p, T, N, E, dt)
 
         def step(carry, xs):
             dec_h, p_state, last_z, prev_word = carry
@@ -329,13 +342,14 @@ class VAECaptionModel(nn.Module):
             p, d = self._step_pair(prev_word, dec_h, p_state, last_z, eps_t,
                                    lambda p: p["z"],
                                    enc_mem, enc_mask, p_proj, d_proj)
-            logprobs = jax.nn.log_softmax(d["logits"], axis=-1)
+            logprobs = jax.nn.log_softmax(
+                d["logits"].astype(jnp.float32), axis=-1)
             lp_t = jnp.take_along_axis(logprobs, given_t[:, None], -1)[:, 0]
             carry = (d["state"], p["state"], p["z"], given_t)
             return carry, {"sampled_logprobs": lp_t}
 
-        carry0 = (self.decoder.init_state(N), self.pnet.init_state(N),
-                  jnp.zeros((N, E)),
+        carry0 = (self.decoder.init_state(N, dt), self.pnet.init_state(N, dt),
+                  jnp.zeros((N, E), dt),
                   jnp.full((N,), self.start_idx, jnp.int32))
         xs = (eps_p, jnp.moveaxis(given_seqs, 0, 1))
         _, ys = scan_or_init(self, step, carry0, xs, T)
@@ -350,11 +364,12 @@ class VAECaptionModel(nn.Module):
         N = enc_mem.shape[0]
         B = beam_size
         E = self.decoder.embed_size
+        dt = self.decoder.state_dtype()
         # attention memories stay per-instance [N, S, ·]: AdditiveAttention
         # folds the beam axis from the [N*B] queries (models/attention.py),
         # so the B× replicated HBM reads of enc_mem/projections disappear.
 
-        eps_p = eps_stack(self.make_rng("sample"), max_length, N * B, E)
+        eps_p = eps_stack(self.make_rng("sample"), max_length, N * B, E, dt)
 
         def step_fn(state, words, t):
             dec_h, p_state, last_z = state
@@ -363,9 +378,9 @@ class VAECaptionModel(nn.Module):
                                    enc_mem, enc_mask, p_proj, d_proj)
             return d["logits"], (d["state"], p["state"], p["z"])
 
-        init_state = (self.decoder.init_state(N * B),
-                      self.pnet.init_state(N * B),
-                      jnp.zeros((N * B, E)))
+        init_state = (self.decoder.init_state(N * B, dt),
+                      self.pnet.init_state(N * B, dt),
+                      jnp.zeros((N * B, E), dt))
         if self.is_initializing():
             # create params via one eager step; beam loop itself is param-free
             step_fn(init_state, jnp.full((N * B,), self.start_idx, jnp.int32), 0)
@@ -385,11 +400,12 @@ class VAECaptionModel(nn.Module):
         enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
         N = enc_mem.shape[0]
         E = self.decoder.embed_size
+        dt = self.decoder.state_dtype()
         bdash = beam_size // group_size
         NB = N * bdash
         # per-instance attention memories; beam axis folded in the attention
         total_steps = max_length + group_size - 1
-        eps_p = jax.vmap(lambda k: eps_stack(k, total_steps, NB, E))(
+        eps_p = jax.vmap(lambda k: eps_stack(k, total_steps, NB, E, dt))(
             jax.random.split(self.make_rng("sample"), group_size))
 
         def make_step_fn(g):
@@ -402,8 +418,9 @@ class VAECaptionModel(nn.Module):
             return step_fn
 
         def make_init_state():
-            return (self.decoder.init_state(NB), self.pnet.init_state(NB),
-                    jnp.zeros((NB, E)))
+            return (self.decoder.init_state(NB, dt),
+                    self.pnet.init_state(NB, dt),
+                    jnp.zeros((NB, E), dt))
 
         if self.is_initializing():
             make_step_fn(0)(make_init_state(),
@@ -453,10 +470,12 @@ class SimpleVAECaptionModel(nn.Module):
 
     def _decode_with_z(self, encoded, z, words0, T, method, temp, caps=None,
                        ss_ratio=1.0, train=False):
-        enc_mem = encoded["audio_embeds"]
+        dt = self.decoder.state_dtype()
+        enc_mem = encoded["audio_embeds"].astype(dt)
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         d_proj = self.decoder.project_enc(enc_mem)
         N = enc_mem.shape[0]
+        z = z.astype(dt)
         key = self.make_rng("sample")
         k_coin, k_samp = jax.random.split(key)
         ss_coins = jax.random.uniform(k_coin, (T,)) < ss_ratio
@@ -482,7 +501,7 @@ class SimpleVAECaptionModel(nn.Module):
                   "sampled_logprobs": lp_t}
             return carry, ys
 
-        carry0 = (self.decoder.init_state(N),
+        carry0 = (self.decoder.init_state(N, dt),
                   jnp.full((N,), self.start_idx, jnp.int32),
                   jnp.zeros((N,), bool))
         _, ys = scan_or_init(self, step, carry0,
@@ -524,18 +543,19 @@ class SimpleVAECaptionModel(nn.Module):
         return self._decode_with_z(encoded, z, None, max_length, decode_method, temp)
 
     def _beam(self, encoded, max_length, beam_size, key):
-        enc_mem = encoded["audio_embeds"]
+        dt = self.decoder.state_dtype()
+        enc_mem = encoded["audio_embeds"].astype(dt)
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         d_proj = self.decoder.project_enc(enc_mem)
         N, B, E = enc_mem.shape[0], beam_size, self.decoder.embed_size
-        z = jax.random.normal(key, (N * B, E)) * jnp.exp(0.5 * 1.0)
+        z = (jax.random.normal(key, (N * B, E)) * jnp.exp(0.5 * 1.0)).astype(dt)
 
         def step_fn(state, words, t):
             d = self.decoder.step(words, state, enc_mem, d_proj,
                                   enc_mask, z, train=False)
             return d["logits"], d["state"]
 
-        init_state = self.decoder.init_state(N * B)
+        init_state = self.decoder.init_state(N * B, dt)
         if self.is_initializing():
             step_fn(init_state, jnp.full((N * B,), self.start_idx, jnp.int32), 0)
             return {"seqs": jnp.full((N, B, max_length), self.end_idx, jnp.int32),

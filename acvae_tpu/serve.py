@@ -41,7 +41,8 @@ class CaptionService:
                  mel_bucket: int = 1024, seed: int = 1,
                  encoder_int8: bool = False,
                  exported: "Optional[str]" = None,
-                 upload_dtype: str = "float32"):
+                 upload_dtype: str = "float32",
+                 decode_dtype: Optional[str] = None):
         from acvae_tpu.core.config import load_config
         from acvae_tpu.data.vocab import Vocabulary
         from acvae_tpu.models.build import build_model
@@ -50,6 +51,10 @@ class CaptionService:
         if upload_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"upload_dtype must be float32 or bfloat16, "
                              f"got {upload_dtype!r}")
+        if decode_dtype and encoder_int8:
+            raise ValueError("decode_dtype does not combine with "
+                             "encoder_int8 (the int8 path fixes its own "
+                             "precision); pick one serving mode")
         if upload_dtype == "bfloat16" and exported is not None:
             raise ValueError("upload_dtype does not apply to an exported "
                              "artifact (its input dtype is baked at export "
@@ -116,8 +121,17 @@ class CaptionService:
                                       restored.get("batch_stats", {}))
             decode = int8_decode_fn(model, quant, **kwargs)
         else:
+            # decode_dtype=bfloat16 runs the decode loop in bf16
+            # (ops/amp.py; beam scores stay f32) — the serving-throughput
+            # mode, opt-in like --encoder_int8
+            from acvae_tpu.ops.amp import (cast_floats_for_decode,
+                                           resolve_decode_dtype)
+            dt = resolve_decode_dtype(decode_dtype)
+
             @jax.jit
             def decode(variables, feats, feat_lens, key):
+                if dt is not None:
+                    variables = cast_floats_for_decode(variables, dt)
                 return model.apply(variables, feats, feat_lens,
                                    rngs={"sample": key}, **kwargs)
 

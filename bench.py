@@ -90,8 +90,14 @@ def bench_jax() -> dict:
         jnp.ones((8, 22), jnp.int32), jnp.full((8,), 22, jnp.int32),
         train=False)
 
+    # ACVAE_DECODE_DTYPE=bfloat16 A/Bs the bf16 decode loop (ops/amp.py)
+    from acvae_tpu.ops.amp import cast_floats_for_decode, resolve_decode_dtype
+    decode_dt = resolve_decode_dtype()
+
     @jax.jit
     def decode(variables, feats, feat_lens, key):
+        if decode_dt is not None:
+            variables = cast_floats_for_decode(variables, decode_dt)
         return model.apply(variables, feats, feat_lens,
                            decode_method="beam", beam_size=BEAM,
                            max_length=MAX_LEN, rngs={"sample": key})
