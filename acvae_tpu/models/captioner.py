@@ -71,7 +71,9 @@ class AttnCaptionModel(nn.Module):
         return self.inference_forward(feats, feat_lens, **kwargs)
 
     def _ctx(self, encoded):
-        enc_mem = encoded["audio_embeds"]
+        # decode-loop dtype follows the PARAM dtype (ops/amp.py bf16 mode);
+        # bit-identical for the f32 default — see vae.py::_prep_ctx
+        enc_mem = encoded["audio_embeds"].astype(self.decoder.state_dtype())
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         return enc_mem, enc_mask, self.decoder.project_enc(enc_mem)
 
@@ -97,7 +99,7 @@ class AttnCaptionModel(nn.Module):
                 "logits": d["logits"], "output": d["output"], "seqs": w_t,
                 "sampled_logprobs": lp_t}
 
-        carry0 = (self.decoder.init_state(N),
+        carry0 = (self.decoder.init_state(N, self.decoder.state_dtype()),
                   jnp.full((N,), self.start_idx, jnp.int32))
         xs = (jnp.moveaxis(caps[:, :T], 0, 1), ss_coins, samp_keys)
         _, ys = scan_or_init(self, step, carry0, xs, T)
@@ -136,7 +138,7 @@ class AttnCaptionModel(nn.Module):
                 "logits": d["logits"], "output": d["output"], "seqs": w_t,
                 "sampled_logprobs": lp_t}
 
-        carry0 = (self.decoder.init_state(N),
+        carry0 = (self.decoder.init_state(N, self.decoder.state_dtype()),
                   jnp.full((N,), self.start_idx, jnp.int32),
                   jnp.zeros((N,), bool))
         _, ys = scan_or_init(self, step, carry0, samp_keys, max_length)
@@ -146,7 +148,7 @@ class AttnCaptionModel(nn.Module):
         return self._ctx(encoded)
 
     def init_decode_state(self, batch: int):
-        return self.decoder.init_state(batch)
+        return self.decoder.init_state(batch, self.decoder.state_dtype())
 
     def decode_step_api(self, ctx, state, words, eps_t=None):
         """One decode step driven from outside (decoding.ensemble)."""
@@ -168,7 +170,7 @@ class AttnCaptionModel(nn.Module):
                                   enc_mask, train=False)
             return d["logits"], d["state"]
 
-        init_state = self.decoder.init_state(N * B)
+        init_state = self.decoder.init_state(N * B, self.decoder.state_dtype())
         if self.is_initializing():
             step_fn(init_state, jnp.full((N * B,), self.start_idx, jnp.int32), 0)
             return {"seqs": jnp.full((N, B, max_length), self.end_idx, jnp.int32),

@@ -275,11 +275,18 @@ class _TransformerBase(nn.Module):
         self.pe_dropout = nn.Dropout(self.dropout)
         self.emb_dropout = nn.Dropout(self.dropout)
 
+    def state_dtype(self):
+        """Decode dtype follows the param dtype (ops/amp.py bf16 mode)."""
+        return self.word_embeddings.embedding.dtype
+
     def _embed(self, words: jnp.ndarray, train: bool) -> jnp.ndarray:
         emb = self.emb_dropout(self.word_embeddings(words),
                                deterministic=not train) * math.sqrt(self.embed_size)
+        # PE joins emb's dtype so a bf16-cast decode stays bf16 (exact
+        # values rounded once; the f32 default is untouched)
         pe = sinusoidal_pe(self.max_len, self.embed_size)[: words.shape[1]]
-        return self.pe_dropout(emb + pe[None], deterministic=not train)
+        return self.pe_dropout(emb + pe[None].astype(emb.dtype),
+                               deterministic=not train)
 
     def _causal_mask(self, T: int) -> jnp.ndarray:
         # boolean mask for MultiHeadDotProductAttention (True = attend)

@@ -75,18 +75,22 @@ class TransVAECaptionModel(nn.Module):
         N, L = caps.shape
         T = L - 1
         E = self.decoder.embed_size
+        dt = self.pnet.state_dtype()  # param dtype (ops/amp.py bf16 mode)
         encoded = self.encode(feats, feat_lens, train)
+        encoded = dict(encoded)
+        encoded["audio_embeds"] = encoded["audio_embeds"].astype(dt)
         enc_mem = encoded["audio_embeds"]
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         p_proj = self.pnet.project_enc(enc_mem)
 
         key = self.make_rng("sample")
         k_q, k_p, k_c1, k_c2, k_s = jax.random.split(key, 5)
-        qnetout = self.qnet(caps, cap_lens, jax.random.normal(k_q, (N, T, E)))
+        qnetout = self.qnet(caps, cap_lens,
+                            jax.random.normal(k_q, (N, T, E)).astype(dt))
         ss_coins = jax.random.uniform(k_c1, (T,)) < ss_ratio
         dis_coins = ((jax.random.uniform(k_c2, (T,)) <= dis_ratio)
                      & (jnp.asarray(dis_ratio) > 0))
-        eps_p = eps_stack(k_p, T, N, E)
+        eps_p = eps_stack(k_p, T, N, E, dt)
         samp_keys = jax.random.split(k_s, T)
 
         def step(carry, xs):
@@ -109,9 +113,9 @@ class TransVAECaptionModel(nn.Module):
                   "sampled_logprobs": lp_t}
             return carry, ys
 
-        carry0 = (self.pnet.init_state(N), jnp.zeros((N, E)),
+        carry0 = (self.pnet.init_state(N, dt), jnp.zeros((N, E), dt),
                   jnp.full((N, T), self.start_idx, jnp.int32),
-                  jnp.zeros((N, T, E)),
+                  jnp.zeros((N, T, E), dt),
                   jnp.full((N,), self.start_idx, jnp.int32))
         xs = (jnp.arange(T), jnp.moveaxis(caps[:, :T], 0, 1),
               jnp.moveaxis(qnetout["q_z"], 0, 1), eps_p, ss_coins, dis_coins,
@@ -131,13 +135,16 @@ class TransVAECaptionModel(nn.Module):
         return self.stepwise_decode(encoded, decode_method, max_length, temp)
 
     def stepwise_decode(self, encoded, decode_method, max_length, temp=1.0):
+        dt = self.pnet.state_dtype()
+        encoded = dict(encoded)
+        encoded["audio_embeds"] = encoded["audio_embeds"].astype(dt)
         enc_mem = encoded["audio_embeds"]
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         p_proj = self.pnet.project_enc(enc_mem)
         N, E, T = enc_mem.shape[0], self.decoder.embed_size, max_length
         key = self.make_rng("sample")
         k_p, k_s = jax.random.split(key)
-        eps_p = eps_stack(k_p, T, N, E)
+        eps_p = eps_stack(k_p, T, N, E, dt)
         samp_keys = jax.random.split(k_s, T)
 
         def step(carry, xs):
@@ -160,9 +167,9 @@ class TransVAECaptionModel(nn.Module):
                   "sampled_logprobs": lp_t}
             return carry, ys
 
-        carry0 = (self.pnet.init_state(N), jnp.zeros((N, E)),
+        carry0 = (self.pnet.init_state(N, dt), jnp.zeros((N, E), dt),
                   jnp.full((N, T), self.start_idx, jnp.int32),
-                  jnp.zeros((N, T, E)),
+                  jnp.zeros((N, T, E), dt),
                   jnp.full((N,), self.start_idx, jnp.int32),
                   jnp.zeros((N,), bool))
         xs = (jnp.arange(T), eps_p, samp_keys)
@@ -172,7 +179,8 @@ class TransVAECaptionModel(nn.Module):
     def beam_search(self, encoded, max_length, beam_size):
         """VAE-flavor beam (flat top-k from t=0, no end handling) with the
         prefix/z buffers carried per beam."""
-        enc_mem = encoded["audio_embeds"]
+        dt = self.pnet.state_dtype()
+        enc_mem = encoded["audio_embeds"].astype(dt)
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         p_proj = self.pnet.project_enc(enc_mem)
         N, B, E = enc_mem.shape[0], beam_size, self.decoder.embed_size
@@ -182,7 +190,7 @@ class TransVAECaptionModel(nn.Module):
         enc_mem_r, lens_r = _repeat_beams(
             (enc_mem, encoded["audio_embeds_lens"]), B)
         enc_r = {"audio_embeds": enc_mem_r, "audio_embeds_lens": lens_r}
-        eps_p = eps_stack(self.make_rng("sample"), max_length, N * B, E)
+        eps_p = eps_stack(self.make_rng("sample"), max_length, N * B, E, dt)
 
         def step_fn(state, words, t):
             p_state, last_z, words_buf, z_buf = state
@@ -198,9 +206,10 @@ class TransVAECaptionModel(nn.Module):
                                                False)
             return logits_t, (p["state"], p["z"], words_buf, z_buf)
 
-        init_state = (self.pnet.init_state(N * B), jnp.zeros((N * B, E)),
+        init_state = (self.pnet.init_state(N * B, dt),
+                      jnp.zeros((N * B, E), dt),
                       jnp.full((N * B, max_length), self.start_idx, jnp.int32),
-                      jnp.zeros((N * B, max_length, E)))
+                      jnp.zeros((N * B, max_length, E), dt))
         if self.is_initializing():
             step_fn(init_state, jnp.full((N * B,), self.start_idx, jnp.int32), 0)
             return {"seqs": jnp.full((N, B, max_length), self.end_idx, jnp.int32),

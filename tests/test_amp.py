@@ -135,6 +135,57 @@ def test_default_f32_decode_unchanged_by_amp_plumbing(model_and_vars):
                                   np.asarray(via["seqs"]))
 
 
+@pytest.mark.parametrize("family", ["trans_vae", "attn", "transformer"])
+def test_bf16_decode_other_model_families(family):
+    """The boundary cast must hold for every captioner family the decode
+    CLI can route (dtype-following carries in trans_vae.py/captioner.py)."""
+    from acvae_tpu.models.captioner import (AttnCaptionModel,
+                                            TransformerCaptionModel)
+    from acvae_tpu.models.decoders import (RNNBahdanauAttnDecoder,
+                                           TransformerDecoder,
+                                           VAETransformerDecoder)
+    from acvae_tpu.models.latent import PosteriorRNN
+    from acvae_tpu.models.trans_vae import TransVAECaptionModel
+
+    enc = Cnn10(inputdim=64, embed_size=E, channels=(4, 4, 8, E))
+    if family == "trans_vae":
+        model = TransVAECaptionModel(
+            encoder=enc,
+            decoder=VAETransformerDecoder(vocab_size=VOCAB, enc_mem_size=E,
+                                          embed_size=E, nhead=2, nlayers=1,
+                                          hidden_size=32),
+            qnet=PosteriorRNN(vocab_size=VOCAB, word_dim=E, embed_size=E,
+                              hidden_size=E),
+            pnet=PriorRNN(vocab_size=VOCAB, word_dim=E, audiofeats_size=E,
+                          embed_size=E, hidden_size=E))
+    elif family == "attn":
+        model = AttnCaptionModel(
+            encoder=enc,
+            decoder=RNNBahdanauAttnDecoder(vocab_size=VOCAB, enc_mem_size=E,
+                                           embed_size=E, hidden_size=E))
+    else:
+        model = TransformerCaptionModel(
+            encoder=enc,
+            decoder=TransformerDecoder(vocab_size=VOCAB, enc_mem_size=E,
+                                       embed_size=E, nhead=2, nlayers=1,
+                                       hidden_size=32))
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 64)).astype(np.float32))
+    feat_lens = jnp.asarray([64, 48], jnp.int32)
+    caps = jnp.asarray(rng.integers(4, VOCAB, size=(2, 8)).astype(np.int32))
+    caps = caps.at[:, 0].set(1)
+    cap_lens = jnp.asarray([8, 6], jnp.int32)
+    variables = model.init({"params": jax.random.key(0),
+                            "sample": jax.random.key(1)},
+                           feats, feat_lens, caps, cap_lens, train=False)
+    vb = cast_floats_for_decode(variables, jnp.bfloat16)
+    for method in ("beam", "greedy"):
+        out = model.apply(vb, feats, feat_lens, decode_method=method,
+                          max_length=6, rngs={"sample": jax.random.key(3)})
+        seqs = np.asarray(out["seqs"])
+        assert ((seqs >= 0) & (seqs < VOCAB)).all()
+
+
 def test_bf16_vs_f32_tokens_mostly_agree_after_training_signal(model_and_vars):
     """On an *untrained* model near-ties dominate, so token equality is not
     required — but both modes must emit the same shapes and valid tokens,
