@@ -45,7 +45,17 @@ def reparameterize(mean: jnp.ndarray, log: jnp.ndarray, eps: jnp.ndarray) -> jnp
     return eps * jnp.exp(0.5 * log) + mean
 
 
-_MAX_LOGVAR = 10.0
+import os as _os
+
+# The reference leaves log-variances unclamped (text_encoder.py:141-148) and
+# nans at init; ±10 stopped the inf/nan but still let the z-CHAIN posterior
+# feed z scales up to e^5 back through itself — measured STALLING the plain
+# VAEModel at reference scale (KL stuck ~8e3, val CIDEr 0.13 for 8 epochs).
+# ±4 keeps the chain bounded (z scale ≤ e^2) and the same run converges in
+# one epoch (val CIDEr 5.77 — RESULTS.md "z-chain stability").  The trained
+# regime satisfies |log σ²| ≪ 4, so the bound is inactive post-convergence;
+# env-tunable for A/Bs (ACVAE_MAX_LOGVAR).
+_MAX_LOGVAR = float(_os.environ.get("ACVAE_MAX_LOGVAR", 4.0))
 
 
 def split_mean_log(ml: jnp.ndarray):
