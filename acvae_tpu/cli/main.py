@@ -144,14 +144,16 @@ def _train_val_split(caption_info: List[dict], percent: float, seed: int):
     return idx[:n_train].tolist(), idx[n_train:].tolist()
 
 
-def _method_alias(method: Optional[str], decode_method: str,
+def _method_alias(method: Optional[str], decode_method: Optional[str],
                   default: str = "beam") -> str:
     """Resolve the reference's ``method`` kwarg (base_runner.py:199,342,405)
     against our ``decode_method``; conflicting explicit values raise instead
-    of one silently winning."""
+    of one silently winning.  Callers declare ``decode_method=None`` so an
+    explicitly passed default (``--decode_method=beam --method=greedy``)
+    still counts as explicit and conflicts."""
     if method is None:
-        return decode_method
-    if decode_method != default and method != decode_method:
+        return decode_method if decode_method is not None else default
+    if decode_method is not None and method != decode_method:
         raise ValueError(
             f"conflicting flags: --decode_method={decode_method} vs "
             f"--method={method} (method is an alias; pass only one)")
@@ -741,7 +743,7 @@ class Runner:
     # ------------------------------------------------------------------ #
     def evaluate(self, experiment_path: str, eval_h5_csv: Optional[str] = None,
                  eval_caption_file: Optional[str] = None,
-                 decode_method: str = "beam", beam_size: int = 3,
+                 decode_method: Optional[str] = None, beam_size: int = 3,
                  num_candidates: int = 1, max_length: Optional[int] = None,
                  checkpoint: str = "best", seed: int = 1,
                  encoder_int8: bool = False, distributed: bool = False,
@@ -860,6 +862,9 @@ class Runner:
              "tokens": caps[0]}
             for aid, caps in key2pred.items()]
         suffix = "_int8" if encoder_int8 else ""
+        if decode_dtype and decode_dtype != "float32":
+            # keep the f32 outputs around — the A/B the flag exists for
+            suffix += f"_{decode_dtype}"
         out_json = exp / (f"eval_output_{decode_method}_{beam_size}{suffix}.json")
         with open(out_json, "w") as f:
             json.dump({"predictions": predictions}, f, indent=1)
@@ -873,7 +878,8 @@ class Runner:
 
     # ------------------------------------------------------------------ #
     def predict(self, experiment_path: str, h5_csv: str,
-                output: str = "predictions.csv", decode_method: str = "beam",
+                output: str = "predictions.csv",
+                decode_method: Optional[str] = None,
                 beam_size: int = 3, checkpoint: str = "best", seed: int = 1,
                 method: Optional[str] = None,
                 decode_dtype: Optional[str] = None):
@@ -1124,7 +1130,7 @@ class Runner:
 
     def ensemble(self, *experiment_paths, eval_h5_csv: Optional[str] = None,
                  eval_caption_file: Optional[str] = None,
-                 decode_method: str = "beam", beam_size: int = 3,
+                 decode_method: Optional[str] = None, beam_size: int = 3,
                  max_length: int = 20, checkpoint: str = "best",
                  output: str = "ensemble_scores.txt", seed: int = 1,
                  method: Optional[str] = None):

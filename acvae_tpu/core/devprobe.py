@@ -49,5 +49,7 @@ def probe_device(timeout: float = 120.0) -> Dict[str, Any]:
                          f"tunneled runtime is likely wedged; known to "
                          f"recover in ~45 min to 3+ h"}
     if r.returncode != 0:
-        return {"ok": False, "error": (r.stderr or "").splitlines()[-1:]}
+        lines = (r.stderr or "").splitlines()
+        err = lines[-1] if lines else f"probe exited {r.returncode} with no stderr"
+        return {"ok": False, "error": err}
     return {"ok": True, "device": json.loads(r.stdout.splitlines()[-1])}

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import queue
+import sys
 import threading
 import time
 from pathlib import Path
@@ -78,8 +79,18 @@ class CaptionService:
                 str(Path(exported) / "vocab.pkl"))
             self.bucket = int(meta["t_mel"])
             self.data_dim = int(meta["n_mels"])
-            self.batch_size = (batch_size if meta["batch"] == "symbolic"
-                               else int(meta["batch"]))
+            if meta["batch"] == "symbolic":
+                self.batch_size = batch_size
+            else:
+                # pinned-batch artifact: the batch dimension is baked into
+                # the compiled program, so a differing --batch_size cannot
+                # be honored — warn instead of silently ignoring it (the
+                # other baked flags are rejected loudly in cli serve)
+                if batch_size != int(meta["batch"]):
+                    print(f"[serve] exported artifact pins batch="
+                          f"{meta['batch']}; ignoring --batch_size="
+                          f"{batch_size}", file=sys.stderr)
+                self.batch_size = int(meta["batch"])
             self.variables = None
             self._seed = np.uint32(seed + 2)
 
@@ -277,8 +288,10 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                 if lat:
                     snap["latency_ms_p50"] = round(
                         lat[len(lat) // 2] * 1000, 1)
-                    snap["latency_ms_p95"] = round(
-                        lat[int(len(lat) * 0.95)] * 1000, 1)
+                    # nearest-rank p95: ceil(0.95·n)−1 (len*0.95 floored
+                    # indexes the max for every n < 20)
+                    p95_i = max(0, -(-len(lat) * 95 // 100) - 1)
+                    snap["latency_ms_p95"] = round(lat[p95_i] * 1000, 1)
                 self._reply(200, snap)
             else:
                 self._reply(404, {"error": "unknown path"})

@@ -332,3 +332,19 @@ class TestDoctor:
             Runner().doctor(probe_timeout=1)
         assert e.value.code == 1
         monkeypatch.setattr(subprocess, "run", real_run)
+
+
+class TestMethodAlias:
+    def test_explicit_default_still_conflicts(self):
+        """--decode_method=beam --method=greedy must raise, not silently
+        decode greedy (the None-sentinel regression)."""
+        import pytest as _pytest
+
+        from acvae_tpu.cli.main import _method_alias
+
+        assert _method_alias(None, None) == "beam"
+        assert _method_alias(None, "dbs") == "dbs"
+        assert _method_alias("greedy", None) == "greedy"
+        assert _method_alias("dbs", "dbs") == "dbs"
+        with _pytest.raises(ValueError):
+            _method_alias("greedy", "beam")
