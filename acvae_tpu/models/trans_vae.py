@@ -122,6 +122,15 @@ class TransVAECaptionModel(nn.Module):
               samp_keys)
         _, ys = scan_or_init(self, step, carry0, xs, T)
         output = {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
+        if output["p_means"].ndim == 4:
+            # GMM prior (pnet.gmm_kernel path): per-step moments are
+            # [K, N, E], so the scan+moveaxis above yields [K, T, N, E];
+            # re-layout to the [K, N, T, E] the trainer's gmm_kl_loss
+            # expects and surface the mixture logits (same handling as
+            # models/vae.py::VAECaptionModel.train_forward).
+            output["p_means"] = jnp.moveaxis(output["p_means"], 1, 2)
+            output["p_logs"] = jnp.moveaxis(output["p_logs"], 1, 2)
+            output["p_mixture_logits"] = self.pnet.mixture_logits
         output.update({k: v for k, v in qnetout.items() if v is not None})
         return output
 
@@ -175,6 +184,50 @@ class TransVAECaptionModel(nn.Module):
         xs = (jnp.arange(T), eps_p, samp_keys)
         _, ys = scan_or_init(self, step, carry0, xs, T)
         return {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
+
+    def forced_decode(self, feats, feat_lens, given_seqs):
+        """SCST replay: feed ``given_seqs`` as the word inputs and return
+        their logprobs.  Consumes the "sample" rng stream identically to
+        :meth:`stepwise_decode` (same split → same prior eps), so replaying
+        with the rollout's key reproduces the rollout computation exactly
+        (same contract as models/vae.py::VAECaptionModel.forced_decode)."""
+        dt = self.pnet.state_dtype()
+        encoded = dict(self.encode(feats, feat_lens, False))
+        encoded["audio_embeds"] = encoded["audio_embeds"].astype(dt)
+        enc_mem = encoded["audio_embeds"]
+        enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
+        p_proj = self.pnet.project_enc(enc_mem)
+        N, T = given_seqs.shape
+        E = self.decoder.embed_size
+        key = self.make_rng("sample")
+        k_p, _k_s = jax.random.split(key)   # mirror stepwise_decode
+        eps_p = eps_stack(k_p, T, N, E, dt)
+
+        def step(carry, xs):
+            p_state, last_z, words_buf, z_buf, prev_word = carry
+            t, eps_t, given_t = xs
+            p = self.pnet.step(prev_word, enc_mem, p_proj, enc_mask, p_state,
+                               last_z, eps_t)
+            words_buf = jax.lax.dynamic_update_slice(
+                words_buf, prev_word[:, None], (0, t))
+            z_buf = jax.lax.dynamic_update_slice(z_buf, p["z"][:, None, :],
+                                                 (0, t, 0))
+            logits_t, _ = self._decoder_logits(words_buf, z_buf, t,
+                                               encoded, False)
+            logprobs = jax.nn.log_softmax(
+                logits_t.astype(jnp.float32), axis=-1)
+            lp_t = jnp.take_along_axis(logprobs, given_t[:, None], -1)[:, 0]
+            carry = (p["state"], p["z"], words_buf, z_buf, given_t)
+            return carry, {"sampled_logprobs": lp_t}
+
+        carry0 = (self.pnet.init_state(N, dt), jnp.zeros((N, E), dt),
+                  jnp.full((N, T), self.start_idx, jnp.int32),
+                  jnp.zeros((N, T, E), dt),
+                  jnp.full((N,), self.start_idx, jnp.int32))
+        xs = (jnp.arange(T), eps_p, jnp.moveaxis(given_seqs, 0, 1))
+        _, ys = scan_or_init(self, step, carry0, xs, T)
+        return {"sampled_logprobs": jnp.moveaxis(ys["sampled_logprobs"], 0, 1),
+                "seqs": given_seqs}
 
     def beam_search(self, encoded, max_length, beam_size):
         """VAE-flavor beam (flat top-k from t=0, no end handling) with the

@@ -120,3 +120,46 @@ class TestTransVAE:
                            beam_size=2, max_length=7,
                            rngs={"sample": jax.random.key(5)})
         assert beam["seqs"].shape == (N, 2, 7)
+
+    def test_gmm_prior_trains_and_decodes(self, rng):
+        """Regression: TransVAEModel + GMMPriorRNN must re-layout the
+        [K, T, N, E] scanned prior moments to [K, N, T, E] and surface
+        p_mixture_logits, or the trainer's gmm_kl_loss branch crashes
+        (same post-scan handling as models/vae.py)."""
+        from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                             make_train_step)
+        K = 2
+        cfg = _cfg("TransVAEModel", "VAETransformerDecoder",
+                   posterior_model="PosteriorRNN",
+                   posterior_args={"hidden_size": E},
+                   prior_model="GMMPriorRNN",
+                   prior_args={"hidden_size": E, "gmm_kernel": K})
+        model = build_model(cfg, V, F)
+        batch = _batch(rng)
+        feats, feat_lens, caps, lens = batch
+        variables = _init(model, batch)
+        out, _ = model.apply(
+            variables, feats, feat_lens, caps, lens,
+            ss_ratio=0.8, dis_ratio=0.2, train=True,
+            rngs={"sample": jax.random.key(2), "dropout": jax.random.key(3)},
+            mutable=["batch_stats"])
+        assert out["p_means"].shape == (K, N, L - 1, E)
+        assert out["p_mixture_logits"].shape == (K,)
+        assert out["q_means"].shape == (N, L - 1, E)
+
+        beam = model.apply(variables, feats, feat_lens, decode_method="beam",
+                           beam_size=2, max_length=7,
+                           rngs={"sample": jax.random.key(5)})
+        assert beam["seqs"].shape == (N, 2, 7)
+
+        # one full trainer step through the gmm_kl_loss branch (donates
+        # `variables`' buffers — keep it last)
+        tx = build_optimizer("Adam", 1e-3, max_grad_norm=1.0)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model)
+        arrays = {"feats": feats, "feat_lens": feat_lens,
+                  "caps": caps, "cap_lens": lens}
+        state, metrics = step(state, arrays, jax.random.key(7),
+                              1.0, 0.0, 0.5, 0.0)
+        assert np.isfinite(float(metrics["kl"]))
+        assert np.isfinite(float(metrics["ce"]))
