@@ -144,6 +144,32 @@ class AttnCaptionModel(nn.Module):
         _, ys = scan_or_init(self, step, carry0, samp_keys, max_length)
         return {k: jnp.moveaxis(v, 0, 1) for k, v in ys.items()}
 
+    def forced_decode(self, feats, feat_lens, given_seqs):
+        """Replay a sampled rollout: feed ``given_seqs`` as the word inputs
+        and return the logprobs of those words (SCST replay — the reference
+        wraps ANY caption model in ScstWrapper, seq_train_model.py:10-93).
+        The decode here is rng-free given the words, so the replay is exact
+        by construction."""
+        encoded = self.encode(feats, feat_lens, train=False)
+        enc_mem, enc_mask, d_proj = self._ctx(encoded)
+        N, T = given_seqs.shape
+
+        def step(carry, given_t):
+            dec_h, prev_word = carry
+            d = self.decoder.step(prev_word, dec_h, enc_mem, d_proj,
+                                  enc_mask, train=False)
+            logprobs = jax.nn.log_softmax(
+                d["logits"].astype(jnp.float32), axis=-1)
+            lp_t = jnp.take_along_axis(logprobs, given_t[:, None], -1)[:, 0]
+            return (d["state"], given_t), {"sampled_logprobs": lp_t}
+
+        carry0 = (self.decoder.init_state(N, self.decoder.state_dtype()),
+                  jnp.full((N,), self.start_idx, jnp.int32))
+        _, ys = scan_or_init(self, step, carry0,
+                             jnp.moveaxis(given_seqs, 0, 1), T)
+        return {"sampled_logprobs": jnp.moveaxis(ys["sampled_logprobs"], 0, 1),
+                "seqs": given_seqs}
+
     def decode_ctx(self, encoded):
         return self._ctx(encoded)
 
@@ -241,6 +267,26 @@ class TransformerCaptionModel(nn.Module):
                            jnp.broadcast_to(pad_mask, words_buf.shape),
                            train=train)
         return out["logits"][:, t], out["output"][:, t]
+
+    def forced_decode(self, feats, feat_lens, given_seqs):
+        """SCST replay in one fused causal pass: input [<start>, given[:-1]],
+        score ``given_seqs`` at every position.  Equivalent to the stepwise
+        rollout's per-position logits because the decoder is causal (the
+        stepwise path only adds a padding mask over future positions, which
+        the causal mask already enforces)."""
+        encoded = self.encode(feats, feat_lens, train=False)
+        N, T = given_seqs.shape
+        words = jnp.concatenate(
+            [jnp.full((N, 1), self.start_idx, jnp.int32),
+             given_seqs[:, :-1]], axis=1)
+        pad_mask = jnp.zeros_like(words, bool)
+        out = self.decoder(words, encoded["audio_embeds"],
+                           encoded["audio_embeds_lens"], pad_mask,
+                           train=False)
+        logprobs = jax.nn.log_softmax(
+            out["logits"].astype(jnp.float32), axis=-1)
+        lp = jnp.take_along_axis(logprobs, given_seqs[..., None], -1)[..., 0]
+        return {"sampled_logprobs": lp, "seqs": given_seqs}
 
     def stepwise_decode(self, encoded, decode_method, max_length, temp=1.0):
         N = encoded["audio_embeds"].shape[0]

@@ -542,6 +542,38 @@ class SimpleVAECaptionModel(nn.Module):
         z = jax.random.normal(key, (N, E)) * jnp.exp(0.5 * 1.0)
         return self._decode_with_z(encoded, z, None, max_length, decode_method, temp)
 
+    def forced_decode(self, feats, feat_lens, given_seqs):
+        """SCST replay: the global z is the FIRST "sample" rng draw in
+        :meth:`inference_forward`, so drawing it first here reproduces the
+        rollout's z under the same key (flax folds a per-call counter into
+        ``make_rng``); the decode itself is deterministic given the words."""
+        encoded = self.encode(feats, feat_lens, train=False)
+        N, T = given_seqs.shape
+        E = self.decoder.embed_size
+        key = self.make_rng("sample")   # mirrors inference_forward's draw
+        z = jax.random.normal(key, (N, E)) * jnp.exp(0.5 * 1.0)
+        dt = self.decoder.state_dtype()
+        enc_mem = encoded["audio_embeds"].astype(dt)
+        enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
+        d_proj = self.decoder.project_enc(enc_mem)
+        z = z.astype(dt)
+
+        def step(carry, given_t):
+            dec_h, prev_word = carry
+            d = self.decoder.step(prev_word, dec_h, enc_mem, d_proj,
+                                  enc_mask, z, train=False)
+            logprobs = jax.nn.log_softmax(
+                d["logits"].astype(jnp.float32), axis=-1)
+            lp_t = jnp.take_along_axis(logprobs, given_t[:, None], -1)[:, 0]
+            return (d["state"], given_t), {"sampled_logprobs": lp_t}
+
+        carry0 = (self.decoder.init_state(N, dt),
+                  jnp.full((N,), self.start_idx, jnp.int32))
+        _, ys = scan_or_init(self, step, carry0,
+                             jnp.moveaxis(given_seqs, 0, 1), T)
+        return {"sampled_logprobs": jnp.moveaxis(ys["sampled_logprobs"], 0, 1),
+                "seqs": given_seqs}
+
     def _beam(self, encoded, max_length, beam_size, key):
         dt = self.decoder.state_dtype()
         enc_mem = encoded["audio_embeds"].astype(dt)

@@ -116,3 +116,63 @@ class TestFullStep:
             batch, batch.audio_ids, ds.refs(), vocab, jax.random.key(3),
             sample_n=3)
         assert np.isfinite(metrics["loss"])
+
+
+def _family_cfg(name):
+    dec_args = {"embed_size": E, "hidden_size": E}
+    if name == "Seq2SeqAttnModel":
+        return {"model": name, "decoder": "RNNBahdanauAttnDecoder",
+                "decoder_args": dec_args, "model_args": {}}
+    if name == "TransformerModel":
+        return {"model": name, "decoder": "TransformerDecoder",
+                "decoder_args": {**dec_args, "nhead": 2, "nlayers": 1},
+                "model_args": {}}
+    if name == "TransVAEModel":
+        return {"model": name, "decoder": "VAETransformerDecoder",
+                "decoder_args": {**dec_args, "nhead": 2, "nlayers": 1},
+                "model_args": {"posterior_model": "PosteriorRNN",
+                               "posterior_args": {"hidden_size": E},
+                               "prior_model": "PriorRNN",
+                               "prior_args": {"hidden_size": E}}}
+    if name == "SimpleVAEModel":
+        return {"model": name, "decoder": "VAERNNBahdanauAttnDecoder",
+                "decoder_args": dec_args,
+                "model_args": {"posterior_model": "PosteriorSentence",
+                               "posterior_args": {"hidden_size": E}}}
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize("name", ["Seq2SeqAttnModel", "TransformerModel",
+                                  "TransVAEModel", "SimpleVAEModel"])
+class TestReplayAllFamilies:
+    """The reference's ScstWrapper wraps ANY caption model
+    (seq_train_model.py:10-93) — every family must support the
+    rollout → exact-replay contract, not just the RNN VAE."""
+
+    def test_replay_reproduces_rollout_logprobs(self, setup, name):
+        _, _, ds, vocab, loader = setup
+        cfg = dict(_family_cfg(name), encodermodel="Cnn10",
+                   encoder_args={"embed_size": E, "channels": (4, 8, 8, E)})
+        model = build_model(cfg, len(vocab), 64)
+        batch = next(iter(loader))
+        feats = jnp.asarray(batch.feats)
+        feat_lens = jnp.asarray(batch.feat_lens)
+        variables = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            feats, feat_lens, jnp.asarray(batch.caps),
+            jnp.asarray(batch.cap_lens), train=False)
+        key = jax.random.key(11)
+        rolled = model.apply(variables, feats, feat_lens,
+                             decode_method="sample", max_length=10, temp=1.0,
+                             rngs={"sample": key})
+        replay = model.apply(variables, feats, feat_lens,
+                             jnp.asarray(rolled["seqs"]),
+                             method=model.forced_decode,
+                             rngs={"sample": key})
+        seqs = np.asarray(rolled["seqs"])
+        lp_roll = np.asarray(rolled["sampled_logprobs"])
+        lp_replay = np.asarray(replay["sampled_logprobs"])
+        mask = np.concatenate(
+            [np.ones((seqs.shape[0], 1), bool), seqs[:, :-1] != END_IDX], 1)
+        np.testing.assert_allclose(lp_replay[mask], lp_roll[mask],
+                                   rtol=1e-4, atol=1e-5)
