@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from acvae_tpu import END_IDX, START_IDX
-from acvae_tpu.decoding.beam import BeamConfig, _freeze, _gather_beams, beam_topk
+from acvae_tpu.decoding.beam import BeamConfig, batched_beam_search
 
 StepFn = Callable[[Any, jnp.ndarray, int], Tuple[jnp.ndarray, Any]]
 
@@ -55,66 +55,22 @@ def ensemble_greedy(step_fns: List[StepFn], init_states: List[Any],
 
 def ensemble_beam(step_fns: List[StepFn], init_states: List[Any],
                   batch_size: int, cfg: BeamConfig) -> Dict[str, jnp.ndarray]:
-    """Prob-averaged batched beam search (same engine semantics as
-    acvae_tpu.decoding.beam, states kept per member)."""
-    N, B = batch_size, cfg.beam_size
-    T = cfg.max_length
+    """Prob-averaged batched beam search — a thin wrapper over the shared
+    engine (``decoding.beam.batched_beam_search``): the combined step
+    returns the log-mean-probability as its "logits" and carries the member
+    states as one tuple pytree.  The engine's log_softmax re-normalization
+    subtracts only the +1e-12-epsilon row constant (~V·1e-12), which cannot
+    change top-k order or beam comparisons."""
 
-    def advance(carry, t, first_step: bool):
-        words, scores, seqs, done_count, stopped, states = carry
-        logits_list, stepped = [], []
+    def step_fn(states, words, t):
+        logits_list, new_states = [], []
         for m, fn in enumerate(step_fns):
             logits_m, s_m = fn(states[m], words, t)
             logits_list.append(logits_m)
-            stepped.append(s_m)
-        logprobs = _mean_logprobs(logits_list)
-        V = logprobs.shape[-1]
-        total = scores[:, :, None] + logprobs.reshape(N, B, V)
+            new_states.append(s_m)
+        return _mean_logprobs(logits_list), tuple(new_states)
 
-        if first_step and cfg.first_step_row0:
-            top_scores, next_words = jax.lax.top_k(total[:, 0], B)
-            prev_inds = jnp.zeros((N, B), jnp.int32)
-        else:
-            top_scores, flat_idx = beam_topk(total, B)
-            prev_inds = flat_idx // V
-            next_words = flat_idx % V
-
-        stepped = [_gather_beams(s, prev_inds, N, B) for s in stepped]
-        new_seqs = jnp.take_along_axis(seqs, prev_inds[:, :, None], axis=1)
-        new_seqs = new_seqs.at[:, :, t].set(next_words)
-        new_words = next_words.reshape(N * B).astype(jnp.int32)
-
-        if cfg.end_handling:
-            is_end = next_words == cfg.end_idx
-            new_done = done_count + jnp.sum(is_end, axis=1, dtype=jnp.int32)
-            new_scores = jnp.where(is_end, top_scores - 1000.0, top_scores)
-        else:
-            new_done, new_scores = done_count, top_scores
-
-        states = tuple(_freeze(s, ns, stopped, N, B)
-                       for s, ns in zip(states, stepped))
-        seqs = jnp.where(stopped[:, None, None], seqs, new_seqs)
-        scores = jnp.where(stopped[:, None], scores, new_scores)
-        words = jnp.where(jnp.repeat(stopped, B), words, new_words)
-        done_count = jnp.where(stopped, done_count, new_done)
-        if cfg.end_handling:
-            stopped = stopped | (done_count >= B)
-        return (words, scores, seqs, done_count, stopped, states)
-
-    carry = (jnp.full((N * B,), cfg.start_idx, jnp.int32),
-             jnp.zeros((N, B)),
-             jnp.full((N, B, T), cfg.end_idx, jnp.int32),
-             jnp.zeros((N,), jnp.int32),
-             jnp.zeros((N,), bool),
-             tuple(init_states))
-    # step 0 outside the scan (first_step_row0 changes the top-k structure);
-    # one step-graph copy in the compiled program instead of T
-    carry = advance(carry, 0, True)
-    if T > 1:
-        carry, _ = jax.lax.scan(lambda c, t: (advance(c, t, False), None),
-                                carry, jnp.arange(1, T))
-    _, scores, seqs, _, _, _ = carry
-    return {"seqs": seqs, "scores": scores}
+    return batched_beam_search(step_fn, tuple(init_states), batch_size, cfg)
 
 
 def ensemble_decode(members: List[Tuple[Any, Any]], feats: jnp.ndarray,
@@ -152,7 +108,13 @@ def ensemble_decode(members: List[Tuple[Any, Any]], feats: jnp.ndarray,
         init_states.append(state0)
 
     if decode_method == "beam":
+        # reference ensemble beam (base_runner.py:681-684): at t=0 only row
+        # 0's logprobs are expanded (logprobs_t[0].topk — all beams are
+        # identical), and there is NO end handling (no -1000 kill, no done
+        # count; the loop always runs max_length steps).  first_step_row0
+        # must be True or deterministic members degenerate to B copies of
+        # the greedy path.
         cfg = BeamConfig(beam_size=B, max_length=max_length,
-                         first_step_row0=False, end_handling=False)
+                         first_step_row0=True, end_handling=False)
         return ensemble_beam(step_fns, init_states, N, cfg)
     return ensemble_greedy(step_fns, init_states, N, max_length)

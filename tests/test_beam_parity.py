@@ -149,6 +149,72 @@ class TestBeamParityVAEFlavor:
         np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_seqs)
 
 
+class TestEnsembleBeamParity:
+    """base_runner.py:640-693 ensemble beam: probabilities (not logits) are
+    averaged across members, t=0 expands only row 0 (logprobs_t[0].topk),
+    and there is NO end handling — the loop always runs max_length steps."""
+
+    def test_matches_reference(self):
+        from acvae_tpu.decoding.ensemble import ensemble_beam
+
+        beam_size = 3
+        tables = [make_tables(7), make_tables(8)]
+        inst_reps = [np.repeat(it, beam_size, axis=0) for _, _, it in tables]
+
+        def make_fn(m):
+            wt, tt, _ = tables[m]
+            rep = inst_reps[m]
+
+            def fn(state, words, t):
+                state = state + jnp.where(t > 0, words, 0)
+                logits = (jnp.asarray(wt)[words] + jnp.asarray(tt)[t][None]
+                          + jnp.asarray(rep) + 0.1 * state[:, None])
+                return logits, state
+            return fn
+
+        cfg = BeamConfig(beam_size=beam_size, max_length=T,
+                         first_step_row0=True, end_handling=False)
+        out = ensemble_beam([make_fn(0), make_fn(1)],
+                            [jnp.zeros((N * beam_size,), jnp.int32)] * 2,
+                            N, cfg)
+
+        # numpy transcription of the reference per-instance loop
+        ref_seqs = np.full((N, beam_size, T), END, np.int64)
+        for i in range(N):
+            top_k = np.zeros(beam_size)
+            words = np.full(beam_size, START, np.int64)
+            states = [np.zeros(beam_size, np.int64) for _ in tables]
+            seqs = None
+            for t in range(T):
+                probs = []
+                for m, (wt, tt, it) in enumerate(tables):
+                    if t > 0:
+                        states[m] = states[m] + words
+                    logits = (wt[words] + tt[t][None] + it[i][None]
+                              + 0.1 * states[m][:, None])
+                    e = np.exp(logits - logits.max(-1, keepdims=True))
+                    probs.append(e / e.sum(-1, keepdims=True))
+                logprobs = np.log(np.mean(probs, axis=0) + 1e-12)
+                total = top_k[:, None] + logprobs
+                if t == 0:
+                    flat = total[0]
+                    idx = np.argsort(-flat, kind="stable")[:beam_size]
+                    prev = np.zeros(beam_size, np.int64)
+                    nxt = idx
+                else:
+                    flat = total.reshape(-1)
+                    idx = np.argsort(-flat, kind="stable")[:beam_size]
+                    prev, nxt = idx // V, idx % V
+                top_k = flat[idx]
+                seqs = (nxt[:, None] if t == 0 else
+                        np.concatenate([seqs[prev], nxt[:, None]], 1))
+                for m in range(len(tables)):
+                    states[m] = states[m][prev]
+                words = nxt
+            ref_seqs[i] = seqs
+        np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_seqs)
+
+
 class TestDBSParity:
     """word_model.py:297-394: staggered groups, Hamming penalty, double
     log-softmax with temperature, done-beam sorting."""
