@@ -12,7 +12,7 @@ Defaults mirror the PANN/librosa convention (sr=32k, n_fft=1024, hop=320,
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -44,9 +44,13 @@ def mel_to_hz(m):
                     min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
 
 
+@lru_cache(maxsize=8)
 def mel_filterbank(sr: int, n_fft: int, n_mels: int,
                    fmin: float = 50.0, fmax: Optional[float] = None) -> np.ndarray:
-    """Slaney-normalized triangular mel filterbank [n_fft//2+1, n_mels]."""
+    """Slaney-normalized triangular mel filterbank [n_fft//2+1, n_mels].
+
+    Cached: the host-side numpy construction (a python loop over n_mels)
+    would otherwise rerun on every ``log_mel_spectrogram`` call."""
     fmax = fmax or sr / 2
     fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
     mel_pts = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax),
@@ -60,7 +64,9 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int,
         weights[i] = np.maximum(0, np.minimum(lower, upper))
     enorm = 2.0 / (mel_pts[2: n_mels + 2] - mel_pts[:n_mels])
     weights *= enorm[:, None]
-    return weights.T.astype(np.float32)  # [n_freqs, n_mels]
+    out = weights.T.astype(np.float32)  # [n_freqs, n_mels]
+    out.setflags(write=False)           # cached object must stay immutable
+    return out
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "center"))

@@ -98,7 +98,12 @@ def time_warp_1d(image: jnp.ndarray, flow_t: jnp.ndarray,
     """
     B, T, F = image.shape
     flow_t = jnp.clip(flow_t, -max_shift, max_shift)
-    if jax.devices()[0].platform not in ("tpu", "axon"):
+    # the kernel needs an 8-aligned chunk that divides T exactly (the grid
+    # covers T/chunk blocks and the staged window slices are 8-row aligned);
+    # largest such chunk <= 128, else the jnp gather path
+    chunk_cands = [c for c in range(8, min(128, T) + 1, 8) if T % c == 0]
+    if (not chunk_cands
+            or jax.devices()[0].platform not in ("tpu", "axon")):
         # jnp fallback: per-row 1-D gather
         t_idx = jnp.arange(T, dtype=image.dtype)[None, :, None]
         q = t_idx - flow_t
@@ -112,7 +117,7 @@ def time_warp_1d(image: jnp.ndarray, flow_t: jnp.ndarray,
     # per-(image, chunk) shift bounds from the *clipped* corner indices —
     # edge clipping (floor→[0, T-2]) can push shifts outside the raw flow
     # range, so bounds must come from d_low itself
-    chunk = min(128, T)
+    chunk = max(chunk_cands)
     C = T // chunk
     t_idx = jnp.arange(T, dtype=flow_t.dtype)[None, :, None]
     d_low_all = (jnp.clip(jnp.floor(t_idx - flow_t), 0, T - 2)

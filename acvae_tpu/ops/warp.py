@@ -18,7 +18,7 @@ calls it the most kernel-like code in the repo):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -152,11 +152,16 @@ def sparse_image_warp(image: jnp.ndarray,
 
 
 def time_warp(spec: jnp.ndarray, key: jax.Array, W_param: int = 5,
-              max_shift: int = 64) -> jnp.ndarray:
+              max_shift: int = 64,
+              lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """SpecAugment time warp on batched mel specs [N, T, F].
 
-    A random time anchor in [W, T-W) on the center-frequency row is displaced
-    by a random distance in [-W, W) (``datasets/augment.py:8-26``).
+    A random time anchor in [W, len-W) on the center-frequency row is
+    displaced by a random distance in [-W, W) (``datasets/augment.py:8-26``
+    — the reference warps the *unpadded* sample, so with ``lens`` the anchor
+    is drawn from the valid frames, gather queries are clamped to the
+    sample's own edge (len-2, like the reference's edge clamp at its true
+    T-2), and frames beyond len keep their original (padding) values).
     NOTE: the reference port mistakenly uses the *spectrogram value* at the
     anchor as the warp coordinate (augment.py:18); we use the anchor's time
     index — the actual SpecAugment definition (documented divergence).
@@ -170,7 +175,14 @@ def time_warp(spec: jnp.ndarray, key: jax.Array, W_param: int = 5,
 
     N, T, F = spec.shape
     k1, k2 = jax.random.split(key)
-    pts = jax.random.randint(k1, (N,), W_param, T - W_param)
+    if lens is None:
+        pts = jax.random.randint(k1, (N,), W_param, T - W_param)
+    else:
+        # randrange(W, len - W) per sample; degenerate lens (<= 2W) clamp to
+        # the single anchor W (the reference would raise on such samples)
+        span = jnp.maximum(lens - 2 * W_param, 1)
+        u = jax.random.uniform(k1, (N,))
+        pts = W_param + (u * span).astype(jnp.int32)
     dist = jax.random.randint(k2, (N,), -W_param, W_param)
     y = jnp.full((N,), F // 2, spec.dtype)
     # control points in (y=freq, x=time) image coords (reference transpose)
@@ -184,4 +196,14 @@ def time_warp(spec: jnp.ndarray, key: jax.Array, W_param: int = 5,
     grid = jnp.broadcast_to(grid, (N, F * T, 2))
     dense = apply_interpolation(grid, dst, w, v).reshape(N, F, T, 2)
     flow_t = jnp.swapaxes(dense[..., 1], 1, 2)  # [N, T, F] time-axis flow
-    return time_warp_1d(spec, flow_t, max_shift=max_shift)
+    if lens is None:
+        return time_warp_1d(spec, flow_t, max_shift=max_shift)
+    # clamp gather queries to each sample's own edge (len-2) by folding the
+    # clamp into the flow, and keep the padding region untouched
+    t_idx = jnp.arange(T, dtype=spec.dtype)[None, :, None]
+    edge = jnp.maximum(lens - 2, 0).astype(spec.dtype)[:, None, None]
+    q = jnp.clip(t_idx - flow_t, 0.0, edge)
+    flow_t = t_idx - q
+    out = time_warp_1d(spec, flow_t, max_shift=max_shift)
+    valid = jnp.arange(T)[None, :, None] < lens[:, None, None]
+    return jnp.where(valid, out, spec)

@@ -105,9 +105,30 @@ class TestSpecAugment:
         lens = jnp.array([50, 30, 10])
         out, new_lens = random_crop(spec, lens, jax.random.key(4), size=20,
                                     p=1.0)
-        assert out.shape == (3, 20, 4)
+        # static buffer unchanged; winners cropped to 20 valid frames
+        assert out.shape == (3, 50, 4)
         assert int(new_lens[0]) == 20
+        assert int(new_lens[1]) == 20
         assert int(new_lens[2]) == 10  # short clip untouched
+        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(spec[2]))
+        # cropped window is a contiguous slice of the original, zeros beyond
+        for n in (0, 1):
+            w = np.asarray(out[n][:20])
+            orig = np.asarray(spec[n])
+            found = any(np.array_equal(w, orig[s:s + 20])
+                        for s in range(int(lens[n]) - 20 + 1))
+            assert found, "crop window must be a contiguous original slice"
+            np.testing.assert_array_equal(np.asarray(out[n][20:]), 0.0)
+
+    def test_random_crop_coin_loses_keeps_full_sample(self, rng):
+        """Reference augment.py:95: when the p-coin loses the sample is
+        returned untouched at FULL length — no silent truncation."""
+        spec = jnp.asarray(rng.normal(size=(2, 50, 4)).astype(np.float32))
+        lens = jnp.array([50, 40])
+        out, new_lens = random_crop(spec, lens, jax.random.key(4), size=20,
+                                    p=0.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(spec))
+        np.testing.assert_array_equal(np.asarray(new_lens), np.asarray(lens))
 
     def test_time_roll_circular(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 16, 4)).astype(np.float32))
@@ -118,6 +139,21 @@ class TestSpecAugment:
             b = np.sort(np.asarray(out[n]).sum(axis=1))
             np.testing.assert_allclose(a, b, rtol=1e-5)
 
+    def test_time_roll_respects_lens(self, rng):
+        """The roll wraps within [0, len): padding zeros never enter the
+        signal and the valid-row multiset is preserved per sample."""
+        x_np = rng.normal(size=(2, 16, 4)).astype(np.float32)
+        lens = np.array([16, 9])
+        x_np[1, 9:] = 0.0
+        out = np.asarray(time_roll(jnp.asarray(x_np), jax.random.key(5),
+                                   std=5.0, lens=jnp.asarray(lens)))
+        for n in range(2):
+            L = lens[n]
+            a = np.sort(x_np[n, :L].sum(axis=1))
+            b = np.sort(out[n, :L].sum(axis=1))
+            np.testing.assert_allclose(a, b, rtol=1e-5)
+            np.testing.assert_array_equal(out[n, L:], 0.0)
+
     def test_gaussian_noise_snr(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 1000)).astype(np.float32))
         out = gaussian_noise(x, jax.random.key(6), snr=30)
@@ -125,6 +161,40 @@ class TestSpecAugment:
         snr_emp = 10 * np.log10(np.mean(np.asarray(x) ** 2)
                                 / np.mean(noise ** 2))
         assert 25 < snr_emp < 35
+
+    def test_gaussian_noise_respects_lens(self, rng):
+        """SNR is measured over the valid frames (reference divides by the
+        true sample length) and padding stays exactly zero."""
+        x_np = rng.normal(size=(2, 1000, 4)).astype(np.float32)
+        lens = np.array([1000, 250])
+        x_np[1, 250:] = 0.0
+        out = np.asarray(gaussian_noise(jnp.asarray(x_np), jax.random.key(6),
+                                        snr=30, lens=jnp.asarray(lens)))
+        for n in range(2):
+            L = lens[n]
+            noise = out[n, :L] - x_np[n, :L]
+            snr_emp = 10 * np.log10(np.mean(x_np[n, :L] ** 2)
+                                    / np.mean(noise ** 2))
+            assert 25 < snr_emp < 35, f"sample {n}: {snr_emp}"
+            np.testing.assert_array_equal(out[n, L:], 0.0)
+
+    def test_mean_fill_uses_valid_frames_only(self, rng):
+        """Reference cloned.mean() is over the unpadded sample — the fill
+        must not be dragged toward 0 by padding."""
+        x_np = np.zeros((1, 100, 8), np.float32)
+        x_np[0, :10] = np.arange(10, dtype=np.float32)[:, None]  # mean 4.5
+        lens = jnp.array([10])
+        # try keys until one actually masks something
+        for seed in range(20):
+            out = np.asarray(time_mask(jnp.asarray(x_np), jax.random.key(seed),
+                                       T=8, lens=lens))
+            changed = out != x_np
+            if changed[0, :10].any():
+                vals = out[0, :10][changed[0, :10]]
+                # padded-buffer mean would be 0.45, not 4.5
+                np.testing.assert_allclose(vals, 4.5, rtol=1e-5)
+                return
+        pytest.fail("no mask applied in 20 seeds")
 
 
 class TestLogMel:

@@ -19,10 +19,10 @@ def test_build_augment_semantics(rng):
     assert out.shape == feats.shape
     assert not np.array_equal(np.asarray(out), np.asarray(feats))
     np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(lens))
-    # crop changes the static time size
+    # crop keeps the static buffer; winners' lens drop to the crop size
     fn2 = build_augment(["randomcrop"], crop_size=32, crop_p=1.0)
     out2, lens2 = fn2(feats, lens, jax.random.key(1))
-    assert out2.shape == (4, 32, 8)
+    assert out2.shape == (4, 64, 8)
     assert int(lens2.max()) == 32
 
 
