@@ -44,8 +44,9 @@ class CaptionCorpus:
             np.random.default_rng(seed + epoch).shuffle(idx)
         for s in range(0, len(idx), batch_size):
             chunk = idx[s: s + batch_size]
-            caps = np.stack([self.encode(i)[0] for i in chunk])
-            lens = np.asarray([self.encode(i)[1] for i in chunk], np.int32)
+            encoded = [self.encode(i) for i in chunk]
+            caps = np.stack([c for c, _ in encoded])
+            lens = np.asarray([l for _, l in encoded], np.int32)
             yield caps, lens
 
 

@@ -192,6 +192,17 @@ class CaptionLoader:
         self.host_count = host_count
         self.drop_last = drop_last
         self.epoch = 0
+        if host_count > 1 and getattr(dataset, "_transform", None):
+            # multi-host bucketing reads HDF5 *shape metadata* only
+            # (feat_len) so every host agrees on each batch's bucket; a
+            # CPU-side transform that changes the time length would make
+            # that metadata wrong and silently truncate features.  The
+            # supported augmentation path is the on-device one
+            # (ops/specaug.build_augment), which runs after collation.
+            raise ValueError(
+                "CaptionLoader(host_count>1) does not support CPU-side "
+                "dataset transforms (bucket choice uses HDF5 shape "
+                "metadata); use the on-device augment pipeline instead")
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -246,24 +257,43 @@ class CaptionLoader:
         source = (self if not skip_batches
                   else self._iter_batches(skip_batches))
 
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone —
+            otherwise an early consumer exit (break / raised train step)
+            would leave the thread blocked in q.put() forever, pinning
+            `depth` multi-MB batches for the process lifetime."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch in source:
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # re-raised on the consumer side
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            stop.set()
 
     def __iter__(self) -> Iterator[Batch]:
         return self._iter_batches(0)

@@ -59,17 +59,31 @@ def read_mat_ark(path: str) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 def read_mat_scp(path: str) -> Iterator[Tuple[str, np.ndarray]]:
-    """Yield (key, matrix) following an scp index (``key ark_path:offset``)."""
-    with open(path) as scp:
-        for line in scp:
-            line = line.strip()
-            if not line:
-                continue
-            key, rxspec = line.split(None, 1)
-            ark_path, _, offset = rxspec.rpartition(":")
-            with open(ark_path, "rb") as f:
-                f.seek(int(offset))
-                yield key, _read_matrix(f)
+    """Yield (key, matrix) following an scp index (``key ark_path:offset``).
+
+    The underlying ark handle is cached across consecutive lines (a typical
+    scp indexes thousands of entries in the same ark — one open() per
+    matrix would make reading syscall-bound, like the reference kaldi_io's
+    cached-fd behavior)."""
+    cur_path, cur_f = None, None
+    try:
+        with open(path) as scp:
+            for line in scp:
+                line = line.strip()
+                if not line:
+                    continue
+                key, rxspec = line.split(None, 1)
+                ark_path, _, offset = rxspec.rpartition(":")
+                if ark_path != cur_path:
+                    if cur_f is not None:
+                        cur_f.close()
+                    cur_f = open(ark_path, "rb")
+                    cur_path = ark_path
+                cur_f.seek(int(offset))
+                yield key, _read_matrix(cur_f)
+    finally:
+        if cur_f is not None:
+            cur_f.close()
 
 
 def write_mat_ark(path: str, mats: Dict[str, np.ndarray],

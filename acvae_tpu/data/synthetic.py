@@ -4,7 +4,9 @@ The reference has no test data story (SURVEY §4); this generator produces a
 deterministic miniature audio-captioning dataset whose captions are *derivable
 from the audio features*, so an end-to-end overfit test can drive CIDEr up:
 
-Each clip is built from 1-3 "events"; each event stamps a characteristic
+Each clip is built from 1-2 "events" (kept at the generator's original
+draw — changing it would silently invalidate every RESULTS.md number
+measured on this corpus); each event stamps a characteristic
 band-limited energy pattern into the log-mel and contributes a fixed phrase to
 every caption of that clip.  Captions paraphrase the same events with varied
 templates — giving the 5-captions-per-audio structure diversity metrics need.

@@ -17,7 +17,10 @@ from typing import Dict, Iterable, List
 
 from acvae_tpu import END_IDX, PAD_IDX, START_IDX, UNK_IDX
 
-_PUNCT = re.compile(r"[,.!?;:\"']")
+# the reference's exact set (build_vocab.py:80), replaced by a SPACE so
+# punctuation-joined words split into separate tokens ("(loudly),then" ->
+# ["loudly", "then"], not "(loudly)then")
+_PUNCT = re.compile(r"[,.():;?!\"']")
 _TP_PAD_RE = re.compile(r"<pad_\d+>")
 
 
@@ -30,7 +33,9 @@ def tokenize(caption: str, zh: bool = False) -> List[str]:
     server-free fallback (documented divergence).  Latin spans inside the
     text stay whole words."""
     if not zh:
-        return _PUNCT.sub("", caption.lower()).split()
+        # sub with a space + split() == the reference's space-replace and
+        # " +" collapse (build_vocab.py:86-88)
+        return _PUNCT.sub(" ", caption.lower()).split()
     out: List[str] = []
     word = ""
     for ch in caption.lower():

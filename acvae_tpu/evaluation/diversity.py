@@ -64,21 +64,28 @@ def eval_div_stats(caps_by_id: Dict[str, List[str]]) -> Dict[str, float]:
 
     caps_by_id: audio_id -> list of candidate caption strings (already
     tokenized text; the reference PTB-tokenizes first, our captions are
-    vocab-token strings so that is a no-op)."""
-    n_caps = len(next(iter(caps_by_id.values())))
+    vocab-token strings so that is a no-op).  Ragged candidate counts use
+    the smallest count (extra candidates are ignored, like human_scores);
+    mBLEU needs >= 2 candidates per audio and is reported as NaN below that
+    (the reference assumes a uniform n and would crash)."""
+    n_caps = min(len(v) for v in caps_by_id.values())
     div1, _ = compute_div_n(caps_by_id, 1)
     div2, _ = compute_div_n(caps_by_id, 2)
     gdiv1 = compute_global_div_n(caps_by_id, 1)
 
+    out = {"Div1": div1, "Div2": div2, "gDiv1": gdiv1}
+    if n_caps < 2:
+        for k in range(4):
+            out[f"mBLeu_{k + 1}"] = float("nan")
+        return out
     scorer = BleuScorer(4)
     all_scrs = []
     for i in range(n_caps):
-        refs = {k: v[:i] + v[i + 1:] for k, v in caps_by_id.items()}
+        refs = {k: v[:i] + v[i + 1:n_caps] for k, v in caps_by_id.items()}
         cands = {k: [v[i]] for k, v in caps_by_id.items()}
         score, _ = scorer.compute_score(refs, cands)
         all_scrs.append(score)
     mbleu = np.array(all_scrs).mean(axis=0)
-    out = {"Div1": div1, "Div2": div2, "gDiv1": gdiv1}
     for k in range(4):
         out[f"mBLeu_{k + 1}"] = float(mbleu[k])
     return out

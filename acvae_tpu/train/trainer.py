@@ -147,15 +147,21 @@ def build_optimizer(name: str = "Adam", lr_schedule=1e-3,
     }
     kwargs.pop("lr", None)
     weight_decay = kwargs.pop("weight_decay", None)
-    if name == "Adam" and weight_decay:
-        base = optax.adamw(lr_schedule, weight_decay=weight_decay, **kwargs)
-    else:
-        if weight_decay and name == "AdamW":
-            kwargs["weight_decay"] = weight_decay
-        base = opts[name](lr_schedule, **kwargs)
+    coupled_l2 = None
+    if weight_decay and name == "AdamW":
+        kwargs["weight_decay"] = weight_decay
+    elif weight_decay:
+        # torch.optim semantics for every non-AdamW optimizer: weight_decay
+        # is COUPLED L2 — wd·param is added to the gradient before the
+        # optimizer's moment/scaling step (optax.adamw's decoupled decay
+        # would be a different regularizer)
+        coupled_l2 = optax.add_decayed_weights(weight_decay)
+    base = opts[name](lr_schedule, **kwargs)
     chain = []
     if max_grad_norm:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
+    if coupled_l2 is not None:
+        chain.append(coupled_l2)
     chain.append(base)
     chain.append(lr_scale())  # identity until ReduceLROnPlateau adjusts it
     if trainable_mask is not None:
@@ -395,24 +401,3 @@ def kl_weight_for_epoch(epoch: int, epochs: int, beta: float) -> float:
     return max(0.5, float(epoch) / epochs * beta)
 
 
-class Trainer:
-    """Minimal epoch loop used by the CLI; see acvae_tpu.cli for the full
-    experiment runner (checkpoints, logging, config dump)."""
-
-    def __init__(self, model, train_step, eval_step=None):
-        self.model = model
-        self.train_step = train_step
-        self.eval_step = eval_step
-
-    def run_epoch(self, state, loader, key, ss_ratio, dis_ratio, kl_weight,
-                  alpha=0.0, ss_update=None):
-        metrics_hist = []
-        for batch in loader:
-            key, sub = jax.random.split(key)
-            state, metrics = self.train_step(
-                state, {k: jnp.asarray(v) for k, v in batch.arrays().items()},
-                sub, ss_ratio, dis_ratio, kl_weight, alpha)
-            if ss_update is not None:
-                ss_ratio = ss_update(ss_ratio)
-            metrics_hist.append({k: float(v) for k, v in metrics.items()})
-        return state, ss_ratio, metrics_hist

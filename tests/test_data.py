@@ -21,6 +21,19 @@ class TestVocabulary:
         ids = [START_IDX, v("a"), v("dog"), v("barks"), END_IDX, PAD_IDX]
         assert v.decode(ids) == ["a", "dog", "barks"]
 
+    def test_tokenize_matches_reference_punctuation(self):
+        """build_vocab.py:80-88: punctuation (incl. parens) is replaced by a
+        SPACE, so joined words split instead of merging."""
+        import re
+
+        from acvae_tpu.data.vocab import tokenize
+        ours = tokenize("A man talks (loudly),then leaves; \"yes!\"")
+        ref = re.sub("[{}]".format(",.():;?!\"'"), " ",
+                     "a man talks (loudly),then leaves; \"yes!\"")
+        ref = re.sub(" +", " ", ref).strip().split()
+        assert ours == ref == ["a", "man", "talks", "loudly", "then",
+                               "leaves", "yes"]
+
     def test_pad_to_multiple(self):
         """build_vocab(pad_to_multiple=M) rounds |V| up with inert <pad_k>
         tokens so vocab-sharded model_parallel placement divides evenly."""
