@@ -206,6 +206,21 @@ def test_prefetch_matches_direct_iteration(tmp_path):
         np.testing.assert_array_equal(a.feats, b.feats)
         np.testing.assert_array_equal(a.caps, b.caps)
 
+    # early consumer exit must not leak a blocked producer thread (the
+    # retry-around-a-wedged-device pattern breaks out of epochs repeatedly)
+    import threading
+    import time
+    before = threading.active_count()
+    for _ in range(3):
+        gen = loader.prefetch(depth=1)
+        next(gen)
+        gen.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, \
+        "prefetch producer threads leaked after early consumer exit"
+
     class Boom(CaptionLoader):
         def __iter__(self):
             yield direct[0]
