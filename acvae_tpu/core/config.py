@@ -10,7 +10,6 @@ advertised in ``runners/pytorch_runner_vae.py:124-126``) — with two upgrades:
 """
 from __future__ import annotations
 
-import copy
 import json
 import re
 from typing import Any, Mapping
@@ -26,7 +25,13 @@ class Config(dict):
             v = self[key]
         except KeyError as e:
             raise AttributeError(key) from e
-        return Config(v) if isinstance(v, dict) and not isinstance(v, Config) else v
+        if isinstance(v, dict) and not isinstance(v, Config):
+            # store the wrapper back so it is a LIVE view: writes through
+            # attribute access (cfg.model_args.beta = 0.5) must persist in
+            # the config, not vanish into a throwaway copy
+            v = Config(v)
+            self[key] = v
+        return v
 
     def __setattr__(self, key: str, value: Any) -> None:
         self[key] = value
@@ -86,7 +91,8 @@ def load_config(config_file: str | None = None, **overrides) -> Config:
             loaded = yaml.safe_load(f) or {}
         if not isinstance(loaded, dict):
             raise ValueError(f"{config_file} must contain a YAML mapping")
-        cfg.update(_fix_yaml11_floats(copy.deepcopy(loaded)))
+        # _fix_yaml11_floats rebuilds every container, so no deepcopy needed
+        cfg.update(_fix_yaml11_floats(loaded))
     for key, value in overrides.items():
         cfg.set_path(key, _fix_yaml11_floats(_coerce(value)))
     return cfg

@@ -52,4 +52,16 @@ def probe_device(timeout: float = 120.0) -> Dict[str, Any]:
         lines = (r.stderr or "").splitlines()
         err = lines[-1] if lines else f"probe exited {r.returncode} with no stderr"
         return {"ok": False, "error": err}
-    return {"ok": True, "device": json.loads(r.stdout.splitlines()[-1])}
+    # scan stdout bottom-up for the status JSON: plugin/log noise around it
+    # (or empty stdout on an rc-0 exit) must still honor the ok:False
+    # contract instead of raising IndexError/JSONDecodeError
+    for line in reversed(r.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return {"ok": True, "device": json.loads(line)}
+            except json.JSONDecodeError:
+                continue
+    return {"ok": False,
+            "error": "probe exited 0 but printed no parseable status; "
+                     f"stdout tail: {r.stdout[-200:]!r}"}

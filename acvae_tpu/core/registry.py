@@ -20,9 +20,14 @@ class Registry:
     def register(self, name: str | None = None, aliases: tuple = ()):
         def deco(fn):
             key = name or fn.__name__
-            for k in (key, *aliases):
-                if k in self._factories:
-                    raise KeyError(f"duplicate {self.kind} registration: {k}")
+            keys = (key, *aliases)
+            # validate every key BEFORE inserting any: a duplicate alias
+            # must not leave the primary name half-registered
+            dupes = [k for k in keys if k in self._factories]
+            if dupes:
+                raise KeyError(
+                    f"duplicate {self.kind} registration: {', '.join(dupes)}")
+            for k in keys:
                 self._factories[k] = fn
             return fn
         return deco

@@ -146,10 +146,17 @@ def adverse_loss(packed_logits, targets, q_means, q_logs, p_means, p_logs,
                  logits, label, lens, dscrm_fn, key,
                  alpha: float = 1.0, beta: float = 1.0,
                  sample_method: str = "argmax", mask=None,
-                 audio_feats=None, feats_lens=None):
-    """AdverseLossWrapper (loss.py:279-319): CE + β·KL + α·discriminator BCE."""
+                 audio_feats=None, feats_lens=None, kl_mask="same"):
+    """AdverseLossWrapper (loss.py:279-319): CE + β·KL + α·discriminator BCE.
+
+    ``mask`` scopes the CE to valid tokens (the reference's packed logits).
+    The KL follows the repo-wide masked-KL convention by default
+    (``kl_mask="same"`` reuses ``mask``; COVERAGE.md "Known divergences");
+    pass ``kl_mask=None`` for the reference's unmasked KL mean
+    (Normal_kl_loss averages over every [N, T] position incl. padding)."""
     ce = cross_entropy(packed_logits, targets, mask)
-    kl = normal_kl_loss(q_means, q_logs, p_means, p_logs, mask)
+    kl = normal_kl_loss(q_means, q_logs, p_means, p_logs,
+                        mask if kl_mask == "same" else kl_mask)
     preds = _sample_preds(logits, sample_method, key)
     probs = dscrm_fn({"audio_feats": audio_feats, "feats_lens": feats_lens,
                       "caps": preds, "lens": lens - 1})

@@ -167,14 +167,24 @@ class QuantPannEncoder:
         """f32 shadow pass recording max|activation| at every quantize
         point: the stem output, then each conv's post-relu output *before*
         pooling (pooling now happens in the quantized domain, so the scale
-        must bound the pre-pool values)."""
-        def smax(v):
-            return float(jnp.max(jnp.abs(v))) / 127.0 + 1e-12
+        must bound the pre-pool values).
+
+        Padded frames are masked out of every max: bn0's bias makes padding
+        zeros non-zero activations, and letting them win the max would
+        inflate the scales and waste int8 resolution on values real audio
+        never produces (``lens`` tracks the valid frames through each 2×2
+        pool like the encoder's own length arithmetic)."""
+        cur_lens = jnp.asarray(lens, jnp.int32)
+
+        def smax(v, n_valid):
+            m = (jnp.arange(v.shape[1])[None, :] < n_valid[:, None]
+                 )[:, :, None, None]
+            return float(jnp.max(jnp.where(m, jnp.abs(v), 0.0))) / 127.0 + 1e-12
 
         n_convs = 2 * len(self.blocks)
         scales = []
         x = self._stem(jnp.asarray(feats, jnp.float32))
-        scales.append(smax(x))
+        scales.append(smax(x, cur_lens))
         k = 0
         for blk in self.blocks:
             for j in (1, 2):
@@ -185,9 +195,10 @@ class QuantPannEncoder:
                 s, b = blk[f"bn{j}"]
                 x = jnp.maximum(x * s + b, 0.0)
                 if k < n_convs:  # final conv output is never quantized
-                    scales.append(smax(x))
+                    scales.append(smax(x, cur_lens))
             if blk["pool"]:
                 x = _avgpool_f32(x)
+                cur_lens = jnp.maximum(cur_lens // 2, 1)
         return scales
 
     def _bake_epilogues(self) -> None:

@@ -25,6 +25,7 @@ Falls back to the jnp gather path off-TPU (CPU tests, interpret mode).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,10 @@ def _warp_kernel(bounds_ref, flow_ref, img_ref, out_ref, pad_ref,
     2·max_shift static worst case.  Each iteration reads ``pad[t0 + d + P]``
     via a dynamic slice (a traced shift needs no static roll) and
     accumulates the bilinear-weighted contribution."""
-    P = max(max_shift + 1, chunk)
+    # rounded UP to a multiple of 8: `start` below is promised 8-aligned to
+    # Mosaic (pl.multiple_of), and t0/d_base are multiples of 8 — P must be
+    # too, or the promise is false and the window reads shifted rows
+    P = -(-max(max_shift + 1, chunk) // 8) * 8
     b = pl.program_id(0)
     c = pl.program_id(1)
     flow = flow_ref[0]   # [chunk, F]
@@ -87,23 +91,32 @@ def _warp_kernel(bounds_ref, flow_ref, img_ref, out_ref, pad_ref,
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("max_shift",))
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
 def time_warp_1d(image: jnp.ndarray, flow_t: jnp.ndarray,
-                 max_shift: int = 64) -> jnp.ndarray:
+                 max_shift: int = 64,
+                 interpret: Optional[bool] = None) -> jnp.ndarray:
     """1-D (time-axis) bilinear warp: out[b,t,f] = image[b, t - flow, f].
 
     image, flow_t: [B, T, F].  Displacements are clamped to ±max_shift
     (documented divergence: the reference's unregularized single-point spline
     can ramp linearly toward the clip edges; clamping bounds that artifact).
+
+    interpret=True forces the Pallas kernel through interpret mode off-TPU
+    so CPU tests can pin kernel-vs-fallback parity (default: env
+    ``ACVAE_WARP_INTERPRET=1``).
     """
     B, T, F = image.shape
     flow_t = jnp.clip(flow_t, -max_shift, max_shift)
     # the kernel needs an 8-aligned chunk that divides T exactly (the grid
     # covers T/chunk blocks and the staged window slices are 8-row aligned);
-    # largest such chunk <= 128, else the jnp gather path
+    # largest such chunk <= 128, else the jnp gather path.
+    if interpret is None:
+        import os
+        interpret = os.environ.get("ACVAE_WARP_INTERPRET") == "1"
     chunk_cands = [c for c in range(8, min(128, T) + 1, 8) if T % c == 0]
     if (not chunk_cands
-            or jax.devices()[0].platform not in ("tpu", "axon")):
+            or (not interpret
+                and jax.devices()[0].platform not in ("tpu", "axon"))):
         # jnp fallback: per-row 1-D gather
         t_idx = jnp.arange(T, dtype=image.dtype)[None, :, None]
         q = t_idx - flow_t
@@ -143,7 +156,10 @@ def time_warp_1d(image: jnp.ndarray, flow_t: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, chunk, F), lambda b, c: (b, c, 0),
                                memory_space=pltpu.VMEM),
-        # pad must cover edge-clipped shifts (±chunk) + the 8-row window tail
+        # pad must cover edge-clipped shifts (±chunk) + the 8-row window
+        # tail; P here must match the kernel's 8-rounded P exactly
         scratch_shapes=[pltpu.VMEM(
-            (T + 2 * max(max_shift + 1, chunk) + 16, F), image.dtype)],
+            (T + 2 * (-(-max(max_shift + 1, chunk) // 8) * 8) + 16, F),
+            image.dtype)],
+        interpret=interpret,
     )(bounds, flow_t.astype(image.dtype), image)

@@ -23,7 +23,8 @@ import time
 # bf16 encoder fits 512 in 16G HBM (1024 OOMs); the beam-folded attention
 # freed ~200 MB of replicated memories, so probe 640/768 via the override
 BATCH = int(os.environ.get("ACVAE_BENCH_BATCH", 512))
-TRAIN_BATCH = 128     # fwd+bwd (grads + Adam state) at T_MEL=1024
+TRAIN_BATCH = int(os.environ.get("ACVAE_BENCH_TRAIN_BATCH", 128))
+# fwd+bwd (grads + Adam state) at T_MEL=1024; override to probe HBM headroom
 TORCH_BATCH = 32      # reference-style baseline batch (throughput-normalized)
 T_MEL = 1024          # ~12 s of 64-bin log-mel at Clotho's frame rate
 F_MEL = 64

@@ -64,6 +64,35 @@ class TestSparseImageWarp:
         assert not np.allclose(np.asarray(out), np.asarray(spec))
 
 
+class TestWarpKernelInterpret:
+    """The Pallas time_warp_1d kernel vs the jnp fallback, run in interpret
+    mode on CPU — covers the staging/shift-bound/alignment arithmetic that
+    otherwise only executes on a real chip."""
+
+    def _parity(self, B, T, F, max_shift, seed):
+        from acvae_tpu.ops.pallas.warp_kernel import time_warp_1d
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.normal(size=(B, T, F)) * max_shift / 3).astype(np.float32))
+        ref = time_warp_1d(img, flow, max_shift=max_shift, interpret=False)
+        out = time_warp_1d(img, flow, max_shift=max_shift, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_aligned_case(self):
+        # chunk=128 divides T; P = max(129, 128) -> rounds to 136
+        self._parity(2, 256, 16, max_shift=128, seed=0)
+
+    def test_unaligned_pad_case(self):
+        # T=64 -> chunk=64, P = max(65, 64) = 65: the pre-fix kernel promised
+        # 8-alignment of a start offset that was ≡1 (mod 8)
+        self._parity(2, 64, 16, max_shift=64, seed=1)
+
+    def test_small_shift(self):
+        self._parity(1, 128, 8, max_shift=8, seed=2)
+
+
 class TestSpecAugment:
     def test_freq_mask_fills_mean(self, rng):
         spec = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
