@@ -59,3 +59,56 @@ def test_yaml11_scientific_notation(tmp_path):
     # CLI overrides too
     cfg = load_config(str(p), **{"optimizer_args.lr": "2e-4"})
     assert cfg["optimizer_args"]["lr"] == 2e-4
+
+
+def test_config_nested_attribute_writes_persist():
+    """Config.__getattr__ must return a LIVE view: writes through nested
+    attribute access (the tuning path sweep/NNI-style code uses) must land
+    in the underlying config, not a throwaway copy."""
+    from acvae_tpu.core.config import Config
+    cfg = Config({"model_args": {"beta": 1.0, "inner": {"k": 1}}})
+    cfg.model_args.beta = 0.5
+    assert cfg["model_args"]["beta"] == 0.5
+    cfg.model_args["beta"] = 0.25
+    assert cfg["model_args"]["beta"] == 0.25
+    cfg.model_args.update({"beta": 9})
+    assert cfg["model_args"]["beta"] == 9
+    cfg.model_args.inner.k = 2
+    assert cfg["model_args"]["inner"]["k"] == 2
+
+
+def test_registry_duplicate_alias_registers_nothing():
+    """A duplicate alias must not leave the primary name half-registered."""
+    import pytest
+
+    from acvae_tpu.core.registry import Registry
+    r = Registry("thing")
+    r.register("a")(lambda: "a")
+    with pytest.raises(KeyError):
+        r.register("b", aliases=("a",))(lambda: "b")
+    assert "b" not in r
+    # a corrected re-registration of "b" now succeeds
+    r.register("b")(lambda: "b2")
+    assert r.build("b") == "b2"
+
+
+def test_probe_device_tolerates_rc0_noise(monkeypatch):
+    """An rc-0 probe whose stdout has log noise around (or instead of) the
+    status JSON must honor the ok-contract, never traceback."""
+    import subprocess
+
+    from acvae_tpu.core import devprobe
+
+    def fake_run(stdout):
+        def run(*a, **kw):
+            return subprocess.CompletedProcess(a, 0, stdout=stdout, stderr="")
+        return run
+
+    monkeypatch.setattr(devprobe.subprocess, "run",
+                        fake_run('{"platform": "cpu"}\nplugin shutdown noise\n'))
+    out = devprobe.probe_device(timeout=5)
+    assert out["ok"] and out["device"]["platform"] == "cpu"
+
+    monkeypatch.setattr(devprobe.subprocess, "run", fake_run(""))
+    out = devprobe.probe_device(timeout=5)
+    assert out["ok"] is False and "no parseable status" in out["error"]
