@@ -351,3 +351,89 @@ class TestBeamTopkImpls:
         # test_random_and_tied_inputs)
         np.testing.assert_allclose(outs["flat"]["scores"],
                                    outs["two_stage"]["scores"], rtol=1e-6)
+
+
+class TestBeamFuzz:
+    """Multi-seed/config fuzz of both beam flavors against a generic numpy
+    transcription of the reference loops (word_model.py:209-256 with
+    end handling and row-0 first step; vae_model.py:220-252 without).
+    The single-seed classes above pin the exact reference semantics; this
+    sweep guards the engine's gather/freeze bookkeeping across beam sizes,
+    lengths, and logit tables."""
+
+    @staticmethod
+    def _numpy_beam(wt, tt, it, beam_size, max_len, first_step_row0,
+                    end_handling):
+        out_seqs = np.full((N, beam_size, max_len), END, np.int64)
+        out_scores = np.zeros((N, beam_size))
+        for i in range(N):
+            top_k = np.zeros(beam_size)
+            words = np.full(beam_size, START, np.int64)
+            state = np.zeros(beam_size, np.int64)
+            seqs = None
+            done = 0
+            for t in range(max_len):
+                if end_handling and done >= beam_size:
+                    break
+                if t > 0:
+                    state = state + words
+                logits = (wt[words] + tt[t][None] + it[i][None]
+                          + 0.1 * state[:, None])
+                logprobs = logits - np.log(
+                    np.exp(logits).sum(-1, keepdims=True))
+                total = top_k[:, None] + logprobs
+                if t == 0 and first_step_row0:
+                    flat = total[0]
+                    idx = np.argsort(-flat, kind="stable")[:beam_size]
+                    prev = np.zeros(beam_size, np.int64)
+                    nxt = idx
+                else:
+                    flat = total.reshape(-1)
+                    idx = np.argsort(-flat, kind="stable")[:beam_size]
+                    prev, nxt = idx // V, idx % V
+                top_k = flat[idx]
+                seqs = (nxt[:, None] if t == 0 else
+                        np.concatenate([seqs[prev], nxt[:, None]], 1))
+                state = state[prev]
+                if end_handling:
+                    is_end = nxt == END
+                    done += int(is_end.sum())
+                    top_k = np.where(is_end, top_k - 1000, top_k)
+                words = nxt
+            out_seqs[i, :, :seqs.shape[1]] = seqs
+            out_scores[i] = top_k
+        return out_seqs, out_scores
+
+    @pytest.mark.parametrize("seed,beam_size,max_len,flavor", [
+        (s, b, t, f)
+        for s in (3, 4, 5)
+        for b, t in ((1, 8), (2, 1), (3, 5), (5, 8))
+        for f in ("word_model", "vae")
+    ])
+    def test_fuzz(self, seed, beam_size, max_len, flavor):
+        rng = np.random.default_rng(1000 + seed)
+        wt = rng.normal(size=(V, V)).astype(np.float32) * 2.0
+        tt = rng.normal(size=(max_len, V)).astype(np.float32)
+        it = rng.normal(size=(N, V)).astype(np.float32)
+        inst_rep = np.repeat(it, beam_size, axis=0)
+
+        def engine_step(state, words, t):
+            state = state + jnp.where(t > 0, words, 0)
+            logits = (jnp.asarray(wt)[words] + jnp.asarray(tt)[t][None]
+                      + jnp.asarray(inst_rep) + 0.1 * state[:, None])
+            return logits, state
+
+        first_row0 = flavor == "word_model"
+        end_handling = flavor == "word_model"
+        cfg = BeamConfig(beam_size=beam_size, max_length=max_len,
+                         first_step_row0=first_row0,
+                         end_handling=end_handling)
+        out = batched_beam_search(
+            engine_step, jnp.zeros((N * beam_size,), jnp.int32), N, cfg)
+        ref_seqs, ref_scores = self._numpy_beam(
+            wt, tt, it, beam_size, max_len, first_row0, end_handling)
+        np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_seqs)
+        # f32 accumulation vs float64: with −1000 kills the magnitudes reach
+        # ~3e3, so ~8 f32 additions can drift O(1e-3) absolute
+        np.testing.assert_allclose(np.asarray(out["scores"]), ref_scores,
+                                   rtol=1e-5, atol=1e-2)
