@@ -437,3 +437,120 @@ class TestBeamFuzz:
         # ~3e3, so ~8 f32 additions can drift O(1e-3) absolute
         np.testing.assert_allclose(np.asarray(out["scores"]), ref_scores,
                                    rtol=1e-5, atol=1e-2)
+
+
+class TestDBSFuzz:
+    """Multi-seed/config fuzz of the DBS engine against a numpy transcription
+    of word_model.py:297-394 — with a *state-carrying* step fn, so the
+    engine's per-group beam-parent state gather (dbs.py:111) gets numpy
+    parity coverage the single-seed TestDBSParity (stateless step) lacks."""
+
+    @staticmethod
+    def _numpy_dbs(wt, tt, it, beam_size, group_size, max_len, lam, temp,
+                   group_nbest):
+        bdash = beam_size // group_size
+        out = beam_size if group_nbest else group_size
+        ref_seqs = np.full((N, out, max_len), END, np.int64)
+        ref_scores = np.zeros((N, out))
+
+        def logsoftmax(x):
+            return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+        for i in range(N):
+            seq_table = [np.zeros((bdash, 0), np.int64)
+                         for _ in range(group_size)]
+            logprob_table = [np.zeros(bdash) for _ in range(group_size)]
+            done_table = [[] for _ in range(group_size)]
+            words_g = [np.full(bdash, START, np.int64)
+                       for _ in range(group_size)]
+            state_g = [np.zeros(bdash, np.int64) for _ in range(group_size)]
+            for t in range(max_len + group_size - 1):
+                for g in range(group_size):
+                    if not (g <= t <= max_len + g - 1):
+                        continue
+                    lt = t - g
+                    if lt > 0:
+                        state_g[g] = state_g[g] + words_g[g]
+                    logits = (wt[words_g[g]] + tt[t][None] + it[i][None]
+                              + 0.05 * g + 0.1 * state_g[g][:, None])
+                    lp = logsoftmax(logsoftmax(logits) / temp)
+                    if g > 0:
+                        change = np.zeros(V)
+                        for prev_g in range(g):
+                            for b in range(bdash):
+                                change[seq_table[prev_g][b, lt]] += 1
+                        lp = lp - lam * change[None, :]
+                    total = logprob_table[g][:, None] + lp
+                    if lt == 0:
+                        flat = total[0]
+                        idx = np.argsort(-flat, kind="stable")[:bdash]
+                        prev = np.zeros(bdash, np.int64)
+                        nxt = idx
+                    else:
+                        flat = total.reshape(-1)
+                        idx = np.argsort(-flat, kind="stable")[:bdash]
+                        prev, nxt = idx // V, idx % V
+                    logprob_table[g] = flat[idx]
+                    if lt > 0:
+                        seq_table[g] = seq_table[g][prev]
+                    seq_table[g] = np.concatenate(
+                        [seq_table[g], nxt[:, None]], 1)
+                    state_g[g] = state_g[g][prev]
+                    is_end = seq_table[g][:, lt] == END
+                    if t == max_len + g - 1:
+                        is_end = np.ones_like(is_end)
+                    for b in range(bdash):
+                        if is_end[b]:
+                            done_table[g].append(
+                                (seq_table[g][b].copy(),
+                                 logprob_table[g][b] / (lt + 1)))
+                    logprob_table[g] = np.where(
+                        is_end, logprob_table[g] - 1000, logprob_table[g])
+                    words_g[g] = nxt
+            row = 0
+            top = bdash if group_nbest else 1
+            for g in range(group_size):
+                best = sorted(done_table[g], key=lambda x: -x[1])[:top]
+                for seq, score in best:
+                    ref_seqs[i, row, :len(seq)] = seq
+                    ref_scores[i, row] = score
+                    row += 1
+        return ref_seqs, ref_scores
+
+    @pytest.mark.parametrize("seed,beam_size,group_size,max_len,nbest", [
+        (s, b, g, t, nb)
+        for s in (6, 7)
+        for b, g, t in ((2, 2, 5), (4, 2, 8), (6, 3, 5), (4, 4, 1))
+        for nb in (True, False)
+    ])
+    def test_fuzz(self, seed, beam_size, group_size, max_len, nbest):
+        rng = np.random.default_rng(2000 + seed)
+        lam = float(rng.uniform(0.2, 1.0))
+        temp = float(rng.uniform(0.8, 1.5))
+        wt = rng.normal(size=(V, V)).astype(np.float32) * 2.0
+        tt = rng.normal(size=(max_len + group_size, V)).astype(np.float32)
+        it = rng.normal(size=(N, V)).astype(np.float32)
+        bdash = beam_size // group_size
+        inst_rep = np.repeat(it, bdash, axis=0)
+
+        def make_step_fn(g):
+            def fn(state, words, t):
+                # cumulative input-word state (lt > 0), like the beam fuzz —
+                # the engine must gather it along beam parents per group
+                state = state + jnp.where(t - g > 0, words, 0)
+                logits = (jnp.asarray(wt)[words] + jnp.asarray(tt)[t][None]
+                          + jnp.asarray(inst_rep) + 0.05 * g
+                          + 0.1 * state[:, None])
+                return logits, state
+            return fn
+
+        cfg = DBSConfig(beam_size=beam_size, group_size=group_size,
+                        max_length=max_len, diversity_lambda=lam,
+                        temperature=temp, group_nbest=nbest)
+        out = diverse_beam_search(
+            make_step_fn, lambda: jnp.zeros((N * bdash,), jnp.int32), N, cfg)
+        ref_seqs, ref_scores = self._numpy_dbs(
+            wt, tt, it, beam_size, group_size, max_len, lam, temp, nbest)
+        np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_seqs)
+        np.testing.assert_allclose(np.asarray(out["scores"]), ref_scores,
+                                   rtol=1e-4, atol=1e-2)
