@@ -1758,6 +1758,45 @@ class Runner:
         return output_csv
 
     # ------------------------------------------------------------------ #
+    def make_synthetic(self, output_dir: str, num_audios: int = 3000,
+                       captions_per_audio: int = 5, mel_frames: int = 1024,
+                       rich: bool = False, seed: int = 0):
+        """Materialize the synthetic Clotho-style corpus to disk
+        (mels.h5 + mels.csv + text.json + vocab.pkl — the exact inputs
+        `train`/`evaluate` consume).
+
+        The reference has no test-data story (SURVEY §4); RESULTS.md's
+        reference-scale runs use this corpus.  ``--rich`` selects the
+        realistic-language generator (~200-word vocabulary, synonym/
+        template variation across a clip's captions) whose consensus-limited
+        CIDEr regime matches real captioning data; the default is the small
+        39-word grammar every RESULTS.md round-1/2 number was measured on."""
+        import h5py
+        import pandas as pd
+        from acvae_tpu.data.synthetic import (make_synthetic_clotho,
+                                              make_synthetic_clotho_rich)
+
+        gen = make_synthetic_clotho_rich if rich else make_synthetic_clotho
+        feats, info, vocab = gen(num_audios=num_audios,
+                                 captions_per_audio=captions_per_audio,
+                                 mel_frames=mel_frames, seed=seed)
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        h5path = str(out / "mels.h5")
+        with h5py.File(h5path, "w") as f:
+            for aid, mel in feats.items():
+                f[aid] = mel
+        pd.DataFrame({"audio_id": list(feats), "hdf5_path": h5path}).to_csv(
+            out / "mels.csv", sep="\t", index=False)
+        with open(out / "text.json", "w") as f:
+            json.dump({"audios": info}, f)
+        vocab.save(str(out / "vocab.pkl"))
+        print(f"wrote {len(feats)} clips / "
+              f"{sum(len(a['captions']) for a in info)} captions / "
+              f"vocab {len(vocab)} to {out}")
+        return str(out)
+
+    # ------------------------------------------------------------------ #
     def human_eval(self, caption_file: str, output: Optional[str] = None,
                    zh: bool = False):
         """Leave-one-out accuracy + diversity ceilings of the reference

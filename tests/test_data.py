@@ -266,3 +266,45 @@ def test_batch_carries_instance_metadata(tmp_path):
     assert sorted(set(batch.cap_indices.tolist())) == [0, 1, 2, 3, 4]
     assert all(t.endswith("_aug") == (i == 1)
                for t, i in zip(batch.cap_ids, batch.cap_indices))
+
+
+class TestRichSynthetic:
+    """make_synthetic_clotho_rich: realistic language statistics while
+    staying audio-derivable (VERDICT r1 weak #7 — the small grammar's exact
+    caption consensus inflates CIDEr far above the real-data regime)."""
+
+    def test_structure_and_determinism(self):
+        from acvae_tpu.data.synthetic import make_synthetic_clotho_rich
+
+        feats, info, vocab = make_synthetic_clotho_rich(num_audios=8,
+                                                        mel_frames=128,
+                                                        seed=3)
+        assert len(feats) == 8 and len(info) == 8
+        for a in info:
+            assert len(a["captions"]) == 5
+            assert a["audio_id"] in feats
+            mel = feats[a["audio_id"]]
+            assert mel.ndim == 2 and mel.shape[1] == 64
+        # same seed -> bit-identical corpus
+        feats2, info2, _ = make_synthetic_clotho_rich(num_audios=8,
+                                                      mel_frames=128, seed=3)
+        for k in feats:
+            np.testing.assert_array_equal(feats[k], feats2[k])
+        assert info == info2
+
+    def test_vocab_and_caption_variation(self):
+        from acvae_tpu.data.synthetic import (make_synthetic_clotho,
+                                              make_synthetic_clotho_rich)
+
+        _, info, vocab = make_synthetic_clotho_rich(num_audios=60,
+                                                    mel_frames=64, seed=0)
+        _, _, small_vocab = make_synthetic_clotho(num_audios=60,
+                                                  mel_frames=64, seed=0)
+        # realistic-regime vocabulary: an order of magnitude past the small
+        # grammar (which tops out around 39 words)
+        assert len(vocab) > 150 > len(small_vocab)
+        # synonym/template variation: a clip's five captions are not all
+        # identical for the vast majority of clips
+        varied = sum(len({c["caption"] for c in a["captions"]}) > 1
+                     for a in info)
+        assert varied >= 0.9 * len(info)

@@ -348,3 +348,24 @@ class TestMethodAlias:
         assert _method_alias("dbs", "dbs") == "dbs"
         with _pytest.raises(ValueError):
             _method_alias("greedy", "beam")
+
+
+class TestMakeSynthetic:
+    def test_writes_trainable_artifacts(self, tmp_path):
+        """cli make_synthetic materializes the exact train/evaluate inputs
+        (mels.h5 + mels.csv + text.json + vocab.pkl) reproducibly."""
+        import h5py
+        from acvae_tpu.data.vocab import Vocabulary, load_caption_info
+
+        out = Runner().make_synthetic(str(tmp_path / "corpus"), num_audios=4,
+                                      mel_frames=64, rich=True, seed=7)
+        info = load_caption_info(os.path.join(out, "text.json"))
+        vocab = Vocabulary.load(os.path.join(out, "vocab.pkl"))
+        assert len(info) == 4 and len(vocab) > 20
+        with h5py.File(os.path.join(out, "mels.h5")) as f:
+            assert len(f) == 4
+            feats = {k: f[k][()] for k in f}
+        ds = CaptionDataset(features=feats, caption_info=info,
+                            vocabulary=vocab)
+        batch = next(iter(CaptionLoader(ds, batch_size=8)))
+        assert batch.feats.shape[0] == 8 and batch.caps.shape[0] == 8
