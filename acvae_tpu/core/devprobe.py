@@ -65,3 +65,33 @@ def probe_device(timeout: float = 120.0) -> Dict[str, Any]:
     return {"ok": False,
             "error": "probe exited 0 but printed no parseable status; "
                      f"stdout tail: {r.stdout[-200:]!r}"}
+
+
+def wait_for_device(deadline_s: float, label: str = "device") -> bool:
+    """Probe-with-retry until the device answers or ``deadline_s`` passes.
+
+    Shared shield for anything whose FIRST dispatch would otherwise hang
+    unboundedly on a wedged tunnel (``bench.py``, the driver's
+    ``__graft_entry__.entry()`` compile check).  Returns True when the
+    device answered, False when the deadline passed (callers proceed anyway
+    and let their own/outer timeout decide, having logged the wedge).
+    On a healthy device the first probe returns in seconds."""
+    import time
+
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        if probe_device(timeout=120)["ok"]:
+            if attempt > 1:
+                print(f"# {label} recovered after {time.time() - t0:.0f}s "
+                      f"({attempt} probes)", file=sys.stderr)
+            return True
+        waited = time.time() - t0
+        if waited >= deadline_s:
+            print(f"# WARNING: {label} probe failed for {waited:.0f}s "
+                  f"(tunnel wedged?) — proceeding anyway", file=sys.stderr)
+            return False
+        print(f"# {label} probe {attempt} failed ({waited:.0f}s elapsed); "
+              f"retrying", file=sys.stderr)
+        time.sleep(min(60, max(5, deadline_s - waited)))

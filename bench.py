@@ -48,27 +48,11 @@ def _wait_for_device(deadline_s: float = None) -> None:
     first probe returns in seconds.  If the deadline passes we proceed anyway
     (the driver's own timeout then decides), having logged the wedge.
     """
-    from acvae_tpu.core.devprobe import probe_device
+    from acvae_tpu.core.devprobe import wait_for_device
 
     if deadline_s is None:
         deadline_s = float(os.environ.get("ACVAE_BENCH_PROBE_DEADLINE", 1800))
-    t0 = time.time()
-    attempt = 0
-    while True:
-        attempt += 1
-        if probe_device(timeout=120)["ok"]:
-            if attempt > 1:
-                print(f"# device recovered after {time.time() - t0:.0f}s "
-                      f"({attempt} probes)", file=sys.stderr)
-            return
-        waited = time.time() - t0
-        if waited >= deadline_s:
-            print(f"# WARNING: device probe failed for {waited:.0f}s "
-                  f"(tunnel wedged?) — proceeding anyway", file=sys.stderr)
-            return
-        print(f"# device probe {attempt} failed ({waited:.0f}s elapsed); "
-              f"retrying", file=sys.stderr)
-        time.sleep(min(60, max(5, deadline_s - waited)))
+    wait_for_device(deadline_s, label="device")
 
 
 def bench_jax() -> dict:
