@@ -301,6 +301,79 @@ class TestDBSParity:
         np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_out)
 
 
+class TestEnsembleBeamFuzz:
+    """Multi-seed/member-count sweep of ensemble_beam vs the numpy
+    transcription (base_runner.py:640-693): prob-averaging across members,
+    row-0 first step, no end handling, per-member state gathered along the
+    shared beam parents."""
+
+    @pytest.mark.parametrize("seed,n_members,beam_size,max_len", [
+        (9, 2, 2, 6), (9, 3, 3, 8), (10, 2, 4, 5), (10, 4, 2, 8),
+        (11, 3, 5, 4),
+    ])
+    def test_fuzz(self, seed, n_members, beam_size, max_len):
+        from acvae_tpu.decoding.ensemble import ensemble_beam
+
+        rng = np.random.default_rng(3000 + seed)
+        tables = [(rng.normal(size=(V, V)).astype(np.float32) * 2.0,
+                   rng.normal(size=(max_len, V)).astype(np.float32),
+                   rng.normal(size=(N, V)).astype(np.float32))
+                  for _ in range(n_members)]
+        inst_reps = [np.repeat(it, beam_size, axis=0) for _, _, it in tables]
+
+        def make_fn(m):
+            wt, tt, _ = tables[m]
+            rep = inst_reps[m]
+
+            def fn(state, words, t):
+                state = state + jnp.where(t > 0, words, 0)
+                logits = (jnp.asarray(wt)[words] + jnp.asarray(tt)[t][None]
+                          + jnp.asarray(rep) + 0.1 * state[:, None])
+                return logits, state
+            return fn
+
+        cfg = BeamConfig(beam_size=beam_size, max_length=max_len,
+                         first_step_row0=True, end_handling=False)
+        out = ensemble_beam(
+            [make_fn(m) for m in range(n_members)],
+            [jnp.zeros((N * beam_size,), jnp.int32)] * n_members, N, cfg)
+
+        ref_seqs = np.full((N, beam_size, max_len), END, np.int64)
+        for i in range(N):
+            top_k = np.zeros(beam_size)
+            words = np.full(beam_size, START, np.int64)
+            states = [np.zeros(beam_size, np.int64) for _ in tables]
+            seqs = None
+            for t in range(max_len):
+                probs = []
+                for m, (wt, tt, it) in enumerate(tables):
+                    if t > 0:
+                        states[m] = states[m] + words
+                    logits = (wt[words] + tt[t][None] + it[i][None]
+                              + 0.1 * states[m][:, None])
+                    e = np.exp(logits - logits.max(-1, keepdims=True))
+                    probs.append(e / e.sum(-1, keepdims=True))
+                logprobs = np.log(np.mean(probs, axis=0) + 1e-12)
+                total = top_k[:, None] + logprobs
+                if t == 0:
+                    flat = total[0]
+                    idx = np.argsort(-flat, kind="stable")[:beam_size]
+                    prev = np.zeros(beam_size, np.int64)
+                    nxt = idx
+                else:
+                    flat = total.reshape(-1)
+                    idx = np.argsort(-flat, kind="stable")[:beam_size]
+                    prev, nxt = idx // V, idx % V
+                top_k = flat[idx]
+                seqs = (nxt[:, None] if t == 0 else
+                        np.concatenate([seqs[prev], nxt[:, None]], 1))
+                for m in range(len(tables)):
+                    states[m] = states[m][prev]
+                words = nxt
+            ref_seqs[i] = seqs
+        np.testing.assert_array_equal(np.asarray(out["seqs"]), ref_seqs)
+
+
 class TestBeamTopkImpls:
     """beam_topk's two implementations must agree exactly — selection AND
     order, including ties (equal scores resolve by ascending flat index in
