@@ -10,12 +10,14 @@ CORPUS=/tmp/rich3000
 mkdir -p $OUT
 cd "$(dirname "$0")/.."
 
-run() {  # run <name> <timeout_s> <cmd...>
+run() {  # run <name> <timeout_s> <cmd...>  (returns the command's rc)
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ==="
   timeout "$t" "$@" > "$OUT/$name.log" 2>&1
-  echo "rc=$? -> $OUT/$name.log"
+  local rc=$?
+  echo "rc=$rc -> $OUT/$name.log"
   tail -5 "$OUT/$name.log"
+  return $rc
 }
 
 # corpus + human ceilings are host-side (CPU-forced through the CLI)
@@ -26,13 +28,20 @@ fi
 run human 3600 env JAX_PLATFORMS=cpu python -m acvae_tpu.cli human_eval \
     $CORPUS/text.json --output=$OUT/human.txt
 
-run doctor 300 python -m acvae_tpu.cli doctor
+# gate the TPU-dependent stages on a live device (doctor exits nonzero on a
+# wedged tunnel — burning the train/eval timeouts against it is ~4 h of
+# nothing)
+if ! run doctor 300 python -m acvae_tpu.cli doctor; then
+  echo "doctor says the device is dead — skipping TPU stages"
+  exit 1
+fi
 
-# flagship recipe, rich corpus, 10 epochs (beam-3 CIDEr validation per epoch)
+# flagship recipe (full 25 epochs — the rich corpus converges slower than
+# the small grammar; beam-3 CIDEr validation per epoch)
 run train 7200 python -m acvae_tpu.cli train configs/ac_vae.yaml \
     --h5_csv=$CORPUS/mels.csv --caption_file=$CORPUS/text.json \
     --vocab_file=$CORPUS/vocab.pkl --outputpath=/tmp/rich_exp \
-    --remark=rich --epochs=10
+    --remark=rich
 
 EXP=$(ls -d /tmp/rich_exp/Hybrid_VAEModel/rich_*/seed_1 2>/dev/null | head -1)
 if [ -n "${EXP:-}" ]; then
@@ -41,7 +50,8 @@ if [ -n "${EXP:-}" ]; then
   run eval_dbs 3600 python -m acvae_tpu.cli evaluate "$EXP" \
       $CORPUS/mels.csv $CORPUS/text.json --decode_method=dbs --beam_size=8 \
       --group_size=4 --group_nbest=true
+  # evaluate writes eval_output_{method}_{beam}.json (cli/main.py:868)
   run div_dbs 1800 env JAX_PLATFORMS=cpu python -m acvae_tpu.cli diversity \
-      "$EXP/eval_output.json" --train_corpus=$CORPUS/text.json
+      "$EXP/eval_output_dbs_8.json" --train_corpus=$CORPUS/text.json
 fi
 echo "rich campaign done: $(ls $OUT)"
