@@ -54,4 +54,7 @@ if [ -n "${EXP:-}" ]; then
   run div_dbs 1800 env JAX_PLATFORMS=cpu python -m acvae_tpu.cli diversity \
       "$EXP/eval_output_dbs_8.json" --train_corpus=$CORPUS/text.json
 fi
+# fresh-session throughput re-confirmation while the tunnel is green
+run bench 3600 python bench.py
+
 echo "rich campaign done: $(ls $OUT)"
