@@ -747,9 +747,13 @@ class Runner:
                  num_candidates: int = 1, max_length: Optional[int] = None,
                  checkpoint: str = "best", seed: int = 1,
                  encoder_int8: bool = False, distributed: bool = False,
-                 decode_dtype: Optional[str] = None,
+                 decode_dtype: Optional[str] = None, tag: str = "",
                  **decode_kwargs):
         """Decode + score a test set (base_runner.py:199-333).
+
+        tag=NAME appends ``_NAME`` to the eval_output/scores filenames so
+        evaluating the same experiment on a second dataset (e.g. a held-out
+        test corpus) does not overwrite the first run's artifacts.
 
         num_candidates > 1 replicates each clip and decodes independently
         (fresh prior z per replica) — the reference's multi-candidate trick
@@ -865,6 +869,8 @@ class Runner:
         if decode_dtype and decode_dtype != "float32":
             # keep the f32 outputs around — the A/B the flag exists for
             suffix += f"_{decode_dtype}"
+        if tag:
+            suffix += f"_{tag}"
         out_json = exp / (f"eval_output_{decode_method}_{beam_size}{suffix}.json")
         with open(out_json, "w") as f:
             json.dump({"predictions": predictions}, f, indent=1)
@@ -1636,7 +1642,13 @@ class Runner:
                 f"{name}: {arr.mean():.3f} ± {arr.std():.3f} (n={len(arr)})")
         text = "\n".join(out_lines)
         print(text)
-        with open(root / "aggregated_scores.txt", "w") as f:
+        # name the output after the input so aggregations over different
+        # score files (e.g. scores_beam_3_test.txt) don't overwrite each
+        # other; the default input keeps the aggregated_scores.txt name
+        out_name = ("aggregated_scores.txt"
+                    if score_file == "scores_beam_3.txt" else
+                    f"aggregated_{score_file}")
+        with open(root / out_name, "w") as f:
             f.write(text + "\n")
         return dict(values)
 
@@ -2097,11 +2109,8 @@ def main(argv: Optional[List[str]] = None) -> Any:
     # honor JAX_PLATFORMS for CLI runs: the axon TPU plugin ignores the env
     # var itself, but the config route (applied before first backend use)
     # works — `JAX_PLATFORMS=cpu python -m acvae_tpu.cli ...` forces CPU
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception as e:  # backend already initialized (library use)
-            print(f"[cli] JAX_PLATFORMS ignored: {e}", file=sys.stderr)
+    from acvae_tpu.core.devprobe import apply_jax_platforms_env
+    apply_jax_platforms_env(label="cli")
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print(__doc__)

@@ -36,12 +36,45 @@ _PROBE = (
     " 'dispatch_ms_p50': round(sorted(ts)[2] * 1000, 2)}))\n")
 
 
-def probe_device(timeout: float = 120.0) -> Dict[str, Any]:
+def apply_jax_platforms_env(label: str = "devprobe") -> bool:
+    """Apply the ``JAX_PLATFORMS`` env var via the config route (the axon
+    TPU plugin ignores the raw env var).  The single implementation for
+    every consumer (``cli.main``, ``__graft_entry__``; the probe snippet
+    inlines the same two lines as a string).  Returns True when the config
+    now reflects the env var, False when it could not be applied (backend
+    already initialized — the caller must gate on the *actual* backend,
+    ``jax.default_backend()``, which is safe to query once initialized)."""
+    import os
+
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return True
+    try:
+        jax.config.update("jax_platforms", want)
+        return True
+    except Exception as e:  # backend already initialized (library use)
+        print(f"[{label}] JAX_PLATFORMS ignored: {e}", file=sys.stderr)
+        return False
+
+
+def probe_device(timeout: float = 120.0,
+                 ignore_platform_env: bool = False) -> Dict[str, Any]:
     """One bounded probe.  Returns ``{"ok": True, "device": {...}}`` on a
     healthy device, ``{"ok": False, "error": ...}`` on failure or timeout —
-    never hangs longer than ``timeout`` seconds."""
+    never hangs longer than ``timeout`` seconds.
+
+    ``ignore_platform_env`` drops ``JAX_PLATFORMS`` from the subprocess env
+    so the probe tests the *default* platform — for callers whose own
+    backend was initialized before the env var could be applied (the probe
+    must agree with what the caller's dispatches actually hit)."""
+    env = None
+    if ignore_platform_env:
+        import os
+        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     try:
-        r = subprocess.run([sys.executable, "-c", _PROBE],
+        r = subprocess.run([sys.executable, "-c", _PROBE], env=env,
                            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
         return {"ok": False,
@@ -67,7 +100,8 @@ def probe_device(timeout: float = 120.0) -> Dict[str, Any]:
                      f"stdout tail: {r.stdout[-200:]!r}"}
 
 
-def wait_for_device(deadline_s: float, label: str = "device") -> bool:
+def wait_for_device(deadline_s: float, label: str = "device",
+                    ignore_platform_env: bool = False) -> bool:
     """Probe-with-retry until the device answers or ``deadline_s`` passes.
 
     Shared shield for anything whose FIRST dispatch would otherwise hang
@@ -82,7 +116,8 @@ def wait_for_device(deadline_s: float, label: str = "device") -> bool:
     attempt = 0
     while True:
         attempt += 1
-        if probe_device(timeout=120)["ok"]:
+        if probe_device(timeout=120,
+                        ignore_platform_env=ignore_platform_env)["ok"]:
             if attempt > 1:
                 print(f"# {label} recovered after {time.time() - t0:.0f}s "
                       f"({attempt} probes)", file=sys.stderr)

@@ -152,6 +152,20 @@ class TestAuxCommands:
                 f.write("CIDEr: 0.500\nBleu_4: 0.100\n")
         out = Runner().report_results(str(root))
         assert "CIDEr" in out
+        assert (root / "aggregated_scores.txt").exists()
+
+    def test_report_results_tagged_score_file(self, workspace):
+        """A non-default score_file (e.g. the held-out --tag=test eval)
+        aggregates into its own file instead of overwriting the default
+        aggregation."""
+        root = workspace / "experiments" / "VAEModel" / "tpu_0.5"
+        for seed_dir in root.glob("seed_*"):
+            with open(seed_dir / "scores_beam_3_test.txt", "w") as f:
+                f.write("CIDEr: 0.250\n")
+        out = Runner().report_results(
+            str(root), score_file="scores_beam_3_test.txt")
+        assert "CIDEr" in out
+        assert (root / "aggregated_scores_beam_3_test.txt").exists()
 
 
 class TestDiscriminatorCLI:

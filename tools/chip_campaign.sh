@@ -9,16 +9,9 @@ set -u
 OUT=/tmp/campaign
 mkdir -p $OUT
 cd "$(dirname "$0")/.."
+source tools/campaign_lib.sh
 
-run() {  # run <name> <timeout_s> <cmd...>
-  local name=$1 t=$2; shift 2
-  echo "=== $name ($(date -u +%H:%M:%S)) ==="
-  timeout "$t" "$@" > "$OUT/$name.log" 2>&1
-  echo "rc=$? -> $OUT/$name.log"
-  tail -5 "$OUT/$name.log"
-}
-
-run doctor       300  python -m acvae_tpu.cli doctor
+require_doctor
 run bench        3600 python bench.py
 run bench_640    3600 env ACVAE_BENCH_BATCH=640 ACVAE_BENCH_INT8=0 python bench.py
 run bench_fused  3600 env ACVAE_FUSED_ATTN=1 ACVAE_BENCH_INT8=0 python bench.py
