@@ -306,7 +306,7 @@ class Runner:
         model = build_model(conf, len(vocabulary), train_ds.data_dim)
         state, _ = self._init_state(conf, model, train_loader, total_iters)
         state = self._apply_pretrained(conf, state, logger)
-        mesh = None
+        mesh, seq_axis = None, None
         if conf.get("distributed"):
             # reference key (pytorch_runner_vae.py:155-161: NCCL DDP);
             # here: 1-D data mesh over all visible devices, params
@@ -343,6 +343,22 @@ class Runner:
                 state = shard_by_vocab(state, mesh, len(vocabulary))
                 logger.info(f"data-parallel mesh: {dict(mesh.shape)} "
                             f"(vocab-dim params split over 'model')")
+                if conf.get("sequence_parallel"):
+                    # mel time additionally sharded over `model`: XLA
+                    # spatially partitions the encoder convs (halo
+                    # exchanges), splitting long-clip activation memory
+                    # across chips.  Buckets are multiples of 32, so any
+                    # practical mp divides them; guard anyway.
+                    from acvae_tpu.data.dataset import DEFAULT_BUCKETS
+                    buckets = conf.get("mel_buckets", DEFAULT_BUCKETS)
+                    if all(b % mp == 0 for b in buckets):
+                        seq_axis = "model"
+                        logger.info("sequence parallelism: mel time "
+                                    "sharded over 'model'")
+                    else:
+                        logger.warning(
+                            f"sequence_parallel: a mel bucket is not "
+                            f"divisible by model_parallel={mp}; disabled")
             else:
                 mesh = make_mesh()
                 state = replicate(state, mesh)
@@ -509,7 +525,8 @@ class Runner:
                     # batch is the concatenation over processes
                     arrays = shard_batch(
                         pad_to_multiple(arrays,
-                                        mesh.local_mesh.shape["data"]), mesh)
+                                        mesh.local_mesh.shape["data"]), mesh,
+                        seq_axis=seq_axis)
                 step_call = train_step
                 if mesh is not None and jax.process_count() > 1:
                     # AOT-compile each new shape signature, then re-align

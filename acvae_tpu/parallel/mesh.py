@@ -11,9 +11,13 @@ Beyond the reference: ``model_parallel: M`` (config) builds a 2-D
 ``(data, model)`` mesh and splits the vocab-sized parameters — embedding
 tables ``[V, E]`` and the classifier head ``[E, V]``, the dominant weights
 once vocabularies grow — over the ``model`` axis (:func:`shard_by_vocab`).
-No model-code changes: the SPMD partitioner propagates the annotations and
-inserts the collectives (column-parallel classifier matmul, psum'd
-log-softmax, all-gathered embedding lookups).
+``sequence_parallel: true`` additionally shards mel time over the same
+axis on ingest (:func:`shard_batch` ``seq_axis``), spatially partitioning
+the encoder convs so long-clip activations split across chips.  No
+model-code changes for either: the SPMD partitioner propagates the
+annotations and inserts the collectives (column-parallel classifier
+matmul, psum'd log-softmax, all-gathered embedding lookups, conv halo
+exchanges).
 
 Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
 ``CaptionLoader(host_id=jax.process_index(), host_count=jax.process_count())``
@@ -22,7 +26,7 @@ shards the input pipeline per host (the reference's unfinished
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
@@ -114,8 +118,20 @@ def shard_by_vocab(tree: Any, mesh: Mesh, vocab_size: int):
     return jax.tree.map(place, tree)
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data",
+                seq_axis: Optional[str] = None,
+                seq_fields: Sequence[str] = ("feats",)):
     """Place each array with its leading (batch) dim sharded over `axis`.
+
+    ``seq_axis`` additionally shards dim 1 (mel time) of the ``seq_fields``
+    arrays over that mesh axis — **sequence parallelism** for the encoder:
+    XLA's SPMD partitioner spatially partitions the conv stack over the
+    time-sharded input (inserting the exact halo exchanges) and each chip
+    holds/computes only its slice of the long-clip activations, the
+    dominant memory at Clotho lengths (T up to 3072).  The math is
+    unchanged — the same config key reuses the 2-D mesh's ``model`` axis,
+    composing with vocab tensor-parallelism.  Time must divide the axis
+    extent (mel buckets are multiples of 32 — ``DEFAULT_BUCKETS``).
 
     Single-process: a plain ``device_put`` scatters the host array over the
     local devices.  Multi-process: each host holds only *its* rows of the
@@ -127,10 +143,23 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
     *data-axis* extent — ``pad_to_multiple(batch,
     mesh.local_mesh.shape["data"])`` — which is the local device count only
     on a 1-D mesh (batches replicate over any ``model`` axis)."""
-    sharding = NamedSharding(mesh, P(axis))
+    def spec_for(k, v):
+        if (seq_axis is not None and k in seq_fields
+                and getattr(v, "ndim", 0) >= 2):
+            ext = mesh.shape[seq_axis]
+            if v.shape[1] % ext:
+                raise ValueError(
+                    f"sequence-parallel dim {k}.shape[1]={v.shape[1]} does "
+                    f"not divide the '{seq_axis}' axis ({ext}); mel buckets "
+                    f"must be multiples of it")
+            return P(axis, seq_axis)
+        return P(axis)
+
     if jax.process_count() == 1:
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
-    return {k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        return {k: jax.device_put(v, NamedSharding(mesh, spec_for(k, v)))
+                for k, v in batch.items()}
+    return {k: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec_for(k, v)), np.asarray(v))
             for k, v in batch.items()}
 
 

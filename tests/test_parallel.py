@@ -201,6 +201,72 @@ class TestTensorParallel:
                                        rtol=5e-3, atol=5e-4)
 
 
+    def test_sp_train_step_matches_single_device(self):
+        """Sequence parallelism: feats time-sharded over the 2-D mesh's
+        `model` axis (`shard_batch(..., seq_axis="model")`) on top of
+        vocab-TP params — XLA spatially partitions the encoder convs with
+        exact halo exchanges, so loss and updated params must match the
+        unsharded step (reduction order only)."""
+        from acvae_tpu.models.build import build_model
+        from acvae_tpu.parallel.mesh import make_mesh_2d, shard_by_vocab
+        from acvae_tpu.train.trainer import (TrainState, build_optimizer,
+                                             make_train_step)
+
+        E, V = 16, 34
+        cfg = {"model": "VAEModel", "encodermodel": "Cnn10",
+               "encoder_args": {"embed_size": E, "channels": (4, 8, 8, E)},
+               "decoder": "VAERNNBahdanauAttnDecoder",
+               "decoder_args": {"embed_size": E, "hidden_size": E},
+               "model_args": {"posterior_model": "PosteriorRNN",
+                              "posterior_args": {"hidden_size": E},
+                              "prior_model": "PriorRNN",
+                              "prior_args": {"hidden_size": E}}}
+        model = build_model(cfg, V, 64)
+        rng = np.random.default_rng(1)
+        N, T = 16, 64
+        batch = {
+            "feats": rng.normal(size=(N, T, 64)).astype(np.float32),
+            "feat_lens": rng.integers(T // 2, T + 1, size=N).astype(np.int32),
+            "caps": rng.integers(4, V, size=(N, 10)).astype(np.int32),
+            "cap_lens": np.full((N,), 10, np.int32),
+        }
+        variables = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            jnp.asarray(batch["feats"]), jnp.asarray(batch["feat_lens"]),
+            jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_lens"]),
+            train=False)
+        tx = build_optimizer("Adam", 1e-3, max_grad_norm=1.0)
+        step = make_train_step(model, donate=False)
+
+        state1 = TrainState.create(variables, tx)
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+        s1, m1 = step(state1, arrays, jax.random.key(3), 1.0, 0.0, 0.5, 0.0)
+
+        mesh = make_mesh_2d(2, 8)
+        state_sp = shard_by_vocab(TrainState.create(variables, tx), mesh, V)
+        sharded = shard_batch(batch, mesh, seq_axis="model")
+        assert sharded["feats"].sharding.spec == P("data", "model")
+        assert sharded["caps"].sharding.spec == P("data")
+        s_sp, m_sp = step(state_sp, sharded, jax.random.key(3),
+                          1.0, 0.0, 0.5, 0.0)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m_sp["loss"]),
+                                   rtol=2e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)
+        lsp = jax.tree_util.tree_leaves(s_sp.params)
+        for a, b in zip(l1, lsp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-4)
+
+    def test_sp_rejects_indivisible_time(self):
+        from acvae_tpu.parallel.mesh import make_mesh_2d
+
+        mesh = make_mesh_2d(2, 8)
+        batch = {"feats": np.zeros((8, 33, 4), np.float32)}
+        with pytest.raises(ValueError, match="sequence-parallel"):
+            shard_batch(batch, mesh, seq_axis="model")
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
@@ -271,6 +337,15 @@ class TestDistributedCLI:
         assert np.isfinite(rec3["train_loss"])
         log3 = open(f"{exp3}/train_caption.log").read()
         assert "'data': 4" in log3 and "'model': 2" in log3
+        # + sequence parallelism: mel time sharded over `model` too
+        exp4 = Runner().train(str(tmp_path / "c.yaml"), model_parallel=2,
+                              sequence_parallel=True, seed=5, remark="sp")
+        rec4 = _json.loads(open(f"{exp4}/metrics.jsonl").readline())
+        log4 = open(f"{exp4}/train_caption.log").read()
+        assert "sequence parallelism" in log4
+        # same seed/data as the TP run: sp must not change the math
+        np.testing.assert_allclose(rec4["train_loss"], rec3["train_loss"],
+                                   rtol=1e-4)
 
 
 class TestMultiProcess:
@@ -284,8 +359,8 @@ class TestMultiProcess:
     over a (2 data, 2 model) mesh spanning both processes — exercising
     shard_by_vocab's multi-process make_array_from_callback path."""
 
-    @pytest.mark.parametrize("mp", [1, 2])
-    def test_two_process_cli_train(self, tmp_path, mp):
+    @pytest.mark.parametrize("mp,sp", [(1, False), (2, False), (2, True)])
+    def test_two_process_cli_train(self, tmp_path, mp, sp):
         import json as _json
         import os
         import re
@@ -331,6 +406,10 @@ class TestMultiProcess:
             "epochs": 1, "batch_size": 8, "train_percent": 80,
             "scheduler": "constant", "scheduler_args": {},
             "distributed": True, "model_parallel": mp,
+            # sp=True: mel time sharded over `model` across the
+            # process-spanning mesh — exercises the multi-process
+            # make_array_from_process_local_data path with P(data, model)
+            "sequence_parallel": sp,
         }
         with open(tmp_path / "c.yaml", "w") as f:
             yaml.safe_dump(cfg, f)
@@ -389,6 +468,8 @@ class TestMultiProcess:
             assert "'data': 2" in log and "'model': 2" in log
         else:
             assert "'data': 4" in log
+        if sp:
+            assert "sequence parallelism" in log
 
 
 def test_pad_to_multiple_exceeding_batch():
