@@ -21,6 +21,7 @@ import logging
 import os
 import random
 import sys
+from functools import partial
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
@@ -126,6 +127,22 @@ def _write_scores(scores: Dict[str, Any], score_file) -> None:
                     + "are NOT comparable to published pycocoevalcap numbers")
             print(note)
             f.write(note + "\n")
+
+
+def _stage_to_device(b, feats_dtype=None):
+    """Prefetch-producer hook: device_put a Batch's arrays from the loader
+    thread so the host→device upload overlaps the previous step's compute
+    (``CaptionLoader.prefetch(stage=...)``).  ``feats_dtype`` optionally
+    casts mels on the host first (``upload_dtype: bfloat16`` halves the
+    dominant transfer).  Consumers' ``jnp.asarray`` on the result is a
+    no-op."""
+    import dataclasses as _dc
+    feats = b.feats.astype(feats_dtype) if feats_dtype is not None else b.feats
+    put = jax.device_put
+    return _dc.replace(
+        b, feats=put(feats), feat_lens=put(b.feat_lens),
+        caps=put(b.caps), cap_lens=put(b.cap_lens),
+        cap_embeds=put(b.cap_embeds) if b.cap_embeds is not None else None)
 
 
 def _read_h5_csv(path: str) -> Dict[str, str]:
@@ -457,6 +474,18 @@ class Runner:
         if upload_bf16:
             import ml_dtypes
             _ml_bf16 = ml_dtypes.bfloat16
+        # single-device path: upload each batch from the prefetch producer
+        # thread so the host→device transfer overlaps the previous step's
+        # compute (the epoch is upload-bound over a tunneled/remote runtime
+        # — RESULTS.md; on-device training it simply hides the PCIe copy).
+        # Mesh/multi-process runs keep the in-loop shard_batch route, which
+        # needs host arrays (pad_to_multiple +
+        # make_array_from_process_local_data).
+        device_stage = None
+        if mesh is None and os.environ.get("ACVAE_UPLOAD_OVERLAP", "1") != "0":
+            device_stage = partial(
+                _stage_to_device,
+                feats_dtype=_ml_bf16 if upload_bf16 else None)
         ckpt_every = int(conf.get("checkpoint_every_steps", 0) or 0)
         fault_step = int(conf.get("fault_abort_step", 0) or 0)
         # profile_dir: trace steps 1-15 (or the first epoch, if shorter)
@@ -479,7 +508,8 @@ class Runner:
             # background-thread prefetch: HDF5 reads + collate overlap with
             # device compute (the reference's DataLoader workers, SURVEY §2.6)
             batch_iter = train_loader.prefetch(
-                skip_batches=(skip_batches if epoch == start_epoch else 0))
+                skip_batches=(skip_batches if epoch == start_epoch else 0),
+                stage=device_stage)
             for batch in batch_iter:
                 iteration += 1
                 ss_ratio = ss_ratio_at(
@@ -746,7 +776,7 @@ class Runner:
                                         beam_size=beam_size)
         decode = cache[ck]
         key2pred = {}
-        for batch in val_loader.prefetch():
+        for batch in val_loader.prefetch(stage=_stage_to_device):
             key, sub = jax.random.split(key)
             out = decode(variables, jnp.asarray(batch.feats),
                          jnp.asarray(batch.feat_lens), sub)
@@ -842,7 +872,9 @@ class Runner:
             mesh = make_mesh()
             variables = replicate(variables, mesh)
         key2pred: Dict[str, List[str]] = {}
-        for batch in loader.prefetch():
+        # mesh path keeps host arrays (shard_batch re-places them itself)
+        for batch in loader.prefetch(
+                stage=None if mesh is not None else _stage_to_device):
             feats = jnp.asarray(batch.feats)
             feat_lens = jnp.asarray(batch.feat_lens)
             ids = batch.audio_ids
@@ -930,7 +962,7 @@ class Runner:
         decode = self._decode_fn(model, decode_method=decode_method,
                                  beam_size=beam_size,
                                  decode_dtype=decode_dtype)
-        for batch in loader.prefetch():
+        for batch in loader.prefetch(stage=_stage_to_device):
             key, sub = jax.random.split(key)
             out = decode(variables, jnp.asarray(batch.feats),
                          jnp.asarray(batch.feat_lens), sub)
@@ -1190,7 +1222,7 @@ class Runner:
                                     "batch_stats": state.batch_stats}))
         key = jax.random.key(seed)
         key2pred: Dict[str, List[str]] = {}
-        for batch in loader.prefetch():
+        for batch in loader.prefetch(stage=_stage_to_device):
             key, sub = jax.random.split(key)
             out = ensemble_decode(members, jnp.asarray(batch.feats),
                                   jnp.asarray(batch.feat_lens), sub,
@@ -1243,7 +1275,7 @@ class Runner:
         for epoch in range(1, epochs + 1):
             train_loader.set_epoch(epoch)
             rewards = []
-            for batch in train_loader.prefetch():
+            for batch in train_loader.prefetch(stage=_stage_to_device):
                 key, sub = jax.random.split(key)
                 state, metrics = scst_train_step(
                     state, rollout, step,
@@ -1384,7 +1416,7 @@ class Runner:
                 loader.set_epoch(epoch)
                 return ((jnp.asarray(b.feats), jnp.asarray(b.feat_lens),
                          jnp.asarray(b.caps), jnp.asarray(b.cap_lens))
-                        for b in loader.prefetch())
+                        for b in loader.prefetch(stage=_stage_to_device))
             ds = s1 if train else s1_val
             return (tuple(jnp.asarray(a) for a in b)
                     for b in ds.batches(conf.get("audios_per_batch", 8),

@@ -237,14 +237,21 @@ class CaptionLoader:
         # never wired up)
         return self._global_perm()[self.host_id::self.host_count]
 
-    def prefetch(self, depth: int = 2, skip_batches: int = 0
+    def prefetch(self, depth: int = 2, skip_batches: int = 0,
+                 stage: Optional[Callable[[Batch], Batch]] = None
                  ) -> Iterator[Batch]:
         """Iterate with a background-thread prefetcher — the TPU-side
         replacement for torch DataLoader workers (HDF5 reads + numpy collate
         overlap with device compute).  ``skip_batches`` fast-forwards a
         mid-epoch resume at the *index* level: the skipped batches are never
         read from HDF5 or collated (the epoch permutation is deterministic,
-        so batch k of the resumed epoch is batch k of the original one)."""
+        so batch k of the resumed epoch is batch k of the original one).
+
+        ``stage`` runs on each batch *in the producer thread* before it is
+        queued — pass a ``jax.device_put`` wrapper to overlap the
+        host→device upload with the previous step's compute (the dominant
+        per-step cost on upload-bound links; see ``cli.main`` train).  The
+        staged result replaces the batch in iteration order."""
         import queue
         import threading
 
@@ -275,6 +282,8 @@ class CaptionLoader:
         def producer():
             try:
                 for batch in source:
+                    if stage is not None:
+                        batch = stage(batch)
                     if not put(batch):
                         return
             except BaseException as e:  # re-raised on the consumer side

@@ -233,6 +233,51 @@ def test_prefetch_matches_direct_iteration(tmp_path):
         list(it)
 
 
+def test_prefetch_stage_runs_in_producer_thread(tmp_path):
+    """prefetch(stage=...) applies the hook off the consumer thread and
+    preserves order/values — the device-upload overlap path
+    (cli.main._stage_to_device)."""
+    import threading
+
+    import h5py
+
+    from acvae_tpu.cli.main import _stage_to_device
+    from acvae_tpu.data.dataset import CaptionDataset, CaptionLoader
+    from acvae_tpu.data.synthetic import make_synthetic_clotho
+
+    feats, info, vocab = make_synthetic_clotho(num_audios=5, mel_frames=128)
+    h5 = str(tmp_path / "m.h5")
+    with h5py.File(h5, "w") as f:
+        for aid, mel in feats.items():
+            f[aid] = mel
+    ds = CaptionDataset(h5file_dict={a: h5 for a in feats},
+                        caption_info=info, vocabulary=vocab)
+    loader = CaptionLoader(ds, 4, shuffle=True, seed=3)
+    loader.set_epoch(1)
+    direct = list(loader)
+
+    stage_threads = []
+
+    def stage(b):
+        stage_threads.append(threading.get_ident())
+        return _stage_to_device(b)
+
+    staged = list(loader.prefetch(stage=stage))
+    assert len(staged) == len(direct)
+    main_tid = threading.get_ident()
+    assert stage_threads and all(t != main_tid for t in stage_threads)
+    for a, b in zip(direct, staged):
+        assert not isinstance(b.feats, np.ndarray)  # device-put happened
+        np.testing.assert_array_equal(a.feats, np.asarray(b.feats))
+        np.testing.assert_array_equal(a.caps, np.asarray(b.caps))
+        assert b.audio_ids == a.audio_ids
+
+    # bf16 upload cast happens host-side before the put
+    import ml_dtypes
+    b16 = _stage_to_device(direct[0], feats_dtype=ml_dtypes.bfloat16)
+    assert np.asarray(b16.feats).dtype == ml_dtypes.bfloat16
+
+
 def test_fasttext_vec_text_format(tmp_path):
     """fastText .vec (text) loads through the GloVe path, skipping the
     'count dim' header line."""
