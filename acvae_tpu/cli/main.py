@@ -145,6 +145,15 @@ def _stage_to_device(b, feats_dtype=None):
         cap_embeds=put(b.cap_embeds) if b.cap_embeds is not None else None)
 
 
+def _stage_hook():
+    """The prefetch stage used by single-device loops, or None when the
+    upload overlap is disabled (``ACVAE_UPLOAD_OVERLAP=0`` — the A/B
+    kill-switch; see docs/design.md 'Prefetch-staged device upload')."""
+    if os.environ.get("ACVAE_UPLOAD_OVERLAP", "1") == "0":
+        return None
+    return _stage_to_device
+
+
 def _read_h5_csv(path: str) -> Dict[str, str]:
     """TSV with audio_id / hdf5_path columns (base_runner.py:41-47)."""
     import pandas as pd
@@ -499,6 +508,8 @@ class Runner:
             "Epoch", "Train loss", "Val score"))
 
         for epoch in range(start_epoch, conf["epochs"] + 1):
+            import time as _time
+            epoch_t0 = _time.perf_counter()
             kl_weight = kl_weight_for_epoch(epoch, conf["epochs"], beta)
             dis_ratio = dis_ratio_for_epoch(
                 epoch, conf["epochs"], conf["dis_ration"]["freeze_epoch"],
@@ -640,7 +651,12 @@ class Runner:
                     {"epoch": epoch, "train_loss": train_loss,
                      "val_cider": score, "ss_ratio": ss_ratio,
                      "kl_weight": kl_weight,
-                     "dis_ratio": dis_ratio}) + "\n")
+                     "dis_ratio": dis_ratio,
+                     # wall time of the train loop + validation decode
+                     # (checkpoint saves land after the write); train-perf
+                     # regressions (e.g. upload overlap) show up here
+                     "epoch_wall_s": round(
+                         _time.perf_counter() - epoch_t0, 2)}) + "\n")
                 metrics_log.flush()
 
             if crtrn_imprvd(score):
@@ -776,7 +792,7 @@ class Runner:
                                         beam_size=beam_size)
         decode = cache[ck]
         key2pred = {}
-        for batch in val_loader.prefetch(stage=_stage_to_device):
+        for batch in val_loader.prefetch(stage=_stage_hook()):
             key, sub = jax.random.split(key)
             out = decode(variables, jnp.asarray(batch.feats),
                          jnp.asarray(batch.feat_lens), sub)
@@ -874,7 +890,7 @@ class Runner:
         key2pred: Dict[str, List[str]] = {}
         # mesh path keeps host arrays (shard_batch re-places them itself)
         for batch in loader.prefetch(
-                stage=None if mesh is not None else _stage_to_device):
+                stage=None if mesh is not None else _stage_hook()):
             feats = jnp.asarray(batch.feats)
             feat_lens = jnp.asarray(batch.feat_lens)
             ids = batch.audio_ids
@@ -962,7 +978,7 @@ class Runner:
         decode = self._decode_fn(model, decode_method=decode_method,
                                  beam_size=beam_size,
                                  decode_dtype=decode_dtype)
-        for batch in loader.prefetch(stage=_stage_to_device):
+        for batch in loader.prefetch(stage=_stage_hook()):
             key, sub = jax.random.split(key)
             out = decode(variables, jnp.asarray(batch.feats),
                          jnp.asarray(batch.feat_lens), sub)
@@ -1222,7 +1238,7 @@ class Runner:
                                     "batch_stats": state.batch_stats}))
         key = jax.random.key(seed)
         key2pred: Dict[str, List[str]] = {}
-        for batch in loader.prefetch(stage=_stage_to_device):
+        for batch in loader.prefetch(stage=_stage_hook()):
             key, sub = jax.random.split(key)
             out = ensemble_decode(members, jnp.asarray(batch.feats),
                                   jnp.asarray(batch.feat_lens), sub,
@@ -1275,7 +1291,7 @@ class Runner:
         for epoch in range(1, epochs + 1):
             train_loader.set_epoch(epoch)
             rewards = []
-            for batch in train_loader.prefetch(stage=_stage_to_device):
+            for batch in train_loader.prefetch(stage=_stage_hook()):
                 key, sub = jax.random.split(key)
                 state, metrics = scst_train_step(
                     state, rollout, step,
@@ -1416,7 +1432,7 @@ class Runner:
                 loader.set_epoch(epoch)
                 return ((jnp.asarray(b.feats), jnp.asarray(b.feat_lens),
                          jnp.asarray(b.caps), jnp.asarray(b.cap_lens))
-                        for b in loader.prefetch(stage=_stage_to_device))
+                        for b in loader.prefetch(stage=_stage_hook()))
             ds = s1 if train else s1_val
             return (tuple(jnp.asarray(a) for a in b)
                     for b in ds.batches(conf.get("audios_per_batch", 8),
