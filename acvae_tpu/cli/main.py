@@ -145,13 +145,18 @@ def _stage_to_device(b, feats_dtype=None):
         cap_embeds=put(b.cap_embeds) if b.cap_embeds is not None else None)
 
 
-def _stage_hook():
+def _stage_hook(feats_dtype=None):
     """The prefetch stage used by single-device loops, or None when the
     upload overlap is disabled (``ACVAE_UPLOAD_OVERLAP=0`` — the A/B
-    kill-switch; see docs/design.md 'Prefetch-staged device upload')."""
+    kill-switch; see docs/design.md 'Prefetch-staged device upload').
+    The ONLY reader of the kill-switch: every staged loop goes through
+    here so the A/B flips all of them together.  ``feats_dtype`` casts
+    feats host-side before upload (the train loop's bf16 upload path)."""
     if os.environ.get("ACVAE_UPLOAD_OVERLAP", "1") == "0":
         return None
-    return _stage_to_device
+    if feats_dtype is None:
+        return _stage_to_device
+    return partial(_stage_to_device, feats_dtype=feats_dtype)
 
 
 def _read_h5_csv(path: str) -> Dict[str, str]:
@@ -374,9 +379,9 @@ class Runner:
                     # spatially partitions the encoder convs (halo
                     # exchanges), splitting long-clip activation memory
                     # across chips.  Buckets are multiples of 32, so any
-                    # practical mp divides them; guard anyway.
-                    from acvae_tpu.data.dataset import DEFAULT_BUCKETS
-                    buckets = conf.get("mel_buckets", DEFAULT_BUCKETS)
+                    # practical mp divides them; guard anyway — against the
+                    # buckets the loader actually emits, not a config key.
+                    buckets = train_loader.buckets
                     if all(b % mp == 0 for b in buckets):
                         seq_axis = "model"
                         logger.info("sequence parallelism: mel time "
@@ -491,9 +496,8 @@ class Runner:
         # needs host arrays (pad_to_multiple +
         # make_array_from_process_local_data).
         device_stage = None
-        if mesh is None and os.environ.get("ACVAE_UPLOAD_OVERLAP", "1") != "0":
-            device_stage = partial(
-                _stage_to_device,
+        if mesh is None:
+            device_stage = _stage_hook(
                 feats_dtype=_ml_bf16 if upload_bf16 else None)
         ckpt_every = int(conf.get("checkpoint_every_steps", 0) or 0)
         fault_step = int(conf.get("fault_abort_step", 0) or 0)
@@ -507,8 +511,9 @@ class Runner:
         logger.info("{:^10}\t{:^10}\t{:^10}".format(
             "Epoch", "Train loss", "Val score"))
 
+        import time as _time
+
         for epoch in range(start_epoch, conf["epochs"] + 1):
-            import time as _time
             epoch_t0 = _time.perf_counter()
             kl_weight = kl_weight_for_epoch(epoch, conf["epochs"], beta)
             dis_ratio = dis_ratio_for_epoch(
@@ -633,7 +638,7 @@ class Runner:
             # epoch-indexed key namespace disjoint from the iteration one
             sub = jax.random.fold_in(base_key, 1_000_000_000 + epoch)
             score = self._validate(model, state, val_loader, vocabulary,
-                                   val_key2refs, sub)
+                                   val_key2refs, sub, mesh=mesh)
             if plateau is not None:
                 before = plateau.scale
                 state = plateau.step(state, score)
@@ -771,7 +776,7 @@ class Runner:
         return decode
 
     def _validate(self, model, state, val_loader, vocabulary, key2refs, key,
-                  beam_size: int = 3) -> float:
+                  beam_size: int = 3, mesh=None) -> float:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if jax.process_count() > 1:
             # state leaves are global (multi-process) arrays; the validation
@@ -792,7 +797,11 @@ class Runner:
                                         beam_size=beam_size)
         decode = cache[ck]
         key2pred = {}
-        for batch in val_loader.prefetch(stage=_stage_hook()):
+        # mesh runs keep host arrays (matching evaluate(): the decode jit
+        # re-places them; staging would commit batches to device 0 against
+        # mesh-sharded variables and lean on jit auto-resharding)
+        for batch in val_loader.prefetch(
+                stage=None if mesh is not None else _stage_hook()):
             key, sub = jax.random.split(key)
             out = decode(variables, jnp.asarray(batch.feats),
                          jnp.asarray(batch.feat_lens), sub)

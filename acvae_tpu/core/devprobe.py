@@ -36,14 +36,34 @@ _PROBE = (
     " 'dispatch_ms_p50': round(sorted(ts)[2] * 1000, 2)}))\n")
 
 
+def backend_initialized() -> bool:
+    """True iff some jax backend is already live in this process — a
+    *read-only* check (never initializes anything).  The decisive gate for
+    every platform question: post-init, ``jax.default_backend()`` is the
+    truth and safe to call; pre-init, config updates still control which
+    platform the first dispatch will hit.  When the private API is missing
+    (future jax), claim initialized — callers then consult the live backend,
+    which is always correct (merely forfeiting a pre-init fast path)."""
+    try:
+        from jax._src import xla_bridge
+        return bool(xla_bridge.backends_are_initialized())
+    except Exception:
+        return True
+
+
 def apply_jax_platforms_env(label: str = "devprobe") -> bool:
     """Apply the ``JAX_PLATFORMS`` env var via the config route (the axon
     TPU plugin ignores the raw env var).  The single implementation for
     every consumer (``cli.main``, ``__graft_entry__``; the probe snippet
     inlines the same two lines as a string).  Returns True when the config
-    now reflects the env var, False when it could not be applied (backend
-    already initialized — the caller must gate on the *actual* backend,
-    ``jax.default_backend()``, which is safe to query once initialized)."""
+    route *controls* the platform — i.e. the env var was applied before any
+    backend initialized (or no env var is set, leaving the default in
+    force).  Returns False when a backend was already live: on this jax,
+    ``jax.config.update('jax_platforms', ...)`` does NOT raise post-init —
+    it silently no-ops on the live backend (measured; CLAUDE.md) — so the
+    update's success proves nothing and the pre-update
+    ``backend_initialized()`` check below is the only honest signal.  The
+    caller must then gate on ``jax.default_backend()``."""
     import os
 
     import jax
@@ -51,12 +71,13 @@ def apply_jax_platforms_env(label: str = "devprobe") -> bool:
     want = os.environ.get("JAX_PLATFORMS")
     if not want:
         return True
-    try:
-        jax.config.update("jax_platforms", want)
-        return True
-    except Exception as e:  # backend already initialized (library use)
-        print(f"[{label}] JAX_PLATFORMS ignored: {e}", file=sys.stderr)
+    if backend_initialized():
+        print(f"[{label}] JAX_PLATFORMS={want} ignored: a backend is "
+              f"already initialized (live: {jax.default_backend()})",
+              file=sys.stderr)
         return False
+    jax.config.update("jax_platforms", want)
+    return True
 
 
 def probe_device(timeout: float = 120.0,

@@ -112,3 +112,25 @@ def test_probe_device_tolerates_rc0_noise(monkeypatch):
     monkeypatch.setattr(devprobe.subprocess, "run", fake_run(""))
     out = devprobe.probe_device(timeout=5)
     assert out["ok"] is False and "no parseable status" in out["error"]
+
+
+def test_apply_jax_platforms_env_post_init_is_honest(monkeypatch):
+    """Post-init, ``jax.config.update('jax_platforms', ...)`` silently
+    no-ops on the live backend (measured on this jax; CLAUDE.md), so the
+    update's success proves nothing — the helper must report False whenever
+    a backend was already initialized, or callers skip their hang shields
+    believing they are CPU-forced while dispatching at the live backend."""
+    import jax
+    import numpy as np
+
+    from acvae_tpu.core import devprobe
+
+    np.asarray(jax.numpy.zeros(()))  # force backend init (CPU under tests)
+    assert devprobe.backend_initialized()
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert devprobe.apply_jax_platforms_env(label="test") is False
+
+    # no env var -> nothing to apply -> the default stays in force: True
+    monkeypatch.delenv("JAX_PLATFORMS")
+    assert devprobe.apply_jax_platforms_env(label="test") is True

@@ -56,6 +56,24 @@ def workspace(tmp_path_factory):
 
 
 class TestCLI:
+    def test_stage_hook_single_kill_switch(self, monkeypatch):
+        """_stage_hook is the ONLY reader of ACVAE_UPLOAD_OVERLAP: off
+        disables every staged loop at once; feats_dtype threads the train
+        loop's bf16 upload cast through the same gate."""
+        import ml_dtypes
+
+        from acvae_tpu.cli.main import _stage_hook, _stage_to_device
+
+        monkeypatch.setenv("ACVAE_UPLOAD_OVERLAP", "0")
+        assert _stage_hook() is None
+        assert _stage_hook(feats_dtype=ml_dtypes.bfloat16) is None
+
+        monkeypatch.setenv("ACVAE_UPLOAD_OVERLAP", "1")
+        assert _stage_hook() is _stage_to_device
+        staged = _stage_hook(feats_dtype=ml_dtypes.bfloat16)
+        assert staged is not None and staged is not _stage_to_device
+        assert staged.keywords == {"feats_dtype": ml_dtypes.bfloat16}
+
     def test_build_vocab(self, workspace):
         out = Runner().build_vocab(str(workspace / "text.json"),
                                    str(workspace / "vocab.pkl"))

@@ -1,4 +1,7 @@
 """Data-parallel training on the virtual 8-device CPU mesh."""
+import os
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -271,6 +274,64 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+    def test_cpu_mesh_ready_gates_on_live_backend(self):
+        """In this (CPU-forced, 8-virtual-device, initialized) process the
+        inline path is provably safe for n<=8 and refused for n>8."""
+        import __graft_entry__ as g
+        assert g._cpu_mesh_ready(8)
+        assert not g._cpu_mesh_ready(9)
+
+    def test_cpu_mesh_ready_preinit_is_side_effect_free(self):
+        """Pre-init, a non-child probe must answer False WITHOUT
+        initializing (or CPU-forcing) the caller's backend — a library
+        caller may want the default (TPU) backend afterwards.  The old
+        probe force-updated jax_platforms='cpu' and initialized CPU,
+        permanently CPU-locking the parent (review finding, round 2)."""
+        import subprocess
+        import sys
+
+        code = (
+            "import os\n"
+            "os.environ.pop('_ACVAE_DRYRUN_CHILD', None)\n"
+            "import __graft_entry__ as g\n"
+            "from jax._src import xla_bridge\n"
+            "assert not xla_bridge.backends_are_initialized()\n"
+            "assert g._cpu_mesh_ready(2) is False\n"
+            "assert not xla_bridge.backends_are_initialized(), "
+            "'probe initialized a backend'\n"
+            "import jax\n"
+            "assert (getattr(jax.config, 'jax_platforms', None) or '') "
+            "!= 'cpu', 'probe CPU-forced the parent config'\n"
+            "print('SIDE_EFFECT_FREE')\n")
+        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           cwd=str(Path(__file__).resolve().parents[1]),
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "SIDE_EFFECT_FREE" in r.stdout
+
+    def test_dryrun_reexecs_from_preinit_process(self):
+        """The driver's exact path: a process whose backend is NOT a
+        CPU mesh calls dryrun_multichip directly; it must self-isolate into
+        the CPU-forced child and report OK — without the parent ever
+        initializing a backend (round-1 MULTICHIP failure mode)."""
+        import subprocess
+        import sys
+
+        code = (
+            "import __graft_entry__ as g\n"
+            "g.dryrun_multichip(2)\n"
+            "from jax._src import xla_bridge\n"
+            "assert not xla_bridge.backends_are_initialized(), "
+            "'parent initialized a backend'\n")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "_ACVAE_DRYRUN_CHILD")}
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           cwd=str(Path(__file__).resolve().parents[1]),
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "dryrun_multichip(2) OK" in r.stdout
 
 
 class TestDistributedCLI:
