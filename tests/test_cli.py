@@ -157,6 +157,30 @@ class TestCLI:
             Runner().train(str(p), seed=9, remark="bad",
                            upload_dtype="float16")
 
+    def test_train_loss_invariant_to_upload_overlap(self, workspace,
+                                                    tmp_path, monkeypatch):
+        """ACVAE_UPLOAD_OVERLAP changes only WHERE the host->device upload
+        happens (producer thread vs in-dispatch), never the math: two runs
+        differing only in the switch must produce identical train losses —
+        the invariant the on-chip upload A/B relies on to compare wall
+        times."""
+        import yaml
+
+        if not os.path.exists(workspace / "vocab.pkl"):
+            Runner().build_vocab(str(workspace / "text.json"),
+                                 str(workspace / "vocab.pkl"))
+        cfg = yaml.safe_load(open(workspace / "config.yaml"))
+        losses = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("ACVAE_UPLOAD_OVERLAP", flag)
+            cfg["outputpath"] = str(tmp_path / f"exp_ov{flag}")
+            p = tmp_path / f"c_ov{flag}.yaml"
+            p.write_text(yaml.safe_dump(cfg))
+            exp = Runner().train(str(p), seed=21, remark=f"ov{flag}")
+            losses[flag] = [json.loads(l)["train_loss"]
+                            for l in open(os.path.join(exp, "metrics.jsonl"))]
+        assert losses["0"] == losses["1"]
+
     def test_preemption_recovery(self, workspace, tmp_path):
         """checkpoint_every_steps + fault_abort_step + resume: a run killed
         mid-epoch restarts from the step checkpoint, skips the consumed
