@@ -1,0 +1,171 @@
+"""Serving load benchmark: drive the HTTP caption service end-to-end.
+
+Measures what a deployment actually sees — client-observed latency
+percentiles and sustained captions/s through `acvae_tpu.serve.run_server`'s
+micro-batching HTTP path (reference has no serving story at all; the
+framework's is serve.py) — at several closed-loop concurrency levels.
+
+Usage (real chip; ~2-4 min total):
+
+    python tools/serve_bench.py /tmp/rich_exp/Hybrid_VAEModel/rich_0.5_0.5/seed_1 \
+        [--levels=1,8,32,64] [--seconds=20] [--batch_size=16] \
+        [--mel_frames=1024] [--encoder_int8] [--port=8077]
+
+Per level it prints client-side p50/p95/p99 latency and throughput, plus
+the server's own /stats snapshot deltas (mean micro-batch fill); a final
+single JSON line summarizes the best-throughput level.  The binary
+octet-stream request path is used (the JSON mel encode costs more host
+time than the decode — serve.py do_POST).
+"""
+from __future__ import annotations
+
+import http.client
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def _post_mel(host: str, port: int, mel: np.ndarray, timeout: float = 120.0):
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    try:
+        body = mel.astype("<f4").tobytes()
+        conn.request("POST", "/caption", body=body, headers={
+            "Content-Type": "application/octet-stream",
+            "X-Mel-Frames": str(mel.shape[0]),
+            "X-Mel-Bins": str(mel.shape[1]),
+        })
+        r = conn.getresponse()
+        payload = json.loads(r.read())
+        if r.status != 200:
+            raise RuntimeError(f"HTTP {r.status}: {payload}")
+        return payload
+    finally:
+        conn.close()
+
+
+def _get(host: str, port: int, path: str):
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        conn.request("GET", path)
+        return json.loads(conn.getresponse().read())
+    finally:
+        conn.close()
+
+
+def run_level(host: str, port: int, mels, concurrency: int,
+              seconds: float) -> dict:
+    """Closed-loop load: `concurrency` client threads each posting
+    back-to-back requests for `seconds`.  Returns client-side stats."""
+    stop = time.monotonic() + seconds
+    lat: list = []
+    errors = [0]
+    lock = threading.Lock()
+
+    def client(i: int):
+        rng = np.random.default_rng(i)
+        while time.monotonic() < stop:
+            mel = mels[rng.integers(len(mels))]
+            t0 = time.monotonic()
+            try:
+                _post_mel(host, port, mel)
+            except Exception:
+                with lock:
+                    errors[0] += 1
+                continue
+            with lock:
+                lat.append(time.monotonic() - t0)
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(concurrency)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    lat.sort()
+
+    def pct(p):
+        return lat[min(len(lat) - 1, int(len(lat) * p))] * 1000 if lat else None
+
+    return {
+        "concurrency": concurrency,
+        "requests": len(lat),
+        "errors": errors[0],
+        "captions_per_sec": round(len(lat) / wall, 1),
+        "latency_ms_p50": round(pct(0.50), 1) if lat else None,
+        "latency_ms_p95": round(pct(0.95), 1) if lat else None,
+        "latency_ms_p99": round(pct(0.99), 1) if lat else None,
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), "1")
+                for a in sys.argv[1:] if a.startswith("--"))
+    if not args:
+        print(__doc__)
+        sys.exit(2)
+    exp = args[0]
+    levels = [int(x) for x in opts.get("levels", "1,8,32,64").split(",")]
+    seconds = float(opts.get("seconds", 20))
+    port = int(opts.get("port", 8077))
+    batch_size = int(opts.get("batch_size", 16))
+    mel_frames = int(opts.get("mel_frames", 1024))
+    host = "127.0.0.1"
+
+    from acvae_tpu.serve import CaptionService, run_server
+
+    svc = CaptionService(
+        exp, batch_size=batch_size, mel_bucket=mel_frames,
+        encoder_int8=bool(int(opts.get("encoder_int8", "0"))),
+        decode_dtype=opts.get("decode_dtype") or None)
+    server_thread = threading.Thread(
+        target=run_server, args=(svc,), kwargs={"host": host, "port": port},
+        daemon=True)
+    server_thread.start()
+    for _ in range(100):
+        try:
+            if _get(host, port, "/health")["status"] == "ok":
+                break
+        except Exception:
+            time.sleep(0.2)
+    else:
+        raise RuntimeError("server never became healthy")
+
+    rng = np.random.default_rng(0)
+    mels = [rng.normal(size=(mel_frames, svc.data_dim)).astype(np.float32) * 2
+            for _ in range(8)]
+    _post_mel(host, port, mels[0])  # warm the micro-batch program shape
+
+    rows = []
+    for c in levels:
+        before = _get(host, port, "/stats")
+        r = run_level(host, port, mels, c, seconds)
+        after = _get(host, port, "/stats")
+        db = after["batches"] - before["batches"]
+        dr = after["batched_requests"] - before["batched_requests"]
+        r["mean_batch_fill"] = round(dr / db, 2) if db else None
+        rows.append(r)
+        print(f"# c={c:<3d} {r['captions_per_sec']:>7.1f} cap/s  "
+              f"p50 {r['latency_ms_p50']:>7.1f} ms  "
+              f"p95 {r['latency_ms_p95']:>7.1f} ms  "
+              f"p99 {r['latency_ms_p99']:>7.1f} ms  "
+              f"fill {r['mean_batch_fill']}  errors {r['errors']}",
+              file=sys.stderr, flush=True)
+
+    best = max(rows, key=lambda r: r["captions_per_sec"])
+    print(json.dumps({"metric": "serving_captions_per_sec",
+                      "value": best["captions_per_sec"],
+                      "unit": "captions/s",
+                      "at_concurrency": best["concurrency"],
+                      "latency_ms_p50": best["latency_ms_p50"],
+                      "latency_ms_p95": best["latency_ms_p95"],
+                      "levels": rows}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
