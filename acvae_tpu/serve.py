@@ -350,7 +350,14 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                     latencies.append(time.monotonic() - t_arrival)
                 self._reply(200, result)
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class _Server(ThreadingHTTPServer):
+        # default accept backlog (5) refuses connections under concurrent
+        # load well below the decode engine's capacity — measured as ~1-2%
+        # client-side connection errors at 32-64 closed-loop clients
+        # (tools/serve_bench.py); deepen it past any sane client count
+        request_queue_size = 128
+
+    server = _Server((host, port), Handler)
     server._acvae_stop = lambda: (requests.put(None), server.shutdown())
     server._acvae_queue = requests  # exposed for tests/operational probes
     if block:  # pragma: no cover - interactive path

@@ -7,10 +7,16 @@ effect.  This probe measures the same thing drift-free: one process, one
 compiled train step, the two upload strategies alternated round-robin —
 every round compares them seconds apart on the same tunnel state.
 
-  OFF — the loop receives host numpy batches; the upload happens inside
-        each step's dispatch, serial with compute (the pre-staging loop).
-  ON  — a producer thread device_puts batch i+1 while step i runs
-        (exactly `cli/main.py::_stage_to_device` from the prefetch hook).
+  OFF       — host numpy batches go straight into the jitted step; the
+              runtime transfers them inside ONE dispatch (lower bound for
+              an unstaged loop).
+  OFF-ASARR — the loop jnp.asarray's each array before the step — the
+              framework's real unstaged path (ACVAE_UPLOAD_OVERLAP=0:
+              cli/main.py stages with jnp.asarray in the loop body).  Over
+              a tunneled runtime each asarray is its own round-trip.
+  ON        — a producer thread device_puts batch i+1 while step i runs
+              (exactly `cli/main.py::_stage_to_device` from the prefetch
+              hook).
 
 Usage:  python tools/probe_upload.py [steps_per_round] [rounds] [batch]
 Defaults: 12 steps x 4 rounds at batch 32, T=1024 (the real-recipe epoch
@@ -18,6 +24,7 @@ regime design.md calls upload-bound: ~29 ms/step compute in ~192 ms wall).
 """
 from __future__ import annotations
 
+import os
 import queue
 import sys
 import threading
@@ -25,7 +32,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -78,6 +85,14 @@ def main() -> None:
         np.asarray(m["loss"])  # force completion (block_until_ready is a lie here)
         return time.perf_counter() - t0, st
 
+    def arm_off_asarray(st):
+        import jax.numpy as jnp
+        t0 = time.perf_counter()
+        for i, b in enumerate(host_batches):
+            st, m = run_step(st, {k: jnp.asarray(v) for k, v in b.items()}, i)
+        np.asarray(m["loss"])
+        return time.perf_counter() - t0, st
+
     def arm_on(st):
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
@@ -99,17 +114,19 @@ def main() -> None:
         np.asarray(m["loss"])
         return time.perf_counter() - t0, st
 
-    per = {"off": [], "on": []}
+    arms = (("off", arm_off), ("off_asarr", arm_off_asarray),
+            ("on", arm_on))
+    per = {name: [] for name, _ in arms}
     for r in range(rounds):
-        for name, arm in (("off", arm_off), ("on", arm_on)):
+        for name, arm in arms:
             dt, state = arm(state)
             ms = dt / steps * 1000
             per[name].append(ms)
-            print(f"round {r} {name:3s}: {ms:7.1f} ms/step "
+            print(f"round {r} {name:9s}: {ms:7.1f} ms/step "
                   f"({steps} steps, batch {batch})", flush=True)
-    for name in ("off", "on"):
+    for name, _ in arms:
         v = sorted(per[name])
-        print(f"{name:3s}: median {v[len(v) // 2]:.1f} ms/step "
+        print(f"{name:9s}: median {v[len(v) // 2]:.1f} ms/step "
               f"(min {v[0]:.1f}, max {v[-1]:.1f})", flush=True)
 
 

@@ -21,11 +21,14 @@ from __future__ import annotations
 
 import http.client
 import json
+import os
 import sys
 import threading
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _post_mel(host: str, port: int, mel: np.ndarray, timeout: float = 120.0):
