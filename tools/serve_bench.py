@@ -125,6 +125,7 @@ def main() -> None:
     svc = CaptionService(
         exp, batch_size=batch_size, mel_bucket=mel_frames,
         encoder_int8=bool(int(opts.get("encoder_int8", "0"))),
+        upload_dtype=opts.get("upload_dtype", "float32"),
         decode_dtype=opts.get("decode_dtype") or None)
     server_thread = threading.Thread(
         target=run_server, args=(svc,), kwargs={"host": host, "port": port},
