@@ -497,20 +497,32 @@ class TestMultiProcess:
         env["XLA_FLAGS"] = \
             (flags + " --xla_force_host_platform_device_count=2").strip()
         env["JAX_PLATFORMS"] = "cpu"
-        procs = [subprocess.Popen([sys.executable, "-c", child, str(i)],
-                                  env=env, cwd=os.getcwd(),
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.STDOUT, text=True)
-                 for i in range(2)]
-        outs = []
-        for p in procs:
-            try:
-                out, _ = p.communicate(timeout=900)  # generous: two concurrent compiles on a loaded host
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise
-            outs.append(out)
+        def launch():
+            ps = [subprocess.Popen([sys.executable, "-c", child, str(i)],
+                                   env=env, cwd=os.getcwd(),
+                                   stdout=subprocess.PIPE,
+                                   stderr=subprocess.STDOUT, text=True)
+                  for i in range(2)]
+            os_ = []
+            for p in ps:
+                try:
+                    out, _ = p.communicate(timeout=900)  # generous: two concurrent compiles on a loaded host
+                except subprocess.TimeoutExpired:
+                    for q in ps:
+                        q.kill()
+                    raise
+                os_.append(out)
+            return ps, os_
+
+        procs, outs = launch()
+        if any(p.returncode for p in procs) and \
+                any("DEADLINE_EXCEEDED" in o for o in outs):
+            # XLA's Gloo context handshake has a hardcoded 30 s KV timeout;
+            # when a loaded host staggers the two children's first compile
+            # past it, the rendezvous dies spuriously.  One keyed retry —
+            # only for this signature — keeps the test meaningful without
+            # masking real coordination bugs.
+            procs, outs = launch()
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
         losses = [float(re.search(r"FINAL_LOSS ([\d.]+)", o).group(1))
