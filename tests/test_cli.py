@@ -157,6 +157,50 @@ class TestCLI:
             Runner().train(str(p), seed=9, remark="bad",
                            upload_dtype="float16")
 
+    def test_train_profile_dir_writes_trace(self, workspace, tmp_path):
+        """profile_dir traces the first training steps into a
+        TensorBoard-viewable profile (train/profiling.py; the reference has
+        no profiling at all — SURVEY §5)."""
+        import yaml
+
+        if not os.path.exists(workspace / "vocab.pkl"):
+            Runner().build_vocab(str(workspace / "text.json"),
+                                 str(workspace / "vocab.pkl"))
+        cfg = yaml.safe_load(open(workspace / "config.yaml"))
+        prof = tmp_path / "prof"
+        cfg.update(outputpath=str(tmp_path / "exp_prof"),
+                   profile_dir=str(prof))
+        p = tmp_path / "c_prof.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        Runner().train(str(p), seed=23, remark="prof")
+        traces = list(prof.rglob("*.trace.json.gz")) + \
+            list(prof.rglob("*.xplane.pb"))
+        assert traces, f"no trace files under {prof}"
+
+    def test_step_timer_and_trace_helper(self, tmp_path):
+        """Unit coverage for train/profiling.py: StepTimer skips warmup and
+        summarizes; trace() is a no-op without a logdir and writes a
+        profile with one."""
+        from acvae_tpu.train.profiling import StepTimer, trace
+
+        t = StepTimer(warmup=1)
+        for _ in range(4):
+            with t:
+                pass
+        s = t.summary()
+        assert len(t.times) == 3 and s["steps_per_s"] > 0
+        assert s["p50_s"] <= s["p90_s"]
+
+        with trace(None):  # no-op path
+            pass
+        logdir = tmp_path / "trace"
+        import jax.numpy as jnp
+        with trace(str(logdir)):
+            jnp.zeros((8, 8)).sum().block_until_ready()
+        found = list(logdir.rglob("*.xplane.pb")) + \
+            list(logdir.rglob("*.trace.json.gz"))
+        assert found, f"trace() wrote nothing under {logdir}"
+
     def test_train_loss_invariant_to_upload_overlap(self, workspace,
                                                     tmp_path, monkeypatch):
         """ACVAE_UPLOAD_OVERLAP changes only WHERE the host->device upload
