@@ -41,7 +41,9 @@ def build_decode_fn(model, variables: Dict[str, Any],
         out = model.apply(variables, feats, feat_lens,
                           rngs={"sample": jax.random.key(seed)},
                           **decode_kwargs)
-        return {"seqs": out["seqs"]}
+        # scores ride along so the artifact can feed re-ranking / parity
+        # tooling; beam and DBS decodes always produce them
+        return {k: out[k] for k in ("seqs", "scores") if k in out}
 
     return decode
 
@@ -59,7 +61,7 @@ def build_decode_fn_int8(model, variables: Dict[str, Any], quant,
                           rngs={"sample": jax.random.key(seed)},
                           method=model.inference_from_encoded,
                           **decode_kwargs)
-        return {"seqs": out["seqs"]}
+        return {k: out[k] for k in ("seqs", "scores") if k in out}
 
     return decode
 
@@ -117,7 +119,7 @@ def save_exported(exp, out_dir: str, meta: Dict[str, Any]) -> str:
 def load_exported(export_dir: str):
     """(callable, meta): deserialize a saved decode artifact.  The callable
     takes (feats [N, T, F] f32, feat_lens [N] i32, seed uint32-scalar) and
-    returns {"seqs": ...} — no model code or checkpoint needed."""
+    returns {"seqs": ..., "scores": ...} — no model code or checkpoint needed."""
     from jax import export as jexport
 
     with open(os.path.join(export_dir, "decode.jaxexport"), "rb") as f:

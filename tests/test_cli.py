@@ -370,7 +370,10 @@ class TestCLI:
         n = 4
         feats = jnp.asarray(rng.normal(size=(n, 128, 64)).astype(np.float32))
         lens = jnp.full((n,), 128, jnp.int32)
-        got = np.asarray(decode(feats, lens, jnp.uint32(7))["seqs"])
+        out_art = decode(feats, lens, jnp.uint32(7))
+        assert "scores" in out_art, \
+            "artifact must carry beam scores for re-ranking tooling"
+        got = np.asarray(out_art["seqs"])
 
         # live reference decode with the same seed
         from acvae_tpu.core.config import load_config
