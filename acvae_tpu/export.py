@@ -119,7 +119,10 @@ def save_exported(exp, out_dir: str, meta: Dict[str, Any]) -> str:
 def load_exported(export_dir: str):
     """(callable, meta): deserialize a saved decode artifact.  The callable
     takes (feats [N, T, F] f32, feat_lens [N] i32, seed uint32-scalar) and
-    returns {"seqs": ..., "scores": ...} — no model code or checkpoint needed."""
+    returns {"seqs": ...} plus "scores" when the exported decode method
+    produces them (beam/DBS; greedy/sample artifacts and artifacts exported
+    before scores passthrough carry seqs only) — no model code or
+    checkpoint needed."""
     from jax import export as jexport
 
     with open(os.path.join(export_dir, "decode.jaxexport"), "rb") as f:

@@ -515,8 +515,8 @@ class TestMultiProcess:
             return ps, os_
 
         procs, outs = launch()
-        if any(p.returncode for p in procs) and \
-                any("DEADLINE_EXCEEDED" in o for o in outs):
+        if any(p.returncode and "DEADLINE_EXCEEDED" in o
+               for p, o in zip(procs, outs)):
             # XLA's Gloo context handshake has a hardcoded 30 s KV timeout;
             # when a loaded host staggers the two children's first compile
             # past it, the rendezvous dies spuriously.  One keyed retry —

@@ -114,11 +114,14 @@ def main() -> None:
         np.asarray(m["loss"])
         return time.perf_counter() - t0, st
 
-    arms = (("off", arm_off), ("off_asarr", arm_off_asarray),
-            ("on", arm_on))
+    arms = [("off", arm_off), ("off_asarr", arm_off_asarray),
+            ("on", arm_on)]
     per = {name: [] for name, _ in arms}
     for r in range(rounds):
-        for name, arm in arms:
+        # rotate the order each round: a fixed order would attribute any
+        # monotonic within-round drift to the same arm every time
+        order = arms[r % len(arms):] + arms[: r % len(arms)]
+        for name, arm in order:
             dt, state = arm(state)
             ms = dt / steps * 1000
             per[name].append(ms)

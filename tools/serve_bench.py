@@ -41,10 +41,11 @@ def _post_mel(host: str, port: int, mel: np.ndarray, timeout: float = 120.0):
             "X-Mel-Bins": str(mel.shape[1]),
         })
         r = conn.getresponse()
-        payload = json.loads(r.read())
+        raw = r.read()
         if r.status != 200:
-            raise RuntimeError(f"HTTP {r.status}: {payload}")
-        return payload
+            # error replies may be HTML (BaseHTTPRequestHandler.send_error)
+            raise RuntimeError(f"HTTP {r.status}: {raw[:200]!r}")
+        return json.loads(raw)
     finally:
         conn.close()
 
@@ -92,7 +93,9 @@ def run_level(host: str, port: int, mels, concurrency: int,
     lat.sort()
 
     def pct(p):
-        return lat[min(len(lat) - 1, int(len(lat) * p))] * 1000 if lat else None
+        # nearest-rank (matches serve.py /stats): floor-indexing reports the
+        # max for every n < 20 at p95
+        return float(np.percentile(lat, p * 100)) * 1000 if lat else None
 
     return {
         "concurrency": concurrency,
@@ -154,10 +157,13 @@ def main() -> None:
         dr = after["batched_requests"] - before["batched_requests"]
         r["mean_batch_fill"] = round(dr / db, 2) if db else None
         rows.append(r)
+
+        def ms(v):  # a zero-success level has no percentiles
+            return f"{v:>7.1f}" if v is not None else "      —"
         print(f"# c={c:<3d} {r['captions_per_sec']:>7.1f} cap/s  "
-              f"p50 {r['latency_ms_p50']:>7.1f} ms  "
-              f"p95 {r['latency_ms_p95']:>7.1f} ms  "
-              f"p99 {r['latency_ms_p99']:>7.1f} ms  "
+              f"p50 {ms(r['latency_ms_p50'])} ms  "
+              f"p95 {ms(r['latency_ms_p95'])} ms  "
+              f"p99 {ms(r['latency_ms_p99'])} ms  "
               f"fill {r['mean_batch_fill']}  errors {r['errors']}",
               file=sys.stderr, flush=True)
 
