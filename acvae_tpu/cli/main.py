@@ -873,8 +873,12 @@ class Runner:
         quant = None
         if encoder_int8:
             from acvae_tpu.models.quant import quant_encoder_for
+            # calibrate on a real batch — the eval dataset is already open
+            # (serve, with no dataset, falls back to bn0-stats synthesis)
+            cb = next(iter(loader))
             quant = quant_encoder_for(conf, model, state.params,
-                                      state.batch_stats)
+                                      state.batch_stats,
+                                      calib=(cb.feats, cb.feat_lens))
         decode = self._decode_fn(model, quant_encoder=quant,
                                  decode_dtype=decode_dtype,
                                  decode_method=decode_method,

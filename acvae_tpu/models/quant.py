@@ -6,28 +6,45 @@ and the v5e MXU runs int8 convs ~1.6x faster than bf16 at these shapes
 *trained f32* PANN-family variable tree (``Cnn10`` / ``Cnn14``) as an int8
 conv pipeline:
 
-* conv weights: symmetric per-output-channel int8 (scale = max|w|/127);
-* activations: symmetric per-tensor int8 with **static** scales calibrated
-  from one representative batch (dynamic per-batch max would add a full
-  reduction between blocks);
+* conv weights: symmetric per-output-channel int8 (scale = max|w|/127),
+  with the **per-input-channel activation scales folded into the weights
+  before quantization** — per-channel activation quantization at zero
+  runtime cost (the fold happens at bake time; the conv itself still sees
+  one int8 tensor per side);
+* activations: static scales calibrated from one representative batch
+  (dynamic per-batch max would add a full reduction between blocks).
+  The stem (post-bn0, signed) is symmetric int8; every **post-relu**
+  activation is non-negative, so it uses the full 255-level range with a
+  fixed zero point of -128 (``q = round(v/s) - 128``) — double the
+  resolution of symmetric int8 on the same values.  Convs consuming
+  offset activations pad explicitly with -128 (the exact representation
+  of v=0, matching the f32 path's SAME zero padding) and fold the
+  zero-point correction ``128·Σw`` into the baked bias — border math is
+  exact, not approximated;
 * each conv accumulates in int32 on the MXU; the dequantize + folded
   inference BatchNorm + relu + requantize collapse to one baked per-channel
   affine (``acc * A + B`` -> relu -> round/clip/int8) that XLA fuses into
   the conv's output epilogue — no f32 intermediate ever reaches HBM;
 * the 2x2 average pool between blocks runs **in the quantized domain**
-  (int8 strided-slice sum, round-half-up) — pooling the dequantized f32
-  activation instead costs ~4x the HBM traffic on the early blocks and was
-  measured to eat half the int8 win (docs/pallas_notes.md).
+  (int8 strided-slice sum, round-half-up — exact for the offset
+  representation too: ``avg(q)+128 = avg(q+128)``) — pooling the
+  dequantized f32 activation instead costs ~4x the HBM traffic on the
+  early blocks and was measured to eat half the int8 win
+  (docs/pallas_notes.md).
 
 Only the final conv's output is dequantized (its epilogue keeps the plain
 affine), so the head (freq mean, masked pooling, fc) runs in f32.
 
+``per_channel=False, offset=False`` reproduces the round-1 per-tensor
+symmetric scheme for A/B comparison (tools/probe_decode.py / tests).
+
 No reference counterpart (the reference has no quantization story at all);
 this is a TPU-native serving optimization.  Accuracy is validated in
-``tests/test_quant.py`` (cosine > 0.995 vs the f32 encoder on the
-calibration distribution); it is opt-in via ``CaptionService(encoder_int8=
-True)`` / ``cli serve --encoder_int8`` / ``cli evaluate --encoder_int8`` —
-training defaults to the exact f32/bf16 path.
+``tests/test_quant.py`` (cosine vs the f32 encoder; the v2 scheme is
+asserted strictly tighter than v1 on channel-skewed weights); it is opt-in
+via ``CaptionService(encoder_int8=True)`` / ``cli serve --encoder_int8`` /
+``cli evaluate --encoder_int8`` — training defaults to the exact f32/bf16
+path.
 """
 from __future__ import annotations
 
@@ -41,6 +58,7 @@ from jax import lax
 from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
 
 _DN = ("NHWC", "HWIO", "NHWC")
+_ZP = 128  # fixed zero point of the offset (post-relu) representation
 
 
 def _fold_bn(bn_params: Dict, bn_stats: Dict, eps: float = 1e-5):
@@ -61,9 +79,11 @@ def _quantize_w(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def _avgpool_i8(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 stride-2 average pool in the quantized domain.
 
-    Post-relu quantized activations are 0..127, so the 4-tap int32 sum fits
-    int8 after round-half-up ``(s+2)>>2``.  Odd trailing rows/cols are
-    dropped, matching ``reduce_window`` VALID semantics."""
+    The 4-tap int32 sum fits int8 after round-half-up ``(s+2)>>2`` (floor
+    of ``(s+2)/4`` — round-half-toward-+inf for negative offset values
+    too, and ``avg(q)+ZP == avg(q+ZP)`` so the offset representation pools
+    exactly).  Odd trailing rows/cols are dropped, matching
+    ``reduce_window`` VALID semantics."""
     h = (x.shape[1] // 2) * 2
     w = (x.shape[2] // 2) * 2
     x = x[:, :h, :w]
@@ -97,19 +117,26 @@ class QuantPannEncoder:
 
     Build once with ``QuantPannEncoder(variables, calib_feats, calib_lens)``
     (or :meth:`from_bn0_stats`); then ``encoder(feats, feat_lens)`` returns
-    the standard encoder dict contract.  Mirrors the f32 forward step for
-    step (bn0 -> ConvBlocks -> PANN head); dropout is inference-off.
+    the standard encoder dict contract.  Mirrors the f32 forward step
+    (bn0 -> ConvBlocks -> PANN head); dropout is inference-off.
+
+    ``per_channel`` / ``offset`` select the quantization scheme (defaults:
+    the v2 per-channel + zero-point-offset scheme; both False = the round-1
+    per-tensor symmetric scheme, kept for A/B).
     """
 
     def __init__(self, variables: Dict[str, Any],
                  calib_feats: jnp.ndarray, calib_lens: jnp.ndarray,
                  arch: str = "Cnn10",
                  channels: Sequence[int] = (64, 128, 256, 512),
-                 stem_lane_pad: Optional[int] = None):
+                 stem_lane_pad: Optional[int] = None,
+                 per_channel: bool = True, offset: bool = True):
         params = variables["params"]
         stats = variables["batch_stats"]
         spec = _arch_spec(arch, channels)
         self.subsample = spec["subsample"]
+        self.per_channel = bool(per_channel)
+        self.offset = bool(offset)
         # default tracks the f32 encoders' staging constant so the two
         # paths cannot desync (encoders._stage_mel / pretrained.pann_to_flax)
         from acvae_tpu.models.encoders import STEM_LANE_PAD
@@ -122,17 +149,21 @@ class QuantPannEncoder:
             b, bs = params[name], stats[name]
             blk: Dict[str, Any] = {"pool": pooled}
             for j in (1, 2):
-                w = np.asarray(b[f"conv{j}"]["kernel"], np.float32)
-                w_i8, sw = _quantize_w(w)
-                blk[f"w{j}"], blk[f"sw{j}"] = jnp.asarray(w_i8), jnp.asarray(sw)
+                blk[f"wf{j}"] = np.asarray(b[f"conv{j}"]["kernel"],
+                                           np.float32)
                 blk[f"bn{j}"] = _fold_bn(b[f"bn{j}"], bs[f"bn{j}"])
             self.blocks.append(blk)
         head = params[spec["head"]]
         self.fc = (jnp.asarray(head["kernel"]), jnp.asarray(head["bias"]))
-        # static activation-scale calibration from one representative batch,
-        # then bake every dequant+BN+requant chain into one affine per conv
+        # static activation-scale calibration (f32 shadow pass) from one
+        # representative batch, then fold the input scales into the weights,
+        # quantize them, and bake every dequant+BN+requant chain into one
+        # affine per conv
         self.act_scales = self._calibrate(calib_feats, calib_lens)
+        self._fold_and_quantize()
         self._bake_epilogues()
+        for blk in self.blocks:  # the f32 kernels are bake-time-only
+            del blk["wf1"], blk["wf2"]
 
     @classmethod
     def from_bn0_stats(cls, variables: Dict[str, Any],
@@ -163,11 +194,18 @@ class QuantPannEncoder:
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0),
                            (0, self.stem_lane_pad - 1)))
 
+    def _levels(self, i: int) -> float:
+        """Quantization levels per unit scale at quantize point i: the
+        stem (i=0, signed) is symmetric 127; post-relu points use the full
+        255-level offset range when the offset scheme is on."""
+        return 255.0 if (self.offset and i > 0) else 127.0
+
     def _calibrate(self, feats, lens) -> list:
         """f32 shadow pass recording max|activation| at every quantize
         point: the stem output, then each conv's post-relu output *before*
-        pooling (pooling now happens in the quantized domain, so the scale
-        must bound the pre-pool values).
+        pooling (pooling happens in the quantized domain, so the scale
+        must bound the pre-pool values).  Per-channel when
+        ``self.per_channel`` (a [C] vector per point), else scalar.
 
         Padded frames are masked out of every max: bn0's bias makes padding
         zeros non-zero activations, and letting them win the max would
@@ -176,72 +214,122 @@ class QuantPannEncoder:
         pool like the encoder's own length arithmetic)."""
         cur_lens = jnp.asarray(lens, jnp.int32)
 
-        def smax(v, n_valid):
+        def smax(v, n_valid, levels):
             m = (jnp.arange(v.shape[1])[None, :] < n_valid[:, None]
                  )[:, :, None, None]
-            return float(jnp.max(jnp.where(m, jnp.abs(v), 0.0))) / 127.0 + 1e-12
+            a = jnp.where(m, jnp.abs(v), 0.0)
+            if self.per_channel:
+                s = np.asarray(jnp.max(a, axis=(0, 1, 2)), np.float32)
+            else:
+                s = np.asarray(jnp.max(a), np.float32)
+            return s / levels + 1e-12
 
         n_convs = 2 * len(self.blocks)
         scales = []
         x = self._stem(jnp.asarray(feats, jnp.float32))
-        scales.append(smax(x, cur_lens))
+        scales.append(smax(x, cur_lens, self._levels(0)))
         k = 0
         for blk in self.blocks:
             for j in (1, 2):
                 k += 1
-                w = blk[f"w{j}"].astype(jnp.float32) * blk[f"sw{j}"]
                 x = lax.conv_general_dilated(
-                    x, w, (1, 1), "SAME", dimension_numbers=_DN)
+                    x, jnp.asarray(blk[f"wf{j}"]), (1, 1), "SAME",
+                    dimension_numbers=_DN)
                 s, b = blk[f"bn{j}"]
                 x = jnp.maximum(x * s + b, 0.0)
                 if k < n_convs:  # final conv output is never quantized
-                    scales.append(smax(x, cur_lens))
+                    scales.append(smax(x, cur_lens, self._levels(k)))
             if blk["pool"]:
                 x = _avgpool_f32(x)
                 cur_lens = jnp.maximum(cur_lens // 2, 1)
         return scales
 
+    def _fold_and_quantize(self) -> None:
+        """Fold each conv's per-input-channel activation scale into its f32
+        kernel, then quantize per-output-channel.  The folded kernel maps
+        the *quantized* input directly: ``conv(q, w_i8)·sw ≈ conv(v, w)``
+        with ``q = v / s_in`` (per channel).  Scalar scales broadcast, so
+        the same fold covers ``per_channel=False``."""
+        for i, blk in enumerate(self.blocks):
+            for j in (1, 2):
+                s_in = self.act_scales[2 * i + j - 1]
+                w_eff = blk[f"wf{j}"] * np.reshape(
+                    np.asarray(s_in, np.float32), (1, 1, -1, 1))
+                w_i8, sw = _quantize_w(w_eff)
+                blk[f"w{j}"], blk[f"sw{j}"] = jnp.asarray(w_i8), jnp.asarray(sw)
+                # zero-point correction for offset inputs: ZP·Σ_hwi w_i8
+                blk[f"zpk{j}"] = np.sum(w_i8.astype(np.int64),
+                                        axis=(0, 1, 2)).astype(np.float32)
+
     def _bake_epilogues(self) -> None:
-        """Fold (input scale x weight scale x BN scale [/ output scale])
-        into one per-channel affine per conv.  Quantized-output convs get
-        ``A/s_out, B/s_out`` so requantization is just round/clip; the
-        final conv keeps the raw affine (its output stays f32)."""
+        """Fold (weight scale x BN scale [/ output scale]) into one
+        per-channel affine per conv (input scales already live inside the
+        folded weights).  Offset-input convs additionally fold the
+        zero-point correction ``ZP·Σw`` into the bias — together with the
+        explicit -ZP padding this makes border math exact.  Quantized-output
+        convs get ``A/s_out, B/s_out`` so requantization is just
+        round/clip (the -ZP shift rides in the quantize step)."""
         n_convs = 2 * len(self.blocks)
-        s_in, i = self.act_scales[0], 0
+        i = 0
         for blk in self.blocks:
             for j in (1, 2):
                 i += 1
                 bs, bb = blk[f"bn{j}"]
-                A = s_in * blk[f"sw{j}"] * bs
-                B = bb
+                sw = np.asarray(blk[f"sw{j}"])
+                A = sw * np.asarray(bs, np.float32)
+                B = np.asarray(bb, np.float32).copy()
+                if self.offset and i > 1:  # conv input is offset-coded
+                    B = B + A * _ZP * blk[f"zpk{j}"]
                 if i < n_convs:
                     s_out = self.act_scales[i]
-                    A, B = A / s_out, B / s_out
-                    s_in = s_out
-                blk[f"A{j}"], blk[f"B{j}"] = A, B
+                    if self.per_channel:
+                        A, B = A / s_out, B / s_out
+                    else:
+                        A, B = A / float(s_out), B / float(s_out)
+                blk[f"A{j}"], blk[f"B{j}"] = jnp.asarray(A), jnp.asarray(B)
 
     # -------------------------------------------------------------- #
+    def _conv(self, x_i8: jnp.ndarray, blk: Dict[str, Any], j: int,
+              offset_input: bool) -> jnp.ndarray:
+        """int8 conv; offset-coded inputs get explicit -ZP padding + VALID
+        (the padded positions then decode to v=0, exactly the f32 path's
+        SAME zero padding — the matching ZP·Σw constant is in B)."""
+        x = x_i8
+        pad_mode = "SAME"
+        if self.offset and offset_input:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        constant_values=-_ZP)
+            pad_mode = "VALID"
+        return lax.conv_general_dilated(
+            x, blk[f"w{j}"], (1, 1), pad_mode, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+
+    def _requantize(self, y: jnp.ndarray) -> jnp.ndarray:
+        """relu'd scaled output -> int8 code (offset or symmetric)."""
+        if self.offset:
+            return jnp.clip(jnp.round(y) - _ZP, -128, 127).astype(jnp.int8)
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
     def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         assert not train, "QuantPannEncoder is inference-only"
         lens = feat_lens // self.subsample
         x_f = self._stem(feats)
-        x_i8 = jnp.clip(jnp.round(x_f / self.act_scales[0]),
-                        -127, 127).astype(jnp.int8)
+        s0 = self.act_scales[0]
+        x_i8 = jnp.clip(jnp.round(x_f / s0), -127, 127).astype(jnp.int8)
         n = len(self.blocks)
+        k = 0
         for bi, blk in enumerate(self.blocks):
             for j in (1, 2):
-                acc = lax.conv_general_dilated(
-                    x_i8, blk[f"w{j}"], (1, 1), "SAME",
-                    dimension_numbers=_DN,
-                    preferred_element_type=jnp.int32)
+                k += 1
+                acc = self._conv(x_i8, blk, j, offset_input=k > 1)
                 y = jnp.maximum(
                     acc.astype(jnp.float32) * blk[f"A{j}"] + blk[f"B{j}"],
                     0.0)
                 if bi == n - 1 and j == 2:
                     x_f = y  # final conv: stay f32 for the head
                 else:
-                    x_i8 = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+                    x_i8 = self._requantize(y)
             if blk["pool"]:
                 if bi == n - 1:
                     x_f = _avgpool_f32(x_f)
@@ -259,12 +347,18 @@ QuantCnn10 = QuantPannEncoder
 
 
 def quant_encoder_for(conf: Dict[str, Any], model: Any, params: Dict[str, Any],
-                      batch_stats: Optional[Dict[str, Any]]
-                      ) -> QuantPannEncoder:
+                      batch_stats: Optional[Dict[str, Any]],
+                      calib: Optional[Tuple[Any, Any]] = None,
+                      **scheme_kw) -> QuantPannEncoder:
     """Validate an experiment's config/model for int8 serving and build the
     calibrated encoder — the one place the guard conditions and the
-    bn0-stats calibration call live (shared by ``cli evaluate``,
-    ``cli serve`` and ``bench.py``)."""
+    calibration call live (shared by ``cli evaluate``, ``cli serve`` and
+    ``bench.py``).
+
+    ``calib=(feats, feat_lens)`` calibrates on a real batch (what ``cli
+    evaluate`` passes — its dataset is already open); without it the
+    scales come from the bn0-running-stats synthesis, the serving path
+    where no training data exists."""
     if conf.get("encodermodel") not in ("Cnn10", "Cnn14"):
         raise ValueError("encoder_int8 supports the PANN Cnn10/"
                          "Cnn14 encoders only")
@@ -277,11 +371,17 @@ def quant_encoder_for(conf: Dict[str, Any], model: Any, params: Dict[str, Any],
         raise ValueError(
             "encoder_int8 needs the encoder's batch_stats (bn0 running "
             "mean/var) for calibration; this checkpoint has none")
-    return QuantPannEncoder.from_bn0_stats(
-        {"params": params["encoder"], "batch_stats": stats},
-        arch=conf["encodermodel"],
-        channels=tuple(conf.get("encoder_args", {}).get(
-            "channels", (64, 128, 256, 512))))
+    variables = {"params": params["encoder"], "batch_stats": stats}
+    arch = conf["encodermodel"]
+    channels = tuple(conf.get("encoder_args", {}).get(
+        "channels", (64, 128, 256, 512)))
+    if calib is not None:
+        feats, lens = calib
+        return QuantPannEncoder(variables, jnp.asarray(feats, jnp.float32),
+                                jnp.asarray(lens, jnp.int32), arch=arch,
+                                channels=channels, **scheme_kw)
+    return QuantPannEncoder.from_bn0_stats(variables, arch=arch,
+                                           channels=channels, **scheme_kw)
 
 
 def int8_decode_fn(model: Any, quant: QuantPannEncoder, **decode_kwargs):

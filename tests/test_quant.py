@@ -74,3 +74,87 @@ def test_int8_cnn14_matches_f32(rng):
     b = np.asarray(out["audio_embeds"]).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     assert cos > 0.99, cos
+
+
+def _err(enc, v, feats, lens, **scheme):
+    ref = np.asarray(enc.apply(v, feats, lens,
+                               train=False)["audio_embeds"]).ravel()
+    q = QuantCnn10(v, feats, lens, channels=CH, **scheme)
+    out = np.asarray(q(feats, lens)["audio_embeds"]).ravel()
+    return np.linalg.norm(ref - out) / (np.linalg.norm(ref) + 1e-12)
+
+
+def test_v2_scheme_tightens_error(setup):
+    """Per-channel scale folding + the offset (255-level post-relu)
+    representation must beat the round-1 per-tensor symmetric scheme."""
+    enc, v, feats, lens = setup
+    v1 = _err(enc, v, feats, lens, per_channel=False, offset=False)
+    v2 = _err(enc, v, feats, lens, per_channel=True, offset=True)
+    assert v2 < v1, (v1, v2)
+    assert v2 < 0.02, v2
+
+
+def test_per_channel_rescues_skewed_channels(setup):
+    """Skew one post-relu activation's channel ranges by 5 orders of
+    magnitude (scale bn1's affine per channel; undo it inside conv2's
+    input channels — relu commutes with positive per-channel scaling, so
+    the f32 output is unchanged): the per-tensor scheme starves the small
+    channels of resolution; per-channel activation scales do not."""
+    import copy
+    enc, v, feats, lens = setup
+    v_skew = copy.deepcopy(jax.tree.map(np.asarray, v))
+    blk = v_skew["params"]["block0_4"]
+    c = blk["conv1"]["kernel"].shape[-1]
+    skew = np.logspace(-3, 2, c, dtype=np.float32)
+    blk["bn1"]["scale"] = blk["bn1"]["scale"] * skew
+    blk["bn1"]["bias"] = blk["bn1"]["bias"] * skew
+    blk["conv2"]["kernel"] = (blk["conv2"]["kernel"]
+                              / skew[None, None, :, None])
+    v1 = _err(enc, v_skew, feats, lens, per_channel=False, offset=True)
+    v2 = _err(enc, v_skew, feats, lens, per_channel=True, offset=True)
+    assert v2 < v1 / 2, (v1, v2)
+
+
+def test_offset_conv_border_math_is_exact():
+    """The -ZP explicit padding + baked ZP·Σw correction must reproduce the
+    f32 SAME-pad conv of the dequantized activation exactly (the conv is
+    integer math; the only f32 is the final affine)."""
+    from jax import lax
+    from acvae_tpu.models.quant import _ZP, _DN
+
+    rng = np.random.default_rng(1)
+    q = rng.integers(-128, 128, size=(2, 6, 5, 3)).astype(np.int8)
+    w8 = rng.integers(-127, 128, size=(3, 3, 3, 4)).astype(np.int8)
+    s_in = 0.03125  # power of two: dequant is exact in f32
+    # reference: f32 SAME conv of the dequantized values
+    v = (q.astype(np.float32) + _ZP) * s_in
+    ref = lax.conv_general_dilated(
+        jnp.asarray(v), jnp.asarray(w8, jnp.float32), (1, 1), "SAME",
+        dimension_numbers=_DN)
+    # offset path: pad -ZP, VALID conv, + ZP·Σw correction, × s_in
+    xp = jnp.pad(jnp.asarray(q), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=-_ZP)
+    acc = lax.conv_general_dilated(
+        xp, jnp.asarray(w8), (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32)
+    zpk = np.sum(w8.astype(np.int64), axis=(0, 1, 2)).astype(np.float32)
+    got = (acc.astype(jnp.float32) + _ZP * zpk) * s_in
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_quantized_avgpool_matches_offset_semantics():
+    """avg(q) + ZP == avg(q + ZP) with consistent round-half-up, so the
+    int8 pool is representation-exact for the offset coding too."""
+    from acvae_tpu.models.quant import _avgpool_i8
+
+    rng = np.random.default_rng(2)
+    q = rng.integers(-128, 128, size=(3, 8, 6, 5)).astype(np.int8)
+    got = np.asarray(_avgpool_i8(jnp.asarray(q))).astype(np.int32)
+    s = (q[:, ::2, ::2].astype(np.int64) + q[:, 1::2, ::2]
+         + q[:, ::2, 1::2] + q[:, 1::2, 1::2])
+    want = np.floor((s + 2) / 4).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+    # and in the shifted (true-value) domain:
+    s_shift = s + 4 * 128
+    want_shift = np.floor((s_shift + 2) / 4).astype(np.int32) - 128
+    np.testing.assert_array_equal(got, want_shift)
