@@ -818,7 +818,8 @@ class Runner:
                  decode_method: Optional[str] = None, beam_size: int = 3,
                  num_candidates: int = 1, max_length: Optional[int] = None,
                  checkpoint: str = "best", seed: int = 1,
-                 encoder_int8: bool = False, distributed: bool = False,
+                 encoder_int8: bool = False, int8_scheme: str = "v2",
+                 distributed: bool = False,
                  decode_dtype: Optional[str] = None, tag: str = "",
                  **decode_kwargs):
         """Decode + score a test set (base_runner.py:199-333).
@@ -832,7 +833,11 @@ class Runner:
         for diversity eval (pytorch_runner_vae.py:101-104).
 
         encoder_int8 swaps in the int8 serving encoder (models/quant.py) so
-        its accuracy delta can be measured with the full metric harness.
+        its accuracy delta can be measured with the full metric harness;
+        int8_scheme picks the quantization scheme (models/quant.py SCHEMES:
+        "v2" default, "v2sym", "v1") so schemes can be accuracy-A/B'd on
+        the same checkpoint (artifacts get ``_int8`` / ``_int8<scheme>``
+        suffixes).
 
         decode_dtype=bfloat16 runs the decode loop in bf16 (ops/amp.py;
         ~1.4× faster serving decode, tokens may flip near-ties vs f32) —
@@ -872,13 +877,14 @@ class Runner:
         key = jax.random.key(seed)
         quant = None
         if encoder_int8:
-            from acvae_tpu.models.quant import quant_encoder_for
+            from acvae_tpu.models.quant import quant_encoder_for, scheme_kwargs
             # calibrate on a real batch — the eval dataset is already open
             # (serve, with no dataset, falls back to bn0-stats synthesis)
             cb = next(iter(loader))
             quant = quant_encoder_for(conf, model, state.params,
                                       state.batch_stats,
-                                      calib=(cb.feats, cb.feat_lens))
+                                      calib=(cb.feats, cb.feat_lens),
+                                      **scheme_kwargs(int8_scheme))
         decode = self._decode_fn(model, quant_encoder=quant,
                                  decode_dtype=decode_dtype,
                                  decode_method=decode_method,
@@ -944,6 +950,8 @@ class Runner:
              "tokens": caps[0]}
             for aid, caps in key2pred.items()]
         suffix = "_int8" if encoder_int8 else ""
+        if encoder_int8 and int8_scheme != "v2":
+            suffix += int8_scheme
         if decode_dtype and decode_dtype != "float32":
             # keep the f32 outputs around — the A/B the flag exists for
             suffix += f"_{decode_dtype}"

@@ -23,8 +23,13 @@ conv pipeline:
   exact, not approximated;
 * each conv accumulates in int32 on the MXU; the dequantize + folded
   inference BatchNorm + relu + requantize collapse to one baked per-channel
-  affine (``acc * A + B`` -> relu -> round/clip/int8) that XLA fuses into
-  the conv's output epilogue — no f32 intermediate ever reaches HBM;
+  affine (``acc * A + B`` -> round/clip/int8; the relu is implicit in the
+  offset requantize — negative values round below -128 and clip to the
+  code for v=0) that XLA fuses into the conv's output epilogue.  The
+  fusion avoids any f32 intermediate in HBM but is NOT free: the on-chip
+  probe (tools/probe_encoder.py, docs/pallas_notes.md "conv attribution")
+  measures the epilogue VPU work at +0.4-3.2 ms per conv at batch 256 —
+  element-count-bound, largest on the early blocks;
 * the 2x2 average pool between blocks runs **in the quantized domain**
   (int8 strided-slice sum, round-half-up — exact for the offset
   representation too: ``avg(q)+128 = avg(q+128)``) — pooling the
@@ -305,10 +310,18 @@ class QuantPannEncoder:
             preferred_element_type=jnp.int32)
 
     def _requantize(self, y: jnp.ndarray) -> jnp.ndarray:
-        """relu'd scaled output -> int8 code (offset or symmetric)."""
+        """Scaled conv output -> int8 code (offset or symmetric).
+
+        The offset path takes the PRE-relu affine output: any y < 0 rounds
+        below -ZP and clips to -128 — exactly the code for v=0, so the relu
+        is folded into the clip for free (one fewer VPU op per element;
+        pinned bit-exact by tests/test_quant.py::test_offset_requant_folds_relu).
+        The symmetric path needs the explicit relu (negative y would
+        otherwise requantize to negative codes)."""
         if self.offset:
             return jnp.clip(jnp.round(y) - _ZP, -128, 127).astype(jnp.int8)
-        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+        return jnp.clip(jnp.round(jnp.maximum(y, 0.0)), -127, 127) \
+            .astype(jnp.int8)
 
     def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -323,11 +336,11 @@ class QuantPannEncoder:
             for j in (1, 2):
                 k += 1
                 acc = self._conv(x_i8, blk, j, offset_input=k > 1)
-                y = jnp.maximum(
-                    acc.astype(jnp.float32) * blk[f"A{j}"] + blk[f"B{j}"],
-                    0.0)
+                # pre-relu affine: _requantize folds the relu into its clip
+                # (offset) or applies it explicitly (symmetric)
+                y = acc.astype(jnp.float32) * blk[f"A{j}"] + blk[f"B{j}"]
                 if bi == n - 1 and j == 2:
-                    x_f = y  # final conv: stay f32 for the head
+                    x_f = jnp.maximum(y, 0.0)  # final conv: f32 for the head
                 else:
                     x_i8 = self._requantize(y)
             if blk["pool"]:
@@ -344,6 +357,27 @@ class QuantPannEncoder:
 
 # backwards-compatible name (Cnn10 default)
 QuantCnn10 = QuantPannEncoder
+
+# named quantization schemes (the CLI surface's --int8_scheme values):
+#   v1    — round-1 per-tensor symmetric
+#   v2    — per-channel activation scales + offset (255-level) coding;
+#           highest resolution, but the offset pad does not fuse in the
+#           composed encoder (~17 ms at batch 512, pallas_notes.md)
+#   v2sym — per-channel scales, symmetric coding: v2's main accuracy
+#           lever at v1's speed (the scales fold into the weights at bake
+#           time — zero runtime cost)
+SCHEMES: Dict[str, Dict[str, bool]] = {
+    "v1": {"per_channel": False, "offset": False},
+    "v2": {"per_channel": True, "offset": True},
+    "v2sym": {"per_channel": True, "offset": False},
+}
+
+
+def scheme_kwargs(name: str) -> Dict[str, bool]:
+    if name not in SCHEMES:
+        raise ValueError(
+            f"int8_scheme must be one of {sorted(SCHEMES)}, got {name!r}")
+    return dict(SCHEMES[name])
 
 
 def quant_encoder_for(conf: Dict[str, Any], model: Any, params: Dict[str, Any],

@@ -300,6 +300,16 @@ class TestCLI:
                                            "eval_output_beam_3_int8.json"))
         assert os.path.exists(os.path.join(self.exp_dir,
                                            "scores_beam_3_int8.txt"))
+        # the round-1 scheme stays addressable for accuracy A/Bs and writes
+        # its own artifacts (no clobbering of the v2 run above)
+        scores_v1 = Runner().evaluate(self.exp_dir, checkpoint="last",
+                                      encoder_int8=True, int8_scheme="v1")
+        assert np.isfinite(scores_v1["CIDEr"])
+        assert os.path.exists(os.path.join(self.exp_dir,
+                                           "scores_beam_3_int8v1.txt"))
+        with pytest.raises(ValueError):
+            Runner().evaluate(self.exp_dir, checkpoint="last",
+                              encoder_int8=True, int8_scheme="v3")
 
     def test_average_checkpoints(self, workspace):
         """SWA-style weight averaging: avg = mean(best, last) elementwise,

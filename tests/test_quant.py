@@ -158,3 +158,23 @@ def test_quantized_avgpool_matches_offset_semantics():
     s_shift = s + 4 * 128
     want_shift = np.floor((s_shift + 2) / 4).astype(np.int32) - 128
     np.testing.assert_array_equal(got, want_shift)
+
+
+def test_offset_requant_folds_relu():
+    """The offset requantize takes the PRE-relu affine output: negative
+    values round below -ZP and clip to -128 — the exact code for v=0 — so
+    skipping the explicit relu (one VPU op per element, quant.py
+    ``_requantize``) is bit-exact, not an approximation."""
+    from acvae_tpu.models.quant import _ZP
+
+    rng = np.random.default_rng(5)
+    # dense coverage of the rounding boundaries around 0 plus wide range
+    y = jnp.asarray(np.concatenate([
+        rng.normal(scale=300.0, size=20000),
+        np.linspace(-2.0, 2.0, 4001),  # half-integer rounding boundaries
+        np.array([0.0, -0.5, 0.5, -0.49999, 255.0, 254.5, 1e9, -1e9]),
+    ]).astype(np.float32))
+    with_relu = jnp.clip(jnp.round(jnp.maximum(y, 0.0)) - _ZP,
+                         -128, 127).astype(jnp.int8)
+    without = jnp.clip(jnp.round(y) - _ZP, -128, 127).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(with_relu), np.asarray(without))

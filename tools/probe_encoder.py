@@ -210,11 +210,18 @@ def _build_encoders():
     q2 = QuantPannEncoder(v, calib_feats, calib_lens, channels=CH)
     q1 = QuantPannEncoder(v, calib_feats, calib_lens, channels=CH,
                           per_channel=False, offset=False)
-    return enc_bf16, v, q2, q1
+    # per-channel scales without the offset coding: the scales fold into
+    # the weights at bake time (zero runtime cost), so this should run at
+    # v1 speed — the first enc_ab showed v2's offset pad does NOT fuse in
+    # the composed program (−17 ms at batch 512) though it fuses in the
+    # isolated conv loops
+    q2s = QuantPannEncoder(v, calib_feats, calib_lens, channels=CH,
+                           offset=False)
+    return enc_bf16, v, q2, q1, q2s
 
 
 def enc_ab():
-    enc_bf16, v, q2, q1 = _build_encoders()
+    enc_bf16, v, q2, q1, q2s = _build_encoders()
     feats = jax.device_put(
         jnp.asarray(_r.normal(size=(N_FULL, T, F)).astype(np.float32)))
     lens = jax.device_put(jnp.asarray(
@@ -224,8 +231,11 @@ def enc_ab():
         v, ft, ln, train=False)["audio_embeds_pooled"].ravel()[0])
     f_q2 = jax.jit(lambda ft, ln: q2(ft, ln)["audio_embeds_pooled"].ravel()[0])
     f_q1 = jax.jit(lambda ft, ln: q1(ft, ln)["audio_embeds_pooled"].ravel()[0])
+    f_q2s = jax.jit(
+        lambda ft, ln: q2s(ft, ln)["audio_embeds_pooled"].ravel()[0])
 
-    arms = [("bf16 Cnn10", f_bf16), ("int8 v2", f_q2), ("int8 v1", f_q1)]
+    arms = [("bf16 Cnn10", f_bf16), ("int8 v2", f_q2), ("int8 v1", f_q1),
+            ("int8 v2sym (pc, no offset)", f_q2s)]
     for label, f in arms:  # compile before any timing
         np.asarray(f(feats, lens))
     results = {label: [] for label, _ in arms}
