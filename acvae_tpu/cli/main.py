@@ -835,8 +835,8 @@ class Runner:
         encoder_int8 swaps in the int8 serving encoder (models/quant.py) so
         its accuracy delta can be measured with the full metric harness;
         int8_scheme picks the quantization scheme (models/quant.py SCHEMES:
-        "v2" default, "v2sym", "v1") so schemes can be accuracy-A/B'd on
-        the same checkpoint (artifacts get ``_int8`` / ``_int8<scheme>``
+        "v2" default, "v2sym", "v3", "v1") so schemes can be accuracy-A/B'd
+        on the same checkpoint (artifacts get ``_int8`` / ``_int8<scheme>``
         suffixes).
 
         decode_dtype=bfloat16 runs the decode loop in bf16 (ops/amp.py;
@@ -1022,7 +1022,8 @@ class Runner:
               beam_size: int = 3, max_length: int = 20,
               batch_size: int = 16, mel_bucket: int = 1024,
               max_wait_ms: float = 20.0, checkpoint: str = "best",
-              encoder_int8: bool = False, exported: Optional[str] = None,
+              encoder_int8: bool = False, int8_scheme: str = "v2",
+              exported: Optional[str] = None,
               upload_dtype: str = "float32",
               decode_dtype: Optional[str] = None):
         """Micro-batching caption inference server (new — deployment
@@ -1032,7 +1033,8 @@ class Runner:
         ``--exported=<dir>`` serves a ``cli export_model`` artifact —
         no experiment dir needed, and the decode config/precision is the
         artifact's (--decode_method/--beam_size/--max_length/--mel_bucket/
-        --checkpoint/--encoder_int8 do not apply)."""
+        --checkpoint/--encoder_int8 do not apply).  ``--int8_scheme``
+        picks the quantization scheme (models/quant.py SCHEMES)."""
         from acvae_tpu.serve import CaptionService, run_server
 
         if exported is None and experiment_path is None:
@@ -1048,6 +1050,7 @@ class Runner:
             baked = {"decode_method": decode_method, "beam_size": beam_size,
                      "max_length": max_length, "mel_bucket": mel_bucket,
                      "checkpoint": checkpoint, "encoder_int8": encoder_int8,
+                     "int8_scheme": int8_scheme,
                      "decode_dtype": decode_dtype}
             changed = [k for k, v in baked.items() if v != defaults[k]]
             if changed:
@@ -1061,6 +1064,7 @@ class Runner:
             decode_method=decode_method, beam_size=beam_size,
             max_length=max_length, batch_size=batch_size,
             mel_bucket=mel_bucket, encoder_int8=encoder_int8,
+            int8_scheme=int8_scheme,
             exported=exported, upload_dtype=upload_dtype,
             decode_dtype=decode_dtype)
         run_server(service, host=host, port=port, max_wait_ms=max_wait_ms)
@@ -1112,7 +1116,7 @@ class Runner:
                      batch_size: Optional[int] = None,
                      output_dir: Optional[str] = None,
                      platforms: Optional[str] = None,
-                     encoder_int8: bool = False,
+                     encoder_int8: bool = False, int8_scheme: str = "v2",
                      decode_dtype: Optional[str] = None):
         """Export the trained decode program to a self-contained serialized
         StableHLO artifact (jax.export) — weights baked in, loadable by any
@@ -1150,9 +1154,10 @@ class Runner:
         kwargs = dict(decode_method=decode_method, beam_size=beam_size,
                       max_length=max_length)
         if encoder_int8:
-            from acvae_tpu.models.quant import quant_encoder_for
+            from acvae_tpu.models.quant import quant_encoder_for, scheme_kwargs
             quant = quant_encoder_for(conf, model, variables["params"],
-                                      variables["batch_stats"])
+                                      variables["batch_stats"],
+                                      **scheme_kwargs(int8_scheme))
             fn = build_decode_fn_int8(model, variables, quant, **kwargs)
         else:
             from acvae_tpu.ops.amp import resolve_decode_dtype
@@ -1170,6 +1175,7 @@ class Runner:
             "n_mels": data_dim, "batch": batch_desc,
             "platforms": list(exported.platforms),
             "encoder_int8": bool(encoder_int8),
+            "int8_scheme": int8_scheme if encoder_int8 else None,
             "decode_dtype": str(decode_dtype or "float32"),
             "checkpoint": checkpoint, "experiment": str(exp)})
         import shutil

@@ -64,6 +64,8 @@ from acvae_tpu.ops.masked import max_with_lens, mean_with_lens
 
 _DN = ("NHWC", "HWIO", "NHWC")
 _ZP = 128  # fixed zero point of the offset (post-relu) representation
+# clip ratios searched by the MSE-optimal calibration (r=1.0 = abs-max)
+_CLIP_GRID = np.linspace(0.5, 1.0, 11).astype(np.float32)
 
 
 def _fold_bn(bn_params: Dict, bn_stats: Dict, eps: float = 1e-5):
@@ -102,6 +104,28 @@ def _avgpool_f32(x: jnp.ndarray) -> jnp.ndarray:
                              (1, 2, 2, 1), "VALID") * 0.25
 
 
+def _mse_scale(a: jnp.ndarray, s_absmax: np.ndarray, levels: float,
+               axes) -> np.ndarray:
+    """MSE-optimal clip search: pick the scale ``r·s_absmax`` (r ∈
+    _CLIP_GRID) minimizing the round-trip quantization MSE of ``a``
+    (non-negative magnitudes; zeros quantize exactly and add no error).
+
+    Abs-max is only optimal when the extreme value matters as much as the
+    bulk; with millions of bulk elements and a handful of outliers, the
+    bulk's resolution loss outweighs the outliers' clip error and a
+    smaller scale wins.  The simulated quantizer matches the runtime one
+    (``jnp.round`` + clip), and r=1.0 is in the grid, so the search can
+    only improve the local MSE proxy."""
+    errs = []
+    for r in _CLIP_GRID:
+        sr = s_absmax * np.float32(r)
+        q = jnp.clip(jnp.round(a / sr), 0, levels)
+        errs.append(np.asarray(
+            jnp.sum((a - q * sr) ** 2, axis=axes), np.float32))
+    best = np.argmin(np.stack(errs, 0), axis=0)
+    return (s_absmax * _CLIP_GRID[best]).astype(np.float32)
+
+
 def _arch_spec(arch: str, channels: Sequence[int]) -> Dict[str, Any]:
     """Block names / pooling plan / head names per PANN architecture
     (mirrors encoders.Cnn10.__call__ and encoders.Cnn14.__call__)."""
@@ -125,9 +149,10 @@ class QuantPannEncoder:
     the standard encoder dict contract.  Mirrors the f32 forward step
     (bn0 -> ConvBlocks -> PANN head); dropout is inference-off.
 
-    ``per_channel`` / ``offset`` select the quantization scheme (defaults:
-    the v2 per-channel + zero-point-offset scheme; both False = the round-1
-    per-tensor symmetric scheme, kept for A/B).
+    ``per_channel`` / ``offset`` / ``mse_clip`` select the quantization
+    scheme (defaults: the v2 per-channel + zero-point-offset scheme; both
+    False = the round-1 per-tensor symmetric scheme, kept for A/B;
+    ``mse_clip`` swaps abs-max calibration for an MSE-optimal clip search).
     """
 
     def __init__(self, variables: Dict[str, Any],
@@ -135,13 +160,16 @@ class QuantPannEncoder:
                  arch: str = "Cnn10",
                  channels: Sequence[int] = (64, 128, 256, 512),
                  stem_lane_pad: Optional[int] = None,
-                 per_channel: bool = True, offset: bool = True):
+                 per_channel: bool = True, offset: bool = True,
+                 mse_clip: bool = False, bias_correct: bool = False):
         params = variables["params"]
         stats = variables["batch_stats"]
         spec = _arch_spec(arch, channels)
         self.subsample = spec["subsample"]
         self.per_channel = bool(per_channel)
         self.offset = bool(offset)
+        self.mse_clip = bool(mse_clip)
+        self.bias_correct = bool(bias_correct)
         # default tracks the f32 encoders' staging constant so the two
         # paths cannot desync (encoders._stage_mel / pretrained.pann_to_flax)
         from acvae_tpu.models.encoders import STEM_LANE_PAD
@@ -167,6 +195,8 @@ class QuantPannEncoder:
         self.act_scales = self._calibrate(calib_feats, calib_lens)
         self._fold_and_quantize()
         self._bake_epilogues()
+        if self.bias_correct:
+            self._bias_correct_pass(calib_feats, calib_lens)
         for blk in self.blocks:  # the f32 kernels are bake-time-only
             del blk["wf1"], blk["wf2"]
 
@@ -216,18 +246,23 @@ class QuantPannEncoder:
         zeros non-zero activations, and letting them win the max would
         inflate the scales and waste int8 resolution on values real audio
         never produces (``lens`` tracks the valid frames through each 2×2
-        pool like the encoder's own length arithmetic)."""
+        pool like the encoder's own length arithmetic).
+
+        With ``mse_clip`` the abs-max scale is only the search anchor:
+        each quantize point runs :func:`_mse_scale` on the masked
+        magnitudes (masked entries quantize to exactly 0 and contribute no
+        error, so no re-masking is needed inside the search)."""
         cur_lens = jnp.asarray(lens, jnp.int32)
+        axes = (0, 1, 2) if self.per_channel else None
 
         def smax(v, n_valid, levels):
             m = (jnp.arange(v.shape[1])[None, :] < n_valid[:, None]
                  )[:, :, None, None]
             a = jnp.where(m, jnp.abs(v), 0.0)
-            if self.per_channel:
-                s = np.asarray(jnp.max(a, axis=(0, 1, 2)), np.float32)
-            else:
-                s = np.asarray(jnp.max(a), np.float32)
-            return s / levels + 1e-12
+            s = np.asarray(jnp.max(a, axis=axes), np.float32) / levels + 1e-12
+            if not self.mse_clip:
+                return s
+            return _mse_scale(a, s, levels, axes)
 
         n_convs = 2 * len(self.blocks)
         scales = []
@@ -292,6 +327,66 @@ class QuantPannEncoder:
                     else:
                         A, B = A / float(s_out), B / float(s_out)
                 blk[f"A{j}"], blk[f"B{j}"] = jnp.asarray(A), jnp.asarray(B)
+
+    def _bias_correct_pass(self, feats, lens) -> None:
+        """Fold the measured per-output-channel mean quantization error on
+        the calibration batch into each conv's baked bias (the
+        data-free-quantization bias-correction recipe).
+
+        Rounding error is not zero-mean per channel — folded weights round
+        once (a fixed signed offset per tap) and activation codes interact
+        with relu asymmetrically — so each conv's output carries a small
+        systematic per-channel shift that compounds through eight conv
+        layers.  The pass walks the convs in order keeping the exact f32
+        forward and the quantized path side by side, measures the masked
+        mean pre-relu difference per output channel (in the conv's own
+        requantize units, the units ``B`` lives in), and adds it to ``B``
+        before continuing — so later corrections see the compounded
+        corrected path.  Bake-time-only cost; the runtime program is
+        unchanged (``B`` is already a per-channel constant)."""
+        cur_lens = jnp.asarray(lens, jnp.int32)
+        x_ref = self._stem(jnp.asarray(feats, jnp.float32))
+        s0 = self.act_scales[0]
+        x_i8 = jnp.clip(jnp.round(x_ref / s0), -127, 127).astype(jnp.int8)
+        n = len(self.blocks)
+        n_convs = 2 * n
+        k = 0
+        for bi, blk in enumerate(self.blocks):
+            for j in (1, 2):
+                k += 1
+                bs, bb = blk[f"bn{j}"]
+                y_ref = lax.conv_general_dilated(
+                    x_ref, jnp.asarray(blk[f"wf{j}"]), (1, 1), "SAME",
+                    dimension_numbers=_DN) * bs + bb  # pre-relu, value units
+                acc = self._conv(x_i8, blk, j, offset_input=k > 1)
+                y = acc.astype(jnp.float32) * blk[f"A{j}"] + blk[f"B{j}"]
+                # bring the reference into y's units (quantized-output convs
+                # bake 1/s_out into A and B; the final conv stays in value
+                # units), then measure the valid-frame mean shift
+                if k < n_convs:
+                    s_out = self.act_scales[k]
+                    y_cmp = y_ref / (s_out if self.per_channel
+                                     else float(s_out))
+                else:
+                    y_cmp = y_ref
+                m = (jnp.arange(y.shape[1])[None, :]
+                     < cur_lens[:, None])[:, :, None, None]
+                cnt = jnp.maximum(jnp.sum(m) * y.shape[2], 1)
+                d = jnp.sum(jnp.where(m, y_cmp - y, 0.0), axis=(0, 1, 2)) / cnt
+                blk[f"B{j}"] = blk[f"B{j}"] + d
+                y = y + d
+                if bi == n - 1 and j == 2:
+                    x_f = jnp.maximum(y, 0.0)
+                else:
+                    x_i8 = self._requantize(y)
+                x_ref = jnp.maximum(y_ref, 0.0)
+            if blk["pool"]:
+                x_ref = _avgpool_f32(x_ref)
+                if bi == n - 1:
+                    del x_f  # nothing downstream of the final conv to walk
+                else:
+                    x_i8 = _avgpool_i8(x_i8)
+                cur_lens = jnp.maximum(cur_lens // 2, 1)
 
     # -------------------------------------------------------------- #
     def _conv(self, x_i8: jnp.ndarray, blk: Dict[str, Any], j: int,
@@ -366,10 +461,16 @@ QuantCnn10 = QuantPannEncoder
 #   v2sym — per-channel scales, symmetric coding: v2's main accuracy
 #           lever at v1's speed (the scales fold into the weights at bake
 #           time — zero runtime cost)
+#   v3    — v2sym + the two bake-time-only accuracy levers: MSE-optimal
+#           clip search (outlier-robust activation scales) and per-channel
+#           bias correction (folds the measured mean quantization error
+#           into the baked biases).  Same runtime program as v2sym.
 SCHEMES: Dict[str, Dict[str, bool]] = {
     "v1": {"per_channel": False, "offset": False},
     "v2": {"per_channel": True, "offset": True},
     "v2sym": {"per_channel": True, "offset": False},
+    "v3": {"per_channel": True, "offset": False,
+           "mse_clip": True, "bias_correct": True},
 }
 
 

@@ -40,7 +40,7 @@ class CaptionService:
                  decode_method: str = "beam", beam_size: int = 3,
                  max_length: int = 20, batch_size: int = 16,
                  mel_bucket: int = 1024, seed: int = 1,
-                 encoder_int8: bool = False,
+                 encoder_int8: bool = False, int8_scheme: str = "v2",
                  exported: "Optional[str]" = None,
                  upload_dtype: str = "float32",
                  decode_dtype: Optional[str] = None):
@@ -127,9 +127,11 @@ class CaptionService:
             # MXU at 2× bf16, and decode is encoder-dominated.  Calibrated
             # from bn0's running stats — no training data needed here.
             from acvae_tpu.models.quant import (int8_decode_fn,
-                                                quant_encoder_for)
+                                                quant_encoder_for,
+                                                scheme_kwargs)
             quant = quant_encoder_for(self.conf, model, restored["params"],
-                                      restored.get("batch_stats", {}))
+                                      restored.get("batch_stats", {}),
+                                      **scheme_kwargs(int8_scheme))
             decode = int8_decode_fn(model, quant, **kwargs)
         else:
             # decode_dtype=bfloat16 runs the decode loop in bf16

@@ -129,7 +129,8 @@ def bench_int8() -> dict:
     import numpy as np
 
     from __graft_entry__ import _build_flagship
-    from acvae_tpu.models.quant import int8_decode_fn, quant_encoder_for
+    from acvae_tpu.models.quant import (int8_decode_fn, quant_encoder_for,
+                                        scheme_kwargs)
 
     model = _build_flagship(vocab_size=VOCAB)
     rng = np.random.default_rng(0)
@@ -141,8 +142,13 @@ def bench_int8() -> dict:
         fi, jnp.full((8,), 256, jnp.int32),
         jnp.ones((8, 22), jnp.int32), jnp.full((8,), 22, jnp.int32),
         train=False)
+    # v3 = the recommended serving scheme (same runtime program as v2sym;
+    # the accuracy levers are bake-time-only) — ACVAE_BENCH_INT8_SCHEME
+    # switches for scheme-throughput A/Bs
+    scheme = os.environ.get("ACVAE_BENCH_INT8_SCHEME", "v3")
     quant = quant_encoder_for({"encodermodel": "Cnn10"}, model,
-                              variables["params"], variables["batch_stats"])
+                              variables["params"], variables["batch_stats"],
+                              **scheme_kwargs(scheme))
     decode = int8_decode_fn(model, quant, decode_method="beam",
                             beam_size=BEAM, max_length=MAX_LEN)
 

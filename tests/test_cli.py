@@ -307,9 +307,15 @@ class TestCLI:
         assert np.isfinite(scores_v1["CIDEr"])
         assert os.path.exists(os.path.join(self.exp_dir,
                                            "scores_beam_3_int8v1.txt"))
+        # v3 (bake-time accuracy levers, v2sym runtime) evaluates too
+        scores_v3 = Runner().evaluate(self.exp_dir, checkpoint="last",
+                                      encoder_int8=True, int8_scheme="v3")
+        assert np.isfinite(scores_v3["CIDEr"])
+        assert os.path.exists(os.path.join(self.exp_dir,
+                                           "scores_beam_3_int8v3.txt"))
         with pytest.raises(ValueError):
             Runner().evaluate(self.exp_dir, checkpoint="last",
-                              encoder_int8=True, int8_scheme="v3")
+                              encoder_int8=True, int8_scheme="v9")
 
     def test_average_checkpoints(self, workspace):
         """SWA-style weight averaging: avg = mean(best, last) elementwise,

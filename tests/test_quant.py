@@ -115,6 +115,73 @@ def test_per_channel_rescues_skewed_channels(setup):
     assert v2 < v1 / 2, (v1, v2)
 
 
+def test_mse_scale_clips_outliers():
+    """With a large bulk and one outlier, the bulk's resolution loss
+    outweighs the outlier's clip error and the MSE search picks a scale
+    strictly below abs-max — and the resulting round-trip MSE must beat
+    the abs-max scale's (r=1.0 is in the grid, so it can never lose)."""
+    from acvae_tpu.models.quant import _mse_scale
+
+    rng = np.random.default_rng(3)
+
+    def mse_of(a, s):
+        q = jnp.clip(jnp.round(a / s), 0, 127)
+        return float(jnp.mean((a - q * s) ** 2))
+
+    vals = np.abs(rng.normal(size=100_000).astype(np.float32))
+    vals[0] = 50.0
+    a = jnp.asarray(vals)
+    s_absmax = np.float32(50.0 / 127.0)
+    s = _mse_scale(a, s_absmax, 127.0, axes=None)
+    assert s < s_absmax, (s, s_absmax)
+    assert mse_of(a, s) < mse_of(a, s_absmax)
+    # outlier-free data: abs-max is already near-optimal — the search must
+    # never lose (r=1.0 is in the grid)
+    clean = jnp.asarray(np.abs(rng.normal(size=100_000)).astype(np.float32))
+    s_clean_max = np.float32(float(jnp.max(clean)) / 127.0)
+    s_clean = _mse_scale(clean, s_clean_max, 127.0, axes=None)
+    assert mse_of(clean, s_clean) <= mse_of(clean, s_clean_max)
+
+
+def test_bias_correction_zeroes_mean_error(setup):
+    """After the bias-correction pass, the per-channel mean of the final
+    conv's pre-relu error on the calibration batch is ~0 (that is the
+    quantity the pass folds into B), and the end-to-end embedding error
+    must not degrade."""
+    enc, v, feats, lens = setup
+    ref = np.asarray(enc.apply(v, feats, lens, train=False)["audio_embeds"])
+
+    def run(**kw):
+        q = QuantCnn10(v, feats, lens, channels=CH, per_channel=True,
+                       offset=False, **kw)
+        return q, np.asarray(q(feats, lens)["audio_embeds"])
+
+    q_plain, out_plain = run()
+    q_corr, out_corr = run(bias_correct=True)
+    # the corrected path's mean embedding error shrinks toward zero
+    # (audio_embeds is the freq-mean of relu'd final conv output — the
+    # correction target up to the relu nonlinearity)
+    mean_err_plain = np.abs((ref - out_plain).mean(axis=(0, 1)))
+    mean_err_corr = np.abs((ref - out_corr).mean(axis=(0, 1)))
+    assert mean_err_corr.mean() < mean_err_plain.mean(), \
+        (mean_err_corr.mean(), mean_err_plain.mean())
+    rel_plain = np.linalg.norm(ref - out_plain) / np.linalg.norm(ref)
+    rel_corr = np.linalg.norm(ref - out_corr) / np.linalg.norm(ref)
+    assert rel_corr < rel_plain * 1.05, (rel_corr, rel_plain)
+
+
+def test_v3_scheme_end_to_end(setup):
+    """v3 (v2sym + mse_clip + bias_correct) resolves through SCHEMES, runs,
+    and stays within the fidelity bar on the standard fixture."""
+    from acvae_tpu.models.quant import scheme_kwargs
+    enc, v, feats, lens = setup
+    e = _err(enc, v, feats, lens, **scheme_kwargs("v3"))
+    assert e < 0.02, e
+    e_sym = _err(enc, v, feats, lens, **scheme_kwargs("v2sym"))
+    # the bake-time levers must not be a net loss on ordinary data
+    assert e <= e_sym * 1.1, (e, e_sym)
+
+
 def test_offset_conv_border_math_is_exact():
     """The -ZP explicit padding + baked ZP·Σw correction must reproduce the
     f32 SAME-pad conv of the dequantized activation exactly (the conv is
