@@ -8,8 +8,15 @@ a micro-batching caption service over a trained experiment directory.
   and batched), and serves `caption(mels) -> [str]`.
 * :func:`run_server` / `cli serve` — a threaded HTTP front end:
   ``POST /caption`` with JSON ``{"mel": [[T×F floats]]}`` (the training
-  log-mel format) or ``{"wav": [...], "sr": N}`` (waveform, converted on
-  device via the log-mel frontend); responds ``{"caption": "..."}``.
+  log-mel format), ``{"wav": [...], "sr": N}`` (waveform, converted on
+  device via the log-mel frontend), or ``{"mel_q8": [[T×F uint8]],
+  "scale": s, "offset": o}`` (client-quantized codes, ``mel ≈ q·s + o``,
+  dequantized on device); responds ``{"caption": "..."}``.  The binary
+  fast path (``application/octet-stream`` + X-Mel-Frames/X-Mel-Bins)
+  takes raw f32 or, with ``X-Mel-Dtype: uint8`` +
+  ``X-Mel-Scale``/``X-Mel-Offset``, quantized codes at 1/4 the upload
+  bytes — the HTTP layer is upload-bound on the tunneled runtime
+  (RESULTS.md "serving load benchmark").
   ``GET /health`` reports readiness; ``GET /stats`` reports operational
   counters (request outcomes, batch sizes, latency percentiles, queue
   depth).  Incoming requests queue and are decoded together, up to
@@ -98,6 +105,7 @@ class CaptionService:
                 return call(feats, feat_lens, seed_scalar)
 
             self._decode = decode
+            self._decode_u8 = None  # exported: u8 dequantizes on host
             self._key = None
             self._lock = threading.Lock()
             self.caption([np.zeros((64, self.data_dim), np.float32)])
@@ -149,6 +157,7 @@ class CaptionService:
                                    rngs={"sample": key}, **kwargs)
 
         self._decode = decode
+        self._decode_u8 = None  # built lazily on the first uint8 batch
         self._key = jax.random.key(seed + 2)
         self._lock = threading.Lock()
         # warm the program so the first request doesn't pay the compile
@@ -164,6 +173,26 @@ class CaptionService:
                              f"got {mel.shape}")
         return mel
 
+    def validate_q(self, q, scale, offset):
+        """Shape/range-check one client-quantized request: uint8 codes
+        [T, F] with the client's per-clip affine ``mel ≈ q·scale +
+        offset``.  Like :meth:`validate`, runs per request before
+        batching."""
+        q = np.asarray(q)
+        if q.dtype != np.uint8:
+            q2 = q.astype(np.uint8)
+            if not np.array_equal(q2, q):  # JSON ints must fit uint8
+                raise ValueError("mel_q8 codes must be uint8 (0..255)")
+            q = q2
+        if q.ndim != 2 or q.shape[1] != self.data_dim:
+            raise ValueError(f"mel_q8 must be [T, {self.data_dim}], "
+                             f"got {q.shape}")
+        scale, offset = float(scale), float(offset)
+        if not (np.isfinite(scale) and scale > 0 and np.isfinite(offset)):
+            raise ValueError(f"bad quantization affine: scale={scale}, "
+                             f"offset={offset}")
+        return q, scale, offset
+
     def _prep(self, mel: np.ndarray):
         mel = self.validate(mel)
         T = min(mel.shape[0], self.bucket)
@@ -171,15 +200,53 @@ class CaptionService:
         out[:T] = mel[:T]
         return out, T
 
-    def caption(self, mels: List[np.ndarray]) -> List[str]:
-        """Caption up to ``batch_size`` log-mel clips."""
+    def _prep_q(self, q: np.ndarray, scale: float, offset: float):
+        T = min(q.shape[0], self.bucket)
+        # pad with the code decoding closest to 0.0, mirroring the f32
+        # path's zero padding (feat_lens masks the tail either way)
+        pad = np.uint8(np.clip(np.round(-offset / scale), 0, 255))
+        out = np.full((self.bucket, self.data_dim), pad, np.uint8)
+        out[:T] = q[:T]
+        return out, T
+
+    def _u8_decode(self):
+        """Jitted wrapper dequantizing per-sample uint8 mels ON DEVICE —
+        the upload ships 1/4 of the f32 bytes and the host never touches
+        the payload (the bf16 ``upload_dtype`` experiment showed a host
+        cast in the batcher thread costs more than halved bytes save;
+        client-side quantization has no host cast at all)."""
+        if self._decode_u8 is None:
+            base = self._decode
+
+            @jax.jit
+            def dq(variables, q, scale, offset, feat_lens, key):
+                feats = (q.astype(jnp.float32) * scale[:, None, None]
+                         + offset[:, None, None])
+                return base(variables, feats, feat_lens, key)
+
+            self._decode_u8 = dq
+        return self._decode_u8
+
+    def caption(self, mels: List) -> List[str]:
+        """Caption up to ``batch_size`` clips.  Each entry is either a
+        float32 log-mel ``[T, F]`` or a client-quantized
+        ``(q_uint8, scale, offset)`` tuple.  An all-quantized batch
+        uploads uint8 and dequantizes on device; mixed batches (and the
+        exported-artifact service, whose program has a fixed f32 input)
+        dequantize the tuples on the host — bit-identical math."""
         if len(mels) > self.batch_size:
             raise ValueError(f"batch too large: {len(mels)} > "
                              f"{self.batch_size}")
+        if mels and self.variables is not None \
+                and all(isinstance(m, tuple) for m in mels):
+            return self._caption_u8(mels)
         feats = np.zeros((self.batch_size, self.bucket, self.data_dim),
                          np.float32)
         lens = np.ones((self.batch_size,), np.int32)
         for i, mel in enumerate(mels):
+            if isinstance(mel, tuple):
+                q, s, o = self.validate_q(*mel)
+                mel = q.astype(np.float32) * s + o
             feats[i], lens[i] = self._prep(mel)
         if self._upload_dtype is not None:
             feats = feats.astype(self._upload_dtype)
@@ -191,11 +258,32 @@ class CaptionService:
                 self._key, sub = jax.random.split(self._key)
             out = self._decode(self.variables, jnp.asarray(feats),
                                jnp.asarray(lens), sub)
+        return self._to_captions(out, len(mels))
+
+    def _caption_u8(self, entries: List) -> List[str]:
+        feats = np.zeros((self.batch_size, self.bucket, self.data_dim),
+                         np.uint8)
+        scales = np.ones((self.batch_size,), np.float32)
+        offsets = np.zeros((self.batch_size,), np.float32)
+        lens = np.ones((self.batch_size,), np.int32)
+        for i, entry in enumerate(entries):
+            q, s, o = self.validate_q(*entry)
+            feats[i], lens[i] = self._prep_q(q, s, o)
+            scales[i], offsets[i] = s, o
+        with self._lock:
+            self._key, sub = jax.random.split(self._key)
+            out = self._u8_decode()(self.variables, jnp.asarray(feats),
+                                    jnp.asarray(scales),
+                                    jnp.asarray(offsets),
+                                    jnp.asarray(lens), sub)
+        return self._to_captions(out, len(entries))
+
+    def _to_captions(self, out, n: int) -> List[str]:
         seqs = np.asarray(out["seqs"])
         if seqs.ndim == 3:  # multi-candidate decode: take the top beam
             seqs = seqs[:, 0]
         return [" ".join(self.vocab.decode(seq))
-                for seq in seqs[: len(mels)]]
+                for seq in seqs[:n]]
 
 
 def run_server(service: CaptionService, host: str = "127.0.0.1",
@@ -310,15 +398,34 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                 if ctype == "application/octet-stream":
                     # binary fast path: raw little-endian float32 [T, F]
                     # with X-Mel-Frames/X-Mel-Bins headers — JSON-encoding
-                    # a [1024, 64] mel costs more host time than the decode
+                    # a [1024, 64] mel costs more host time than the decode.
+                    # X-Mel-Dtype: uint8 (+ X-Mel-Scale/X-Mel-Offset) ships
+                    # client-quantized codes instead: 1/4 the bytes, no
+                    # host-side cast, dequantized on device
                     t = int(self.headers["X-Mel-Frames"])
                     f = int(self.headers["X-Mel-Bins"])
-                    mel = np.frombuffer(self.rfile.read(length),
-                                        dtype="<f4").reshape(t, f)
+                    dt = self.headers.get("X-Mel-Dtype", "float32")
+                    if dt == "uint8":
+                        q = np.frombuffer(self.rfile.read(length),
+                                          dtype=np.uint8).reshape(t, f)
+                        mel = service.validate_q(
+                            q, self.headers["X-Mel-Scale"],
+                            self.headers["X-Mel-Offset"])
+                    elif dt == "float32":
+                        mel = np.frombuffer(self.rfile.read(length),
+                                            dtype="<f4").reshape(t, f)
+                    else:
+                        raise ValueError(
+                            f"X-Mel-Dtype must be float32 or uint8, "
+                            f"got {dt!r}")
                     req = {}
                 elif (req := json.loads(self.rfile.read(length))) \
                         and "mel" in req:
                     mel = np.asarray(req["mel"], np.float32)
+                elif "mel_q8" in req:
+                    mel = service.validate_q(
+                        np.asarray(req["mel_q8"]),
+                        req.get("scale", 1.0), req.get("offset", 0.0))
                 elif "wav" in req:
                     from acvae_tpu.ops.audio import log_mel_spectrogram
                     wave = jnp.asarray(np.asarray(req["wav"], np.float32))
@@ -329,7 +436,8 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                     _bump("client_errors")
                     self._reply(400, {"error": "need 'mel' or 'wav'"})
                     return
-                mel = service.validate(mel)
+                if not isinstance(mel, tuple):  # u8 is already validated
+                    mel = service.validate(mel)
             except Exception as e:
                 _bump("client_errors")
                 self._reply(400, {"error": f"bad request: {e}"})

@@ -206,6 +206,92 @@ def test_batcher_drops_abandoned_requests(experiment):
         server.server_close()
 
 
+def test_quantized_upload_matches_f32(experiment):
+    """A client-quantized (uint8, scale, offset) batch uploads codes and
+    dequantizes on device; with the same RNG key and mels that ARE the
+    dequantized codes, the captions are token-identical to the f32 path
+    (the affine is the same IEEE f32 math on host and device).  Mixed
+    batches fall back to host dequantization — also identical."""
+    import jax
+    from acvae_tpu.serve import CaptionService
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
+                         checkpoint="last")
+    mel = next(iter(feats.values())).astype(np.float32)
+    lo, hi = float(mel.min()), float(mel.max())
+    scale = np.float32((hi - lo) / 255.0 or 1.0)
+    offset = np.float32(lo)
+    q = np.clip(np.round((mel - offset) / scale), 0, 255).astype(np.uint8)
+    deq = q.astype(np.float32) * float(scale) + float(offset)
+
+    svc._key = jax.random.key(99)
+    cap_f32 = svc.caption([deq])
+    svc._key = jax.random.key(99)
+    cap_u8 = svc.caption([(q, float(scale), float(offset))])
+    assert cap_u8 == cap_f32
+    svc._key = jax.random.key(99)
+    cap_mixed = svc.caption([(q, float(scale), float(offset)), deq])
+    assert cap_mixed[0] == cap_f32[0]
+
+    with pytest.raises(ValueError):
+        svc.validate_q(q, 0.0, 0.0)  # scale must be positive
+    with pytest.raises(ValueError):
+        svc.validate_q(q[:, :3], 1.0, 0.0)  # wrong mel dim
+    with pytest.raises(ValueError):
+        svc.validate_q(q.astype(np.int32) + 300, 1.0, 0.0)  # not uint8
+
+
+def test_http_uint8_binary_path(experiment):
+    """X-Mel-Dtype: uint8 + scale/offset headers ships 1/4 the bytes and
+    round-trips to a caption; a bad dtype is a 400."""
+    from acvae_tpu.serve import CaptionService, run_server
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
+                         checkpoint="last")
+    server = run_server(svc, port=0, block=False, max_wait_ms=5.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        mel = next(iter(feats.values())).astype(np.float32)
+        lo, hi = float(mel.min()), float(mel.max())
+        scale = (hi - lo) / 255.0 or 1.0
+        q = np.clip(np.round((mel - lo) / scale), 0, 255).astype(np.uint8)
+        breq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=q.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Mel-Frames": str(q.shape[0]),
+                     "X-Mel-Bins": str(q.shape[1]),
+                     "X-Mel-Dtype": "uint8",
+                     "X-Mel-Scale": str(scale),
+                     "X-Mel-Offset": str(lo)})
+        out = json.loads(urllib.request.urlopen(breq, timeout=120).read())
+        assert isinstance(out["caption"], str)
+
+        jreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption",
+            data=json.dumps({"mel_q8": q.tolist(), "scale": scale,
+                             "offset": lo}).encode(),
+            headers={"Content-Type": "application/json"})
+        jout = json.loads(urllib.request.urlopen(jreq, timeout=120).read())
+        assert isinstance(jout["caption"], str)
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=q.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Mel-Frames": str(q.shape[0]),
+                     "X-Mel-Bins": str(q.shape[1]),
+                     "X-Mel-Dtype": "int16"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        server._acvae_stop()
+        thread.join(timeout=10)
+
+
 def test_int8_service_decodes(experiment):
     """encoder_int8: the int8 serving encoder (models/quant.py) produces
     captions through the same service surface."""

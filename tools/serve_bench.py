@@ -9,7 +9,11 @@ Usage (real chip; ~2-4 min total):
 
     python tools/serve_bench.py /tmp/rich_exp/Hybrid_VAEModel/rich_0.5_0.5/seed_1 \
         [--levels=1,8,32,64] [--seconds=20] [--batch_size=16] \
-        [--mel_frames=1024] [--encoder_int8] [--port=8077]
+        [--mel_frames=1024] [--encoder_int8] [--uint8] [--port=8077]
+
+``--uint8`` posts client-quantized codes (X-Mel-Dtype: uint8 — 1/4 the
+upload bytes, dequantized on device); the client-side quantize runs inside
+the timed loop, as a real client's would.
 
 Per level it prints client-side p50/p95/p99 latency and throughput, plus
 the server's own /stats snapshot deltas (mean micro-batch fill); a final
@@ -31,15 +35,28 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _post_mel(host: str, port: int, mel: np.ndarray, timeout: float = 120.0):
+def _post_mel(host: str, port: int, mel: np.ndarray, timeout: float = 120.0,
+              uint8: bool = False):
     conn = http.client.HTTPConnection(host, port, timeout=timeout)
     try:
-        body = mel.astype("<f4").tobytes()
-        conn.request("POST", "/caption", body=body, headers={
+        headers = {
             "Content-Type": "application/octet-stream",
             "X-Mel-Frames": str(mel.shape[0]),
             "X-Mel-Bins": str(mel.shape[1]),
-        })
+        }
+        if uint8:
+            # client-side quantization (the --uint8 A/B): 1/4 the upload
+            # bytes, dequantized on device (docs/serving.md)
+            lo, hi = float(mel.min()), float(mel.max())
+            scale = (hi - lo) / 255.0 or 1.0
+            body = np.clip(np.round((mel - lo) / scale), 0,
+                           255).astype(np.uint8).tobytes()
+            headers.update({"X-Mel-Dtype": "uint8",
+                            "X-Mel-Scale": str(scale),
+                            "X-Mel-Offset": str(lo)})
+        else:
+            body = mel.astype("<f4").tobytes()
+        conn.request("POST", "/caption", body=body, headers=headers)
         r = conn.getresponse()
         raw = r.read()
         if r.status != 200:
@@ -60,7 +77,7 @@ def _get(host: str, port: int, path: str):
 
 
 def run_level(host: str, port: int, mels, concurrency: int,
-              seconds: float) -> dict:
+              seconds: float, uint8: bool = False) -> dict:
     """Closed-loop load: `concurrency` client threads each posting
     back-to-back requests for `seconds`.  Returns client-side stats."""
     stop = time.monotonic() + seconds
@@ -74,7 +91,7 @@ def run_level(host: str, port: int, mels, concurrency: int,
             mel = mels[rng.integers(len(mels))]
             t0 = time.monotonic()
             try:
-                _post_mel(host, port, mel)
+                _post_mel(host, port, mel, uint8=uint8)
             except Exception:
                 with lock:
                     errors[0] += 1
@@ -146,12 +163,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     mels = [rng.normal(size=(mel_frames, svc.data_dim)).astype(np.float32) * 2
             for _ in range(8)]
-    _post_mel(host, port, mels[0])  # warm the micro-batch program shape
+    uint8_payload = bool(int(opts.get("uint8", "0")))
+    _post_mel(host, port, mels[0], uint8=uint8_payload)  # warm the program shape
 
     rows = []
     for c in levels:
         before = _get(host, port, "/stats")
-        r = run_level(host, port, mels, c, seconds)
+        r = run_level(host, port, mels, c, seconds,
+                      uint8=uint8_payload)
         after = _get(host, port, "/stats")
         db = after["batches"] - before["batches"]
         dr = after["batched_requests"] - before["batched_requests"]
