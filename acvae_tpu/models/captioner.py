@@ -24,7 +24,7 @@ from acvae_tpu import END_IDX, MAX_LENGTH, PAD_IDX, START_IDX
 from acvae_tpu.decoding.beam import BeamConfig, batched_beam_search
 from acvae_tpu.decoding.sampling import sample_next_word
 from acvae_tpu.models.common import scan_or_init
-from acvae_tpu.models.vae import _repeat_beams
+from acvae_tpu.models.vae import _check_decode_method, _repeat_beams
 from acvae_tpu.ops.masked import length_mask
 
 
@@ -116,10 +116,14 @@ class AttnCaptionModel(nn.Module):
     def inference_forward(self, feats, feat_lens, decode_method: str = "greedy",
                           max_length: Optional[int] = None, beam_size: int = 3,
                           temp: float = 1.0, train: bool = False, **kwargs):
+        _check_decode_method("AttnCaptionModel", decode_method)
         max_length = max_length or self.max_length
         encoded = self.encode(feats, feat_lens, train)
         if decode_method == "beam":
             return self.beam_search(encoded, max_length, beam_size)
+        if decode_method == "dbs":
+            return self.diverse_beam_search(encoded, max_length, beam_size,
+                                            **kwargs)
         return self.stepwise_decode(encoded, decode_method, max_length, temp)
 
     def stepwise_decode(self, encoded, decode_method, max_length, temp=1.0):
@@ -206,6 +210,50 @@ class AttnCaptionModel(nn.Module):
                          first_step_row0=True, end_handling=True)
         return batched_beam_search(step_fn, init_state, N, cfg)
 
+    def diverse_beam_search(self, encoded, max_length: int, beam_size: int,
+                            group_size: int = 5, diversity_lambda: float = 0.5,
+                            temperature: float = 1.0,
+                            group_nbest: bool = True):
+        """DBS for the plain attention captioner.
+
+        The reference's ``Seq2SeqAttnModel`` never implements the base-class
+        DBS hooks (``prepare_dbs_decoder_input``/``dbs_step`` raise
+        NotImplementedError, word_model.py:395-409; attn_model.py defines
+        none) — ``--method=dbs`` on it crashes.  Here the shared engine
+        (decoding/dbs.py, exact word_model.py:297-394 semantics) runs over
+        the decoder's deterministic step fn, making DBS a working capability
+        on this family.  Documented in COVERAGE.md "Known divergences"."""
+        from acvae_tpu.decoding.dbs import DBSConfig, diverse_beam_search
+
+        enc_mem, enc_mask, d_proj = self._ctx(encoded)
+        N = enc_mem.shape[0]
+        bdash = beam_size // group_size
+        NB = N * bdash
+        dt = self.decoder.state_dtype()
+
+        def make_step_fn(g):
+            def step_fn(state, words, t):
+                d = self.decoder.step(words, state, enc_mem, d_proj,
+                                      enc_mask, train=False)
+                return d["logits"], d["state"]
+            return step_fn
+
+        def make_init_state():
+            return self.decoder.init_state(NB, dt)
+
+        if self.is_initializing():
+            make_step_fn(0)(make_init_state(),
+                            jnp.full((NB,), self.start_idx, jnp.int32), 0)
+            out_beams = beam_size if group_nbest else group_size
+            return {"seqs": jnp.full((N, out_beams, max_length),
+                                     self.end_idx, jnp.int32)}
+        cfg = DBSConfig(beam_size=beam_size, group_size=group_size,
+                        max_length=max_length,
+                        diversity_lambda=diversity_lambda,
+                        temperature=temperature, group_nbest=group_nbest,
+                        start_idx=self.start_idx, end_idx=self.end_idx)
+        return diverse_beam_search(make_step_fn, make_init_state, N, cfg)
+
 
 class TransformerCaptionModel(nn.Module):
     """TransformerModel (pyc-only reconstruction, SURVEY §2.1): the decoder
@@ -251,10 +299,14 @@ class TransformerCaptionModel(nn.Module):
     def inference_forward(self, feats, feat_lens, decode_method: str = "greedy",
                           max_length: Optional[int] = None, beam_size: int = 3,
                           temp: float = 1.0, train: bool = False, **kwargs):
+        _check_decode_method("TransformerCaptionModel", decode_method)
         max_length = max_length or self.max_length
         encoded = self.encode(feats, feat_lens, train)
         if decode_method == "beam":
             return self.beam_search(encoded, max_length, beam_size)
+        if decode_method == "dbs":
+            return self.diverse_beam_search(encoded, max_length, beam_size,
+                                            **kwargs)
         return self.stepwise_decode(encoded, decode_method, max_length, temp)
 
     def _prefix_logits(self, words_buf, t, encoded, train=False):
@@ -335,3 +387,48 @@ class TransformerCaptionModel(nn.Module):
                          start_idx=self.start_idx, end_idx=self.end_idx,
                          first_step_row0=True, end_handling=True)
         return batched_beam_search(step_fn, init_state, N, cfg)
+
+    def diverse_beam_search(self, encoded, max_length: int, beam_size: int,
+                            group_size: int = 5, diversity_lambda: float = 0.5,
+                            temperature: float = 1.0,
+                            group_nbest: bool = True):
+        """DBS over the prefix-re-feeding decoder (like the reference's
+        pyc-only ``TransformerModel``, which has no DBS hooks either —
+        capability superset, see AttnCaptionModel.diverse_beam_search).
+        Group g at global step t decodes its *local* position ``t − g``; the
+        beam-parent gather permutes whole prefix buffers."""
+        from acvae_tpu.decoding.dbs import DBSConfig, diverse_beam_search
+
+        N = encoded["audio_embeds"].shape[0]
+        bdash = beam_size // group_size
+        NB = N * bdash
+        enc_r = _repeat_beams(
+            {"audio_embeds": encoded["audio_embeds"],
+             "audio_embeds_lens": encoded["audio_embeds_lens"]}, bdash)
+
+        def make_step_fn(g):
+            def step_fn(state, words, t):
+                words_buf = state
+                lt = jnp.clip(t - g, 0, max_length - 1)
+                words_buf = jnp.where(
+                    (jnp.arange(words_buf.shape[1]) == lt)[None, :],
+                    words[:, None], words_buf)
+                logits_t, _ = self._prefix_logits(words_buf, lt, enc_r)
+                return logits_t, words_buf
+            return step_fn
+
+        def make_init_state():
+            return jnp.full((NB, max_length + 1), self.start_idx, jnp.int32)
+
+        if self.is_initializing():
+            make_step_fn(0)(make_init_state(),
+                            jnp.full((NB,), self.start_idx, jnp.int32), 0)
+            out_beams = beam_size if group_nbest else group_size
+            return {"seqs": jnp.full((N, out_beams, max_length),
+                                     self.end_idx, jnp.int32)}
+        cfg = DBSConfig(beam_size=beam_size, group_size=group_size,
+                        max_length=max_length,
+                        diversity_lambda=diversity_lambda,
+                        temperature=temperature, group_nbest=group_nbest,
+                        start_idx=self.start_idx, end_idx=self.end_idx)
+        return diverse_beam_search(make_step_fn, make_init_state, N, cfg)

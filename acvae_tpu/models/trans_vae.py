@@ -137,6 +137,12 @@ class TransVAECaptionModel(nn.Module):
     def inference_forward(self, feats, feat_lens, decode_method: str = "greedy",
                           max_length: Optional[int] = None, beam_size: int = 3,
                           temp: float = 1.0, train: bool = False, **kwargs):
+        # no DBS: the reference's TransVAEModel bytecode has no dbs hooks
+        # either (SURVEY §2.1) — fail with the family name, not a scan-trace
+        # error (models/vae.py::_check_decode_method)
+        from acvae_tpu.models.vae import _check_decode_method
+        _check_decode_method("TransVAECaptionModel", decode_method,
+                             ("greedy", "gumbel", "sample", "beam"))
         max_length = max_length or self.max_length
         encoded = self.encode(feats, feat_lens, train)
         if decode_method == "beam":

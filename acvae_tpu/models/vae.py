@@ -45,6 +45,19 @@ def _repeat_beams(tree, beam_size: int):
         lambda a: jnp.repeat(a, beam_size, axis=0), tree)
 
 
+_DECODE_METHODS = ("greedy", "gumbel", "sample", "beam", "dbs")
+
+
+def _check_decode_method(family: str, method: str,
+                         supported=_DECODE_METHODS) -> None:
+    """Fail fast with the family name instead of erroring deep inside a scan
+    trace (``decoding/sampling.py``) on an unknown ``--decode_method``."""
+    if method not in supported:
+        raise ValueError(
+            f"{family} does not support decode_method={method!r}; "
+            f"supported: {', '.join(supported)}")
+
+
 class VAECaptionModel(nn.Module):
     """VAEModel / Hybrid_VAEModel (models/vae_model.py:12-364, 674-1048)."""
     encoder: nn.Module
@@ -246,6 +259,7 @@ class VAECaptionModel(nn.Module):
         ``apply_ln=True`` runs the encoder→decoder dim adapter (for raw
         external encodings; :meth:`encode` has already applied it on the
         internal path)."""
+        _check_decode_method("VAECaptionModel", decode_method)
         max_length = max_length or self.max_length
         if apply_ln and self.ln is not None:
             encoded = dict(encoded)
@@ -531,6 +545,7 @@ class SimpleVAECaptionModel(nn.Module):
     def inference_forward(self, feats, feat_lens, decode_method: str = "greedy",
                           max_length: Optional[int] = None, beam_size: int = 3,
                           temp: float = 1.0, train: bool = False, **kwargs):
+        _check_decode_method("SimpleVAECaptionModel", decode_method)
         max_length = max_length or self.max_length
         encoded = self.encode(feats, feat_lens, train)
         N = encoded["audio_embeds"].shape[0]
@@ -538,6 +553,9 @@ class SimpleVAECaptionModel(nn.Module):
         key = self.make_rng("sample")
         if decode_method == "beam":
             return self._beam(encoded, max_length, beam_size, key)
+        if decode_method == "dbs":
+            return self.diverse_beam_search(encoded, max_length, beam_size,
+                                            key, **kwargs)
         # eval prior: p_logs = 1 (vae_model.py:593-595)
         z = jax.random.normal(key, (N, E)) * jnp.exp(0.5 * 1.0)
         return self._decode_with_z(encoded, z, None, max_length, decode_method, temp)
@@ -596,3 +614,56 @@ class SimpleVAECaptionModel(nn.Module):
                          start_idx=self.start_idx, end_idx=self.end_idx,
                          first_step_row0=False, end_handling=False)
         return batched_beam_search(step_fn, init_state, N, cfg)
+
+    def diverse_beam_search(self, encoded, max_length: int, beam_size: int,
+                            key, group_size: int = 5,
+                            diversity_lambda: float = 0.5,
+                            temperature: float = 1.0,
+                            group_nbest: bool = True) -> Dict[str, Any]:
+        """DBS for the global-latent ablation.
+
+        The reference *declares* SimpleVAE DBS hooks
+        (vae_model.py:621-672) but they are a copy-paste of VAEModel's and
+        dereference ``self.pnet``, which ``SimpleVAEModel`` never defines
+        (vae_model.py:366-374) — ``--method=dbs`` on the reference SimpleVAE
+        raises AttributeError.  This implements the evidently *intended*
+        semantics: each group draws its own global z from the eval prior
+        N(0, e^{0.5·1}) per beam slot (the beam flavor's per-beam draw,
+        vae_model.py:593-595), held fixed across steps; diversity then comes
+        from both the z draws and the Hamming penalty.  Documented in
+        COVERAGE.md "Known divergences"."""
+        from acvae_tpu.decoding.dbs import DBSConfig, diverse_beam_search
+
+        dt = self.decoder.state_dtype()
+        enc_mem = encoded["audio_embeds"].astype(dt)
+        enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
+        d_proj = self.decoder.project_enc(enc_mem)
+        N, E = enc_mem.shape[0], self.decoder.embed_size
+        G = group_size
+        bdash = beam_size // G
+        NB = N * bdash
+        z_groups = (jax.random.normal(key, (G, NB, E))
+                    * jnp.exp(0.5 * 1.0)).astype(dt)
+
+        def make_step_fn(g):
+            def step_fn(state, words, t):
+                d = self.decoder.step(words, state, enc_mem, d_proj,
+                                      enc_mask, z_groups[g], train=False)
+                return d["logits"], d["state"]
+            return step_fn
+
+        def make_init_state():
+            return self.decoder.init_state(NB, dt)
+
+        if self.is_initializing():
+            make_step_fn(0)(make_init_state(),
+                            jnp.full((NB,), self.start_idx, jnp.int32), 0)
+            out_beams = beam_size if group_nbest else group_size
+            return {"seqs": jnp.full((N, out_beams, max_length),
+                                     self.end_idx, jnp.int32)}
+        cfg = DBSConfig(beam_size=beam_size, group_size=group_size,
+                        max_length=max_length,
+                        diversity_lambda=diversity_lambda,
+                        temperature=temperature, group_nbest=group_nbest,
+                        start_idx=self.start_idx, end_idx=self.end_idx)
+        return diverse_beam_search(make_step_fn, make_init_state, N, cfg)
