@@ -687,7 +687,9 @@ class Runner:
         audio-tagger checkpoints (the reference's pretrained encoder
         backbones) are converted automatically, including BatchNorm running
         stats."""
-        from acvae_tpu.train.pretrained import (_looks_like_pann,
+        from acvae_tpu.train.pretrained import (_looks_like_acvae,
+                                                _looks_like_pann,
+                                                acvae_to_flax,
                                                 load_subtree, merge_pretrained,
                                                 pann_to_flax)
 
@@ -704,11 +706,15 @@ class Runner:
                 sd = sd.get("model", sd) if isinstance(sd, dict) else sd
                 if hasattr(sd, "state_dict"):
                     sd = sd.state_dict()
+                if _looks_like_acvae(sd):
+                    # full reference-trained model (train/pretrained.py)
+                    return acvae_to_flax(sd, conf, logger.info)
                 if _looks_like_pann(sd):
                     return pann_to_flax(sd)
                 raise ValueError(
-                    f"{path}: torch checkpoint is not a recognized PANN "
-                    "backbone; convert it to a pickled flax tree instead")
+                    f"{path}: torch checkpoint is neither a full AC-VAE "
+                    "model nor a PANN backbone; convert it to a pickled "
+                    "flax tree instead")
             with open(p, "rb") as f:
                 tree = pickle.load(f)
             return tree if isinstance(tree, dict) else {"params": tree}
@@ -967,6 +973,71 @@ class Runner:
         score_file = exp / f"scores_{decode_method}_{beam_size}{suffix}.txt"
         _write_scores(scores, score_file)
         return scores
+
+    # ------------------------------------------------------------------ #
+    def import_torch(self, pth_path: str, config: str, output_dir: str,
+                     vocab_file: str, data_dim: int = 64,
+                     mel_bucket: int = 64):
+        """Convert a reference-trained torch checkpoint into an experiment
+        directory our ``evaluate``/``predict``/``serve`` commands accept.
+
+        The reference's evaluate flow loads arbitrary trained ``best.pth``
+        state dicts (base_runner.py:209-216); this is the equivalent intake:
+        ``import_torch best.pth config.yaml out_dir vocab.pkl`` writes
+        ``out_dir/{config.yaml, vocab.pkl, best/}``.  The conversion
+        (train/pretrained.py::acvae_to_flax) covers the VAE/Hybrid/Simple/
+        attention/transformer families; unmapped tensors are logged and
+        skipped (the reference's own shape-filtered policy,
+        utils/train_util.py:17-30).
+
+        ``vocab_file`` must be OUR pickle format (reference ``vocab.pkl``
+        pickles a class from its ``utils.build_vocab`` module path — rebuild
+        with ``cli build_vocab`` on the same ``text.json`` to get an
+        identical table in loadable form)."""
+        import torch
+
+        from acvae_tpu.train.pretrained import acvae_to_flax, merge_pretrained
+
+        conf = load_config(config)
+        conf.setdefault("seed", 1)
+        vocabulary = Vocabulary.load(vocab_file)
+        logger = logging.getLogger("acvae_tpu")
+
+        sd = torch.load(pth_path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        tree = acvae_to_flax(sd, conf, logger.info)
+
+        model = build_model(conf, len(vocabulary), data_dim)
+        L = int(conf.get("max_length", 20)) + 2
+
+        class _OneBatch:
+            def __iter__(self):
+                from acvae_tpu.data.dataset import Batch
+                yield Batch(
+                    feats=np.zeros((2, mel_bucket, data_dim), np.float32),
+                    feat_lens=np.array([mel_bucket, mel_bucket // 2],
+                                       np.int32),
+                    caps=np.ones((2, L), np.int32),
+                    cap_lens=np.array([L, L // 2], np.int32))
+
+        state, _ = self._init_state(conf, model, _OneBatch(), 1)
+        params, n_p, t_p = merge_pretrained(state.params, tree["params"],
+                                            logger.info)
+        stats, n_s, t_s = merge_pretrained(state.batch_stats,
+                                           tree.get("batch_stats", {}),
+                                           logger.info)
+        state = state.replace(params=params, batch_stats=stats)
+        save_checkpoint(output_dir, "best", state, vocabulary, conf)
+        print(f"imported {pth_path}: params {n_p}/{t_p}, "
+              f"batch_stats {n_s}/{t_s} -> {output_dir}/best")
+        if n_p < t_p:
+            print(f"warning: {t_p - n_p} param tensors kept their fresh "
+                  "init (see log for unmapped/shape-mismatched keys)")
+        return {"params_loaded": n_p, "params_total": t_p,
+                "stats_loaded": n_s, "stats_total": t_s}
 
     # ------------------------------------------------------------------ #
     def predict(self, experiment_path: str, h5_csv: str,

@@ -159,3 +159,246 @@ def pann_to_flax(state_dict: Dict[str, Any],
         raise ValueError(f"unknown PANN arch {arch!r}")
     return {"params": unflatten_params(params),
             "batch_stats": unflatten_params(stats)}
+
+
+# --------------------------------------------------------------------- #
+# Full AC-VAE torch checkpoint conversion (reference-trained .pth import)
+# --------------------------------------------------------------------- #
+#
+# The reference's evaluate/warm-start flow consumes arbitrary trained model
+# state dicts (runners/base_runner.py:209-216 ``torch.load(best.pth)`` →
+# ``load_state_dict``; utils/train_util.py:17-30 shape-filtered).  The
+# per-module weight layouts were pinned by the golden parity tests
+# (tests/test_module_parity.py); this consolidates them into one converter
+# so a reference-trained checkpoint imports as flax variables.
+
+
+def _t_linear(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """torch nn.Linear [out,in] -> flax Dense {kernel [in,out], bias}."""
+    out = {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _t_rnn(sd: Dict[str, Any], prefix: str, suffix: str = "") -> Dict[str, Any]:
+    """torch nn.GRU/nn.LSTM layer 0 (or GRUCell/LSTMCell without the _l0) ->
+    our rnn.py cell params {wi,wh,bi,bh} ([in,gates·H] / [H,gates·H]).
+    Gate order is torch's (GRU r,z,n with separate bh; LSTM i,f,g,o) — the
+    cells were written to torch semantics (tests/test_module_parity.py)."""
+    l0 = f"{prefix}.weight_ih_l0{suffix}"
+    key = (lambda p: f"{prefix}.{p}_l0{suffix}") if l0 in sd \
+        else (lambda p: f"{prefix}.{p}{suffix}")
+    return {"wi": np.ascontiguousarray(sd[key("weight_ih")].T),
+            "wh": np.ascontiguousarray(sd[key("weight_hh")].T),
+            "bi": sd[key("bias_ih")], "bh": sd[key("bias_hh")]}
+
+
+def _t_bigru(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    out = {"fwd": _t_rnn(sd, prefix)}
+    if f"{prefix}.weight_ih_l0_reverse" in sd:
+        out["bwd"] = _t_rnn(sd, prefix, "_reverse")
+    return out
+
+
+def _t_attn(sd: Dict[str, Any], prefix: str, dec_dim: int) -> Dict[str, Any]:
+    """Seq2SeqAttention (attn_model.py:6-46) -> AdditiveAttention.  torch
+    concatenates [h_dec; h_enc] into one ``h2attn`` Linear; ours splits it
+    into dec_proj (first ``dec_dim`` columns, no bias) + enc_proj (+bias)."""
+    W = sd[prefix + ".h2attn.weight"]  # [A, dec+enc]
+    return {"dec_proj": {"kernel": np.ascontiguousarray(W[:, :dec_dim].T)},
+            "enc_proj": {"kernel": np.ascontiguousarray(W[:, dec_dim:].T),
+                         "bias": sd[prefix + ".h2attn.bias"]},
+            "v": sd[prefix + ".v"]}
+
+
+def _t_embedding(sd: Dict[str, Any], prefix: str, log=print) -> Dict[str, Any]:
+    """nn.Embedding — or the Sequential(Embedding, Linear) the reference
+    builds for frozen-pretrained tables with projection
+    (text_encoder.py:44-51)."""
+    if prefix + ".weight" in sd:
+        return {"embedding": sd[prefix + ".weight"]}
+    if prefix + ".0.weight" in sd:
+        if prefix + ".1.weight" in sd:
+            log(f"skip {prefix}.1 (pretrained-embedding projection has no "
+                "flax counterpart; table loads, projection is dropped)")
+        return {"embedding": sd[prefix + ".0.weight"]}
+    return {}
+
+
+def _t_mha(sd: Dict[str, Any], prefix: str, nhead: int) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention.
+    in_proj [3E,E] rows are [q;k;v]; flax wants per-head kernels
+    [E, H, E/H] (query/key/value) and out kernel [H, E/H, E]."""
+    W = sd[prefix + ".in_proj_weight"]
+    b = sd.get(prefix + ".in_proj_bias")
+    E = W.shape[1]
+    hd = E // nhead
+
+    def qkv(i):
+        w = W[i * E:(i + 1) * E]          # [E_out, E_in]
+        p = {"kernel": np.ascontiguousarray(w.T).reshape(E, nhead, hd)}
+        if b is not None:
+            p["bias"] = b[i * E:(i + 1) * E].reshape(nhead, hd)
+        return p
+
+    Wo = sd[prefix + ".out_proj.weight"]  # [E, concat]
+    out = {"query": qkv(0), "key": qkv(1), "value": qkv(2),
+           "out": {"kernel": np.ascontiguousarray(Wo.T).reshape(nhead, hd, E)}}
+    if prefix + ".out_proj.bias" in sd:
+        out["out"]["bias"] = sd[prefix + ".out_proj.bias"]
+    return out
+
+
+def _t_layernorm(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _sub(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    p = prefix + "."
+    return {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+
+
+def _convert_posterior(sd: Dict[str, Any], log=print) -> Dict[str, Any]:
+    """PosteriorRNN (text_encoder.py:96-154), PosteriorRNN_hybrid (:156-216)
+    and the sentence posterior — they share (embedding, BiGRU, linear heads);
+    which heads exist distinguishes them, so convert whatever is present."""
+    out: Dict[str, Any] = {"word_embedding": _t_embedding(sd, "word_embedding",
+                                                          log)}
+    if "network.weight_ih_l0" in sd:
+        out["network"] = _t_bigru(sd, "network")
+    for head in ("mean_log_out", "token_mean_log", "utterance_mean_log"):
+        if head + ".weight" in sd:
+            out[head] = _t_linear(sd, head)
+    return out
+
+
+def _convert_prior(sd: Dict[str, Any], word_dim: int, log=print) -> Dict[str, Any]:
+    """PriorRNN (text_encoder.py:218-268): embedding, word→audio attention
+    (query dim = word_dim, so dec columns come first), LSTM, (μ,logσ²) head."""
+    out: Dict[str, Any] = {"word_embedding": _t_embedding(sd, "word_embedding",
+                                                          log)}
+    if "word_attn.h2attn.weight" in sd:
+        out["word_attn"] = _t_attn(sd, "word_attn", word_dim)
+    if "network.weight_ih_l0" in sd or "network.weight_ih" in sd:
+        out["network"] = _t_rnn(sd, "network")
+    if "mean_log_out.weight" in sd:
+        out["mean_log_out"] = _t_linear(sd, "mean_log_out")
+    if "mixture_logits" in sd:
+        out["mixture_logits"] = sd["mixture_logits"]
+    return out
+
+
+def _convert_rnn_decoder(sd: Dict[str, Any], hidden_size: int,
+                         log=print) -> Dict[str, Any]:
+    """RNNDecoder / RNNBahdanauAttnDecoder / VAERNNBahdanauAttnDecoder
+    (decoder.py:28-98,129-203): embedding, attention (query = decoder state,
+    dim hidden_size), GRU (torch names it ``model``; ours ``cell``),
+    classifier."""
+    out: Dict[str, Any] = {
+        "word_embeddings": _t_embedding(sd, "word_embeddings", log)}
+    if "attn.h2attn.weight" in sd:
+        out["attn"] = _t_attn(sd, "attn", hidden_size)
+    if "model.weight_ih_l0" in sd or "model.weight_ih" in sd:
+        out["cell"] = _t_rnn(sd, "model")
+    if "classifier.weight" in sd:
+        out["classifier"] = _t_linear(sd, "classifier")
+    return out
+
+
+def _convert_transformer_decoder(sd: Dict[str, Any], nhead: int,
+                                 log=print) -> Dict[str, Any]:
+    """TransformerDecoder / VAETransformerDecoder (decoder.py:225-332):
+    embedding + N torch nn.TransformerDecoderLayer (self_attn, multihead_attn
+    = cross attention, linear1/2, norm1-3) + outputlayer."""
+    out: Dict[str, Any] = {
+        "word_embeddings": _t_embedding(sd, "word_embeddings", log)}
+    i = 0
+    while f"model.layers.{i}.self_attn.in_proj_weight" in sd:
+        lp = f"model.layers.{i}"
+        out[f"layer{i}"] = {
+            "self_attn": _t_mha(sd, f"{lp}.self_attn", nhead),
+            "cross_attn": _t_mha(sd, f"{lp}.multihead_attn", nhead),
+            "linear1": _t_linear(sd, f"{lp}.linear1"),
+            "linear2": _t_linear(sd, f"{lp}.linear2"),
+            "norm1": _t_layernorm(sd, f"{lp}.norm1"),
+            "norm2": _t_layernorm(sd, f"{lp}.norm2"),
+            "norm3": _t_layernorm(sd, f"{lp}.norm3"),
+        }
+        i += 1
+    if "outputlayer.weight" in sd:
+        out["outputlayer"] = _t_linear(sd, "outputlayer")
+    return out
+
+
+def _looks_like_acvae(state_dict: Dict[str, Any]) -> bool:
+    """A full reference model dict: submodule-prefixed keys."""
+    return any(k.startswith(("decoder.", "qnet.", "pnet."))
+               for k in state_dict)
+
+
+def acvae_to_flax(state_dict: Dict[str, Any], conf: Dict[str, Any],
+                  log=print) -> Dict[str, Any]:
+    """Convert a reference-trained AC-VAE model state dict into flax
+    variables ``{"params", "batch_stats"}`` for ``build_model(conf, ...)``.
+
+    Covers VAEModel / Hybrid_VAEModel / SimpleVAEModel / Seq2SeqAttnModel /
+    TransformerModel and the RNN+transformer decoder families; the encoder
+    subtree goes through :func:`pann_to_flax` (Cnn10/Cnn14/ResNet38).
+    Anything unrecognized is skipped with a log line and dropped by the
+    shape-filtered merge downstream — the same policy as the reference's
+    ``load_pretrained_model`` (utils/train_util.py:17-30).
+    """
+    sd = state_dict.get("model", state_dict)
+    sd = {k[len("module."):] if k.startswith("module.") else k:
+          np.asarray(getattr(v, "numpy", lambda: v)()
+                     if hasattr(v, "numpy") else v)
+          for k, v in sd.items()}
+
+    dec_args = conf.get("decoder_args", {})
+    embed_size = int(dec_args.get("embed_size", 256))
+    hidden_size = int(dec_args.get("hidden_size", embed_size))
+    nhead = int(dec_args.get("nhead", 4))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    enc_sd = _sub(sd, "encoder")
+    if enc_sd:
+        if _looks_like_pann(enc_sd):
+            enc = pann_to_flax(enc_sd)
+            params["encoder"] = enc["params"]
+            stats["encoder"] = enc["batch_stats"]
+        else:
+            log("skip encoder.*: not a PANN-family backbone "
+                "(convert separately or rely on shape-filtered merge)")
+
+    dec_sd = _sub(sd, "decoder")
+    if dec_sd:
+        if any(k.startswith("model.layers.") for k in dec_sd):
+            params["decoder"] = _convert_transformer_decoder(dec_sd, nhead,
+                                                             log)
+        else:
+            params["decoder"] = _convert_rnn_decoder(dec_sd, hidden_size, log)
+
+    q_sd = _sub(sd, "qnet")
+    if q_sd:
+        params["qnet"] = _convert_posterior(q_sd, log)
+    p_sd = _sub(sd, "pnet")
+    if p_sd:
+        # word_attn query dim = the prior's word embedding dim, which the
+        # reference constructs as Textdecoder.embed_size (vae_model.py:22-28)
+        params["pnet"] = _convert_prior(p_sd, embed_size, log)
+
+    for lin in ("ln", "mean_log_out", "output_transform"):
+        if f"{lin}.weight" in sd:
+            params[lin] = _t_linear(sd, lin)
+
+    handled = set()
+    for top in ("encoder", "decoder", "qnet", "pnet"):
+        handled.update(k for k in sd if k.startswith(top + "."))
+    for lin in ("ln", "mean_log_out", "output_transform"):
+        handled.update(k for k in sd if k.startswith(lin + "."))
+    for k in sorted(set(sd) - handled):
+        log(f"unmapped key {k} (dropped)")
+    return {"params": params, "batch_stats": stats}
