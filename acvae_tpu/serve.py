@@ -157,11 +157,18 @@ class CaptionService:
                                    rngs={"sample": key}, **kwargs)
 
         self._decode = decode
-        self._decode_u8 = None  # built lazily on the first uint8 batch
+        self._decode_u8 = None  # built on warm-up / first uint8 batch
         self._key = jax.random.key(seed + 2)
         self._lock = threading.Lock()
         # warm the program so the first request doesn't pay the compile
         self.caption([np.zeros((64, self.data_dim), np.float32)])
+        if self.variables is not None:
+            # warm the uint8 program too: without this the first live
+            # mel_q8 batch pays a full decode compile while the batcher
+            # thread blocks (risking 504s on queued requests).  Exported
+            # artifacts have a fixed f32 input and no u8 program.
+            self.caption([(np.zeros((64, self.data_dim), np.uint8),
+                           1.0, 0.0)])
 
     def validate(self, mel) -> np.ndarray:
         """Shape-check one request's mel (called per request, *before*
@@ -245,8 +252,15 @@ class CaptionService:
         lens = np.ones((self.batch_size,), np.int32)
         for i, mel in enumerate(mels):
             if isinstance(mel, tuple):
+                # host-dequant fallback (mixed batch / exported artifact):
+                # pad in the QUANTIZED domain first so the padded tail
+                # dequantizes to exactly what the on-device u8 path sees —
+                # the same request captions identically regardless of
+                # micro-batch composition
                 q, s, o = self.validate_q(*mel)
-                mel = q.astype(np.float32) * s + o
+                qp, lens[i] = self._prep_q(q, s, o)
+                feats[i] = qp.astype(np.float32) * s + o
+                continue
             feats[i], lens[i] = self._prep(mel)
         if self._upload_dtype is not None:
             feats = feats.astype(self._upload_dtype)
@@ -423,9 +437,13 @@ def run_server(service: CaptionService, host: str = "127.0.0.1",
                         and "mel" in req:
                     mel = np.asarray(req["mel"], np.float32)
                 elif "mel_q8" in req:
+                    # scale/offset are REQUIRED: defaulting them would
+                    # silently interpret raw 0..255 codes as mel values
+                    # (garbage captions) when a client forgets the affine —
+                    # a missing key raises into the 400 handler below
                     mel = service.validate_q(
                         np.asarray(req["mel_q8"]),
-                        req.get("scale", 1.0), req.get("offset", 0.0))
+                        req["scale"], req["offset"])
                 elif "wav" in req:
                     from acvae_tpu.ops.audio import log_mel_spectrogram
                     wave = jnp.asarray(np.asarray(req["wav"], np.float32))

@@ -241,6 +241,19 @@ def test_quantized_upload_matches_f32(experiment):
     with pytest.raises(ValueError):
         svc.validate_q(q.astype(np.int32) + 300, 1.0, 0.0)  # not uint8
 
+    # SHORT clip (T < bucket): the mixed-batch host-dequant fallback must
+    # pad in the quantized domain, so the same request captions identically
+    # regardless of micro-batch composition (ADVICE r2: the old fallback
+    # padded the dequantized f32 with exact 0.0 while the pure-u8 batch
+    # padded with the code nearest 0 — conv receptive fields cross the
+    # valid boundary despite lens masking)
+    short = (q[:17], float(scale), float(offset))
+    svc._key = jax.random.key(123)
+    cap_short_u8 = svc.caption([short, short])       # pure-u8 device path
+    svc._key = jax.random.key(123)
+    cap_short_mix = svc.caption([short, deq])        # host-dequant fallback
+    assert cap_short_mix[0] == cap_short_u8[0]
+
 
 def test_http_uint8_binary_path(experiment):
     """X-Mel-Dtype: uint8 + scale/offset headers ships 1/4 the bytes and
@@ -286,6 +299,17 @@ def test_http_uint8_binary_path(experiment):
                      "X-Mel-Dtype": "int16"})
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+
+        # mel_q8 without its affine is a 400, not codes-as-mels garbage
+        # (ADVICE r2: a defaulted scale=1/offset=0 silently captioned raw
+        # 0..255 codes)
+        noaffine = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption",
+            data=json.dumps({"mel_q8": q.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(noaffine, timeout=30)
         assert e.value.code == 400
     finally:
         server._acvae_stop()
