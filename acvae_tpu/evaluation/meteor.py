@@ -1,4 +1,4 @@
-"""Native METEOR (exact + Porter-stem stages).
+"""Native METEOR (exact + Porter-stem + synonym stages).
 
 The reference scores METEOR through pycocoevalcap's Java meteor-1.5 jar
 (``runners/base_runner.py:303-305``), which needs Java plus the paraphrase
@@ -6,9 +6,12 @@ model.  This is a pure-Python implementation of the METEOR algorithm
 (Banerjee & Lavie 2005; Lavie & Agarwal 2007) used when the Java backend is
 unavailable:
 
-* matcher stages: **exact** then **Porter stem** (the WordNet synonym stage
-  is omitted — no WordNet corpus ships on this image; documented divergence,
-  scores run slightly lower than the jar on synonym-heavy text),
+* matcher stages: **exact**, then **Porter stem**, then **synonym** via the
+  bundled compact table (evaluation/synonyms.py) — no WordNet corpus ships
+  on this image, so the jar's WordNet-synset stage is approximated by ~150
+  curated synonym groups; still a documented divergence (long-tail synsets
+  are not covered).  ``ACVAE_METEOR_SYNONYMS=0`` disables the stage for
+  the exact+stem A/B (RESULTS.md "native METEOR synonym stage"),
 * METEOR-1.0 English parameters: Fmean = 10PR/(R + 9P),
   Penalty = 0.5 · (chunks/matches)³, score = Fmean · (1 − Penalty),
 * per-segment score is the max over references; the corpus score is the
@@ -33,15 +36,31 @@ def _stems(tokens: Sequence[str]) -> List[str]:
     return [_STEMMER.stem(t) for t in tokens]
 
 
+def _syn_keys(tokens: Sequence[str], tag: str) -> List[str]:
+    """Map each token to its synonym-group key; words outside the table get
+    a position-unique sentinel (never matches anything)."""
+    from acvae_tpu.evaluation.synonyms import WORD2GROUP
+    return [f"g{WORD2GROUP[t]}" if t in WORD2GROUP else f"{tag}{i}"
+            for i, t in enumerate(tokens)]
+
+
+def _synonyms_enabled() -> bool:
+    import os
+    return os.environ.get("ACVAE_METEOR_SYNONYMS", "1") != "0"
+
+
 def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int]]:
-    """Greedy two-stage alignment (exact, then stem) between unmatched
+    """Greedy staged alignment (exact, stem, synonym) between unmatched
     unigrams.  Within a stage, each hyp position takes the unmatched ref
     position closest to continuing the previous chunk — the tie-break the
     official aligner optimizes for (fewest chunks)."""
     h_stems, r_stems = _stems(hyp), _stems(ref)
+    stages = [(hyp, ref), (h_stems, r_stems)]
+    if _synonyms_enabled():
+        stages.append((_syn_keys(hyp, "h"), _syn_keys(ref, "r")))
     matched_h: Dict[int, int] = {}
     used_r = set()
-    for keyed_h, keyed_r in ((hyp, ref), (h_stems, r_stems)):
+    for keyed_h, keyed_r in stages:
         prev_r = -1
         for i in range(len(hyp)):
             if i in matched_h:

@@ -148,6 +148,33 @@ class TestMeteor:
         assert sentence_meteor("dogs barking", ["dog barks"]) > 0.5
         assert sentence_meteor("cats meow", ["dog barks"]) == 0.0
 
+    def test_synonym_stage_matches(self, monkeypatch):
+        """The bundled synonym table (evaluation/synonyms.py) recovers
+        credit for paraphrases the jar's WordNet stage would catch;
+        ACVAE_METEOR_SYNONYMS=0 restores exact+stem for the A/B."""
+        from acvae_tpu.evaluation.meteor import sentence_meteor
+        monkeypatch.delenv("ACVAE_METEOR_SYNONYMS", raising=False)
+        with_syn = sentence_meteor("the automobile is loud",
+                                   ["the car is noisy"])
+        monkeypatch.setenv("ACVAE_METEOR_SYNONYMS", "0")
+        without = sentence_meteor("the automobile is loud",
+                                  ["the car is noisy"])
+        assert with_syn > without > 0.0
+        # all four tokens align with synonyms: car↔automobile, loud↔noisy
+        assert with_syn > 0.9
+        # unrelated words still never match
+        monkeypatch.delenv("ACVAE_METEOR_SYNONYMS", raising=False)
+        assert sentence_meteor("piano jazz", ["thunder rumbles"]) == 0.0
+
+    def test_synonym_groups_disjoint(self):
+        from acvae_tpu.evaluation.synonyms import SYNONYM_GROUPS
+        seen = {}
+        for gid, group in enumerate(SYNONYM_GROUPS):
+            for w in group:
+                assert w not in seen, \
+                    f"{w!r} in groups {seen[w]} and {gid}"
+                seen[w] = gid
+
     def test_max_over_refs_and_corpus(self):
         from acvae_tpu.evaluation.meteor import meteor_score, sentence_meteor
         refs = {"k": ["a dog barks", "completely different text"]}
