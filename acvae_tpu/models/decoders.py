@@ -141,6 +141,24 @@ class _AttnRNNBase(nn.Module):
         return {"state": h, "output": h, "logits": self.classifier(h),
                 "attn_weights": attn_w, "rnn_input": rnn_input}
 
+    def z_input_proj(self, z: jnp.ndarray) -> jnp.ndarray:
+        """The z rows of the GRU input matmul alone — the only part of the
+        input projection that must wait for the prior's z on the serial
+        decode chain (fused-step path, models/vae.py ``_step_pair``).
+        wi row layout follows the input concat [emb; ctx; z]."""
+        zr = self.embed_size + self.enc_mem_size
+        return z @ self.cell.wi[zr:]
+
+    def step_from_gates(self, gi_partial, gh, state, z, attn_w
+                        ) -> Dict[str, Any]:
+        """Recurrence from precomputed gate halves: ``gi_partial`` covers the
+        [emb; ctx] rows (+ input bias), ``gh`` the hidden matmul (+ bias);
+        only :meth:`z_input_proj` runs after the prior's z."""
+        gi = gi_partial + self.z_input_proj(z)
+        h = self.cell.recur_from_gates(gi, gh, state)
+        return {"state": h, "output": h, "logits": self.classifier(h),
+                "attn_weights": attn_w}
+
 
 @DECODERS.register("RNNLuongAttnDecoder")
 class RNNLuongAttnDecoder(nn.Module):

@@ -231,6 +231,16 @@ class PriorRNN(nn.Module):
     def step_from_ctx(self, x, ctx, attn_w, state, last_z, eps) -> Dict[str, Any]:
         """The post-attention half of :meth:`step`."""
         h, c = self.network(jnp.concatenate([x, ctx, last_z], axis=-1), state)
+        return self._finish(h, c, attn_w, eps)
+
+    def step_from_gates(self, gi, gh, attn_w, state, eps) -> Dict[str, Any]:
+        """Recurrence from precomputed gate halves — the fused-step decode
+        path batches this LSTM's two matmuls with the decoder GRU's into one
+        MXU call (models/vae.py ``_step_pair``, ``ACVAE_FUSED_STEP=1``)."""
+        h, c = self.network.recur_from_gates(gi, gh, state)
+        return self._finish(h, c, attn_w, eps)
+
+    def _finish(self, h, c, attn_w, eps) -> Dict[str, Any]:
         ml = self.mean_log_out(h)
         mean, log = split_mean_log(ml)
         z = reparameterize(mean, log, eps)

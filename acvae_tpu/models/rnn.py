@@ -53,8 +53,13 @@ class GRUCell(nn.Module):
 
     def recur(self, gi: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         """One recurrent step from precomputed input gates gi: [N, 3H]."""
+        return self.recur_from_gates(gi, h @ self.wh + self.bh, h)
+
+    def recur_from_gates(self, gi: jnp.ndarray, gh: jnp.ndarray,
+                         h: jnp.ndarray) -> jnp.ndarray:
+        """Gate math alone — both matmul halves precomputed (the fused-step
+        decode path batches them with the prior's, models/vae.py)."""
         H = self.hidden_size
-        gh = h @ self.wh + self.bh
         r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
         z = jax.nn.sigmoid(gi[..., H:2 * H] + gh[..., H:2 * H])
         n = jnp.tanh(gi[..., 2 * H:] + r * gh[..., 2 * H:])
@@ -82,9 +87,16 @@ class LSTMCell(nn.Module):
 
     def recur(self, gi: jnp.ndarray,
               state: Tuple[jnp.ndarray, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h, _ = state
+        return self.recur_from_gates(gi, h @ self.wh + self.bh, state)
+
+    def recur_from_gates(self, gi: jnp.ndarray, gh: jnp.ndarray,
+                         state: Tuple[jnp.ndarray, jnp.ndarray]
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Gate math alone — both matmul halves precomputed (fused-step)."""
         h, c = state
         H = self.hidden_size
-        g = gi + h @ self.wh + self.bh
+        g = gi + gh
         i = jax.nn.sigmoid(g[..., :H])
         f = jax.nn.sigmoid(g[..., H:2 * H])
         gg = jnp.tanh(g[..., 2 * H:3 * H])

@@ -123,9 +123,26 @@ class VAECaptionModel(nn.Module):
         decoder: previous state) — as ONE stacked pass
         (models/attention.py ``stacked_attention_read``), halving the
         attention ops on the serial chain.  Same math; kept switchable
-        until measured on-chip (docs/pallas_notes.md)."""
+        until measured on-chip (docs/pallas_notes.md).
+
+        ``ACVAE_FUSED_STEP=1`` (inference only) goes further: of the step's
+        five serial matmuls, the four whose inputs exist at step start —
+        prior-LSTM input [emb_p;ctx_p;last_z]·wi, prior-LSTM hidden h_p·wh,
+        decoder-GRU partial input [emb_d;ctx_d]·wi, decoder-GRU hidden
+        dec_h·wh — become ONE zero-padded batched MXU call; only the z rows
+        of the GRU input projection (``z_input_proj``) remain on the
+        z-critical path.  ~2× the matmul FLOPs (padding waste) traded for
+        3 fewer serial ops — exactly the trade the slope probes say the
+        op-latency-bound loop wants (docs/pallas_notes.md "decode chain").
+        Implies the stacked attention read.  Accumulation is split
+        differently so tokens can flip at float near-ties (like
+        ACVAE_FUSED_ATTN); parity pinned by CPU tests."""
         import os
-        if (os.environ.get("ACVAE_FUSED_ATTN") == "1"
+        fused_step = (os.environ.get("ACVAE_FUSED_STEP") == "1"
+                      and not train
+                      and hasattr(self.decoder, "step_from_gates")
+                      and hasattr(self.pnet, "step_from_gates"))
+        if ((fused_step or os.environ.get("ACVAE_FUSED_ATTN") == "1")
                 and p_proj.shape[-1] == d_proj.shape[-1]
                 and hasattr(self.pnet, "step_from_ctx")  # GMM prior: seq only
                 and not self.is_initializing()):
@@ -136,6 +153,10 @@ class VAECaptionModel(nn.Module):
                 [self.pnet.attn_query(emb_p), self.decoder.attn_query(dec_h)],
                 [self.pnet.attn_v(), self.decoder.attn_v()],
                 enc_mem, enc_mask)
+            if fused_step:
+                return self._fused_gate_step(word, emb_p, ctx_p, ctx_d,
+                                             w_p, w_d, dec_h, p_state,
+                                             last_z, eps_t, z_fn)
             p = self.pnet.step_from_ctx(emb_p, ctx_p, w_p, p_state, last_z,
                                         eps_t)
             d = self.decoder.step_from_ctx(word, dec_h, ctx_d, w_d,
@@ -145,6 +166,47 @@ class VAECaptionModel(nn.Module):
                            last_z, eps_t)
         d = self.decoder.step(word, dec_h, enc_mem, d_proj, enc_mask,
                               z_fn(p), train=train)
+        return p, d
+
+    def _fused_gate_step(self, word, emb_p, ctx_p, ctx_d, w_p, w_d,
+                         dec_h, p_state, last_z, eps_t, z_fn):
+        """The ACVAE_FUSED_STEP matmul batching (see :meth:`_step_pair`).
+
+        All four gate matmuls share one ``[4, N, C] @ [4, C, G]`` batched
+        dot (C/G = max padded in/out dims); zero padding contributes exact
+        zero partial products, so each arm's result equals its standalone
+        matmul up to reduction-order float noise."""
+        lstm, gru = self.pnet.network, self.decoder.cell
+        x_p = jnp.concatenate([emb_p, ctx_p, last_z], axis=-1)
+        emb_d = self.decoder.word_embeddings(word)
+        x_d = jnp.concatenate([emb_d, ctx_d], axis=-1)
+        h_p = p_state[0]
+
+        wi_d_part = gru.wi[: x_d.shape[-1]]
+        mats = ((x_p, lstm.wi), (x_d, wi_d_part),
+                (h_p, lstm.wh), (dec_h, gru.wh))
+        C = max(x.shape[-1] for x, _ in mats)
+        G = max(w.shape[-1] for _, w in mats)
+
+        def padx(x):
+            return jnp.pad(x, ((0, 0), (0, C - x.shape[-1])))
+
+        def padw(w):
+            return jnp.pad(w, ((0, C - w.shape[0]), (0, G - w.shape[1])))
+
+        X = jnp.stack([padx(x) for x, _ in mats])      # [4, N, C]
+        W = jnp.stack([padw(w) for _, w in mats])      # [4, C, G]  (hoisted
+        # out of the scan by XLA: loop-invariant, params-only)
+        Y = jnp.einsum("knc,kcg->kng", X, W)
+        n3h = gru.wi.shape[-1]
+        gi_p = Y[0] + lstm.bi
+        gi_d_part = Y[1][:, :n3h] + gru.bi
+        gh_p = Y[2] + lstm.bh
+        gh_d = Y[3][:, :n3h] + gru.bh
+
+        p = self.pnet.step_from_gates(gi_p, gh_p, w_p, p_state, eps_t)
+        d = self.decoder.step_from_gates(gi_d_part, gh_d, dec_h, z_fn(p),
+                                         w_d)
         return p, d
 
     # ------------------------------------------------------------------ #

@@ -207,6 +207,62 @@ class TestSimpleVAE:
         assert beam["seqs"].shape == (N, 2, 6)
 
 
+class TestFusedStep:
+    """ACVAE_FUSED_STEP=1 batches the prior-LSTM and decoder-GRU gate
+    matmuls into one MXU call, leaving only the z rows of the GRU input
+    projection on the z-critical path (models/vae.py::_fused_gate_step).
+    Zero padding contributes exact zeros, so every decode flavor must match
+    the sequential path to float tolerance — and token-exactly at test
+    scale."""
+
+    def _decode(self, model, variables, feats, feat_lens, fused,
+                monkeypatch, method="beam", **kw):
+        if fused:
+            monkeypatch.setenv("ACVAE_FUSED_STEP", "1")
+        else:
+            monkeypatch.delenv("ACVAE_FUSED_STEP", raising=False)
+        return model.apply(variables, feats, feat_lens,
+                           decode_method=method, max_length=6,
+                           rngs={"sample": jax.random.key(5)}, **kw)
+
+    def test_all_decode_flavors_match(self, model_and_params, batch,
+                                      monkeypatch):
+        model, variables = model_and_params
+        feats, feat_lens, _, _ = batch
+        for method, kw in (("beam", {"beam_size": 3}), ("greedy", {}),
+                           ("dbs", {"beam_size": 4, "group_size": 2})):
+            a = self._decode(model, variables, feats, feat_lens, False,
+                             monkeypatch, method, **kw)
+            b = self._decode(model, variables, feats, feat_lens, True,
+                             monkeypatch, method, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(a["seqs"]), np.asarray(b["seqs"]),
+                err_msg=f"{method} tokens diverged under fused step")
+
+    def test_train_forward_unaffected(self, model_and_params, batch,
+                                      monkeypatch):
+        """The fused step is inference-only; train_forward must be
+        bit-identical with the env var set."""
+        model, variables = model_and_params
+        feats, feat_lens, caps, cap_lens = batch
+
+        def train_out():
+            out, _ = model.apply(
+                variables, feats, feat_lens, caps, cap_lens, ss_ratio=1.0,
+                train=True,
+                rngs={"sample": jax.random.key(2),
+                      "dropout": jax.random.key(3)},
+                mutable=["batch_stats"])
+            return out
+
+        monkeypatch.delenv("ACVAE_FUSED_STEP", raising=False)
+        a = train_out()
+        monkeypatch.setenv("ACVAE_FUSED_STEP", "1")
+        b = train_out()
+        np.testing.assert_array_equal(np.asarray(a["logits"]),
+                                      np.asarray(b["logits"]))
+
+
 class TestFusedAttention:
     """ACVAE_FUSED_ATTN=1 computes the prior and decoder attention reads as
     one stacked pass (models/attention.py stacked_attention_read) — same
