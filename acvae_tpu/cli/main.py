@@ -688,8 +688,10 @@ class Runner:
         backbones) are converted automatically, including BatchNorm running
         stats."""
         from acvae_tpu.train.pretrained import (_looks_like_acvae,
+                                                _looks_like_espnet,
                                                 _looks_like_pann,
                                                 acvae_to_flax,
+                                                espnet_to_flax,
                                                 load_subtree, merge_pretrained,
                                                 pann_to_flax)
 
@@ -709,12 +711,18 @@ class Runner:
                 if _looks_like_acvae(sd):
                     # full reference-trained model (train/pretrained.py)
                     return acvae_to_flax(sd, conf, logger.info)
+                if _looks_like_espnet(sd):
+                    # espnet E2E/encoder snapshot (load_espnet_encoder
+                    # equivalent, reference encoder.py:41-54)
+                    return espnet_to_flax(
+                        sd, int(conf.get("espnet_inputdim", 64)),
+                        logger.info)
                 if _looks_like_pann(sd):
                     return pann_to_flax(sd)
                 raise ValueError(
                     f"{path}: torch checkpoint is neither a full AC-VAE "
-                    "model nor a PANN backbone; convert it to a pickled "
-                    "flax tree instead")
+                    "model, an espnet encoder, nor a PANN backbone; "
+                    "convert it to a pickled flax tree instead")
             with open(p, "rb") as f:
                 tree = pickle.load(f)
             return tree if isinstance(tree, dict) else {"params": tree}

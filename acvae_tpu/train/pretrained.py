@@ -402,3 +402,90 @@ def acvae_to_flax(state_dict: Dict[str, Any], conf: Dict[str, Any],
     for k in sorted(set(sd) - handled):
         log(f"unmapped key {k} (dropped)")
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------- #
+# ESPnet ASR encoder checkpoint conversion (E2EASREncoder warm-start)
+# --------------------------------------------------------------------- #
+
+def _looks_like_espnet(state_dict: Dict[str, Any]) -> bool:
+    """ESPnet VGG2L+RNNP encoder naming (espnet/nets/pytorch_backend/rnn/
+    encoders.py): conv1_1..conv2_2 + birnn{i}/bt{i}, possibly under
+    ``enc.enc.{0,1}.`` (a full e2e_asr.E2E dict) or ``enc.{0,1}.``."""
+    return any(k.endswith("conv1_1.weight") for k in state_dict) and \
+        any(".birnn0." in k or ".bt0." in k or k.startswith(("birnn0", "bt0"))
+            for k in state_dict)
+
+
+def espnet_to_flax(state_dict: Dict[str, Any], inputdim: int = 64,
+                   log=print) -> Dict[str, Any]:
+    """Convert an ESPnet ``vggbgrup`` encoder checkpoint into params for our
+    native :class:`~acvae_tpu.models.encoders.E2EASREncoder`.
+
+    The reference wraps a *pretrained* espnet encoder
+    (``models/encoder.py:14-54`` ``load_espnet_encoder`` →
+    ``E2E(...).enc``); our architecture is the same family built
+    in-framework, so the conversion is mechanical except for one layout
+    fact: espnet's VGG2L flattens the conv output **channel-major**
+    (``[N,C,T,F'] → [N,T,C·F']``) while ours is **freq-major**
+    (``[N,T,F',C] → [N,T,F'·C]``), so the first GRU layer's input weights
+    get a column permutation.  LSTM-flavored checkpoints (``vggblstmp``,
+    the espnet default) are NOT convertible into the GRU architecture —
+    their 4H gate blocks fail the shape filter downstream and a log line
+    says why.
+    """
+    sd = state_dict.get("model", state_dict)
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()
+                        if hasattr(v, "numpy") else v)
+          for k, v in sd.items()}
+    # normalize prefixes: enc.enc.N. (full E2E) / enc.N. (Encoder) / N.
+    for pre in ("enc.enc.", "enc."):
+        if any(k.startswith(pre + "0.") for k in sd):
+            sd = {k[len(pre):]: v for k, v in sd.items()
+                  if k.startswith(pre)}
+            break
+
+    params: Dict[str, Any] = {}
+    # VGG2L convs: espnet conv{stage}_{j} -> vgg{stage-1}_conv{j}
+    for stage in (1, 2):
+        for j in (1, 2):
+            tkey = f"0.conv{stage}_{j}"
+            if tkey + ".weight" in sd:
+                params[f"vgg{stage - 1}_conv{j}"] = {
+                    "kernel": sd[tkey + ".weight"].transpose(2, 3, 1, 0),
+                    "bias": sd[tkey + ".bias"]}
+
+    # channel-major -> freq-major input permutation for the first RNN layer
+    fp = inputdim // 4  # post-pool freq bins
+    c_out = 128         # VGG2L's fixed top channel count
+    perm = np.array([c * fp + f for f in range(fp) for c in range(c_out)])
+
+    i = 0
+    while f"1.birnn{i}.weight_ih_l0" in sd or f"1.rnn{i}.weight_ih_l0" in sd:
+        base = f"1.birnn{i}" if f"1.birnn{i}.weight_ih_l0" in sd \
+            else f"1.rnn{i}"
+        gates = sd[base + ".weight_ih_l0"].shape[0]
+        hidden3 = 3 * (sd[base + ".weight_hh_l0"].shape[1])
+        if gates != hidden3:
+            log(f"skip {base}: {gates // (gates // hidden3 if hidden3 else 4)}"
+                f"-gate RNN is not a GRU (vggblstmp checkpoint?) — our "
+                "E2EASREncoder is the vggbgrup flavor")
+            i += 1
+            continue
+
+        def cell(suffix):
+            c = _t_rnn(sd, base, suffix)
+            if i == 0:
+                c["wi"] = np.ascontiguousarray(c["wi"][perm])
+            return c
+
+        layer = {"fwd": cell("")}
+        if base + ".weight_ih_l0_reverse" in sd:
+            layer["bwd"] = cell("_reverse")
+        params[f"bgru{i}"] = layer
+        if f"1.bt{i}.weight" in sd:
+            params[f"proj{i}"] = _t_linear(sd, f"1.bt{i}")
+        i += 1
+    if i == 0:
+        log("no RNNP layers found — not a VGG2L+RNNP encoder dict?")
+    return {"params": params, "batch_stats": {}}

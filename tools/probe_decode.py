@@ -253,6 +253,33 @@ def attn_ab():
                   flush=True)
 
 
+def step_ab():
+    """Fused-gate-matmul step (ACVAE_FUSED_STEP) vs default decode A/B.
+
+    The fused step batches the four start-of-step gate matmuls into one
+    MXU call (models/vae.py::_fused_gate_step) — 3 fewer serial ops/step
+    at ~2x the matmul FLOPs (padding waste).  The op-latency-bound loop
+    (pallas_notes "decode chain") predicts a win iff per-op latency, not
+    payload, binds."""
+    model, variables, encoded = _flagship_decode()
+    outs, decs = {}, {}
+    for mode in ("default", "fusedstep"):
+        os.environ["ACVAE_FUSED_STEP"] = "1" if mode == "fusedstep" else "0"
+        os.environ["ACVAE_FUSED_ATTN"] = "0"
+        decs[mode] = make_decode(model, variables)
+        outs[mode] = decs[mode](variables, encoded, jax.random.key(2))
+        np.asarray(outs[mode]["seqs"])
+    same = np.array_equal(np.asarray(outs["default"]["seqs"]),
+                          np.asarray(outs["fusedstep"]["seqs"]))
+    print(f"token-identical: {same}", flush=True)
+    for rnd in range(4):
+        for mode in ("default", "fusedstep"):
+            t = _time(lambda: decs[mode](variables, encoded,
+                                         jax.random.key(3 + rnd)))
+            print(f"round {rnd} {mode:9s}: {t * 1000:.1f} ms decode-only",
+                  flush=True)
+
+
 def topk_ab():
     model, variables, encoded = _flagship_decode()
     decs, outs = {}, {}
@@ -305,6 +332,8 @@ if __name__ == "__main__":
         loop_ab()
     elif cmd == "attn_ab":
         attn_ab()
+    elif cmd == "step_ab":
+        step_ab()
     elif cmd == "ablate":
         ablate(sys.argv[2] if len(sys.argv) > 2 else "V")
     else:

@@ -25,6 +25,8 @@ run frontier 14400 bash tools/frontier_campaign.sh
 run int8_schemes 3600 python tools/probe_int8_schemes.py 5
 
 SB_EXP=${EXP:-/tmp/rich_exp/Hybrid_VAEModel/rich_0.5_0.5/seed_1}
+run step_ab 2400 python tools/probe_decode.py step_ab
+
 run serve_f32 1800 python tools/serve_bench.py "$SB_EXP" \
     --levels=16,64,128 --seconds=20 --batch_size=16 --encoder_int8
 run serve_u8 1800 python tools/serve_bench.py "$SB_EXP" \
