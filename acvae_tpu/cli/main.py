@@ -2109,7 +2109,10 @@ class Runner:
           [0.05, 0.1]}``.  ``--mode=grid`` (default) runs the cartesian
           product (optionally truncated to ``--n_trials``);
           ``--mode=random`` draws ``--n_trials`` joint samples (NNI's
-          random-search semantics) with ``--seed``.
+          random-search semantics) with ``--seed``; ``--mode=tpe`` and
+          ``--mode=anneal`` run the sequential model-based advisors
+          (train/sweep_advisor.py — NNI's TPE/anneal tuner equivalents:
+          each trial's metric feeds the next suggestion).
 
         Prints a summary with the best trial's params; every trial's
         experiment dir is kept.
@@ -2127,23 +2130,36 @@ class Runner:
                     "search space must be a mapping of config key -> "
                     f"candidate list, got: {sp!r}")
             names = list(sp)
+            advisor = None
             if mode == "random":
                 rng = np.random.default_rng(seed)
                 k = int(n_trials or 10)
                 combos = [tuple(sp[n][int(rng.integers(len(sp[n])))]
                                 for n in names) for _ in range(k)]
+                trials = [dict(zip(names, c)) for c in combos]
+            elif mode in ("tpe", "anneal"):
+                from acvae_tpu.train.sweep_advisor import (AnnealAdvisor,
+                                                           TPEAdvisor)
+                k = int(n_trials or 10)
+                advisor = (TPEAdvisor(sp, seed=seed) if mode == "tpe"
+                           else AnnealAdvisor(sp, seed=seed, n_trials=k))
+                trials = [None] * k  # suggested one at a time below
             else:
                 combos = list(itertools.product(*[sp[n] for n in names]))
                 if n_trials:
                     combos = combos[: int(n_trials)]
-            trials = [dict(zip(names, c)) for c in combos]
+                trials = [dict(zip(names, c)) for c in combos]
         else:
             if param is None or values is None:
                 raise ValueError("either --space or --param/--values")
+            advisor = None
             trials = [{param: _yaml.safe_load(raw)}
                       for raw in str(values).split(",")]
         results = {}
+        history = []  # (overrides, metric) for the sequential advisors
         for t, overrides in enumerate(trials):
+            if overrides is None:
+                overrides = advisor.suggest(history)
             tag = "t{}_{}".format(t, "_".join(
                 f"{k.split('.')[-1]}={v}" for k, v in overrides.items()))
             print(f"=== sweep trial {t}: {overrides} ===")
@@ -2153,6 +2169,7 @@ class Runner:
             recs = [json.loads(line) for line in
                     open(Path(exp_dir) / "metrics.jsonl")]
             best = max(r[metric] for r in recs)
+            history.append((overrides, best))
             results[tag] = {"best": best, "exp_dir": exp_dir,
                             "params": overrides}
         best_tag = max(results, key=lambda k: results[k]["best"])

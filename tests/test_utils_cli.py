@@ -297,6 +297,69 @@ class TestMultiParamSweep:
         with _pytest.raises(ValueError):
             runner.sweep("cfg.yaml")
 
+    def test_tpe_mode_feeds_history(self, tmp_path, monkeypatch):
+        """mode=tpe runs sequentially and concentrates later trials near
+        the objective's peak (beta=0.5, smoothing=0.1)."""
+        runner, calls = self._stub_runner(tmp_path, monkeypatch)
+        results = runner.sweep(
+            "cfg.yaml",
+            space="{beta: [0.1, 0.3, 0.5, 0.7, 0.9], "
+                  "smoothing: [0.05, 0.1, 0.3]}",
+            mode="tpe", n_trials=14, seed=1)
+        assert len(calls) == 14
+        # after the 5 random startup trials TPE should favor the peak —
+        # at least a third of the guided trials land on beta=0.5
+        guided = calls[5:]
+        hits = sum(1 for c in guided if c["beta"] == 0.5)
+        assert hits >= len(guided) // 3, (hits, guided)
+        best = max(results.values(), key=lambda r: r["best"])
+        assert best["params"]["beta"] == 0.5
+
+    def test_anneal_mode_refines_incumbent(self, tmp_path, monkeypatch):
+        runner, calls = self._stub_runner(tmp_path, monkeypatch)
+        runner.sweep(
+            "cfg.yaml",
+            space="{beta: [0.1, 0.3, 0.5, 0.7, 0.9], "
+                  "smoothing: [0.05, 0.1, 0.3]}",
+            mode="anneal", n_trials=12, seed=2)
+        assert len(calls) == 12
+        # late trials mutate little: the final trial shares at least one
+        # coordinate with the best seen before it
+        import json as _json
+        # recompute scores like the stub does
+        def score(c):
+            return (1.0 - abs(c.get("beta", 0) - 0.5)
+                    - abs(c.get("smoothing", 0) - 0.1))
+        best_before_last = max(calls[:-1], key=score)
+        last = calls[-1]
+        assert any(last[k] == best_before_last[k]
+                   for k in ("beta", "smoothing"))
+
+
+class TestTPEAdvisorUnit:
+    """Pure advisor behavior (train/sweep_advisor.py), no CLI."""
+
+    def test_startup_is_random_then_guided(self):
+        from acvae_tpu.train.sweep_advisor import TPEAdvisor
+        space = {"x": [0, 1, 2, 3, 4]}
+        adv = TPEAdvisor(space, seed=0, n_startup=3)
+        hist = []
+        for _ in range(40):
+            s = adv.suggest(hist)
+            # objective: peak at x=3
+            hist.append((s, 1.0 - abs(s["x"] - 3) / 4.0))
+        xs = [h[0]["x"] for h in hist[10:]]
+        # guided phase concentrates on the peak
+        assert xs.count(3) + xs.count(2) + xs.count(4) > len(xs) * 0.6
+        assert xs.count(3) == max(xs.count(v) for v in space["x"])
+
+    def test_densities_smoothing_never_zero(self):
+        from acvae_tpu.train.sweep_advisor import TPEAdvisor
+        adv = TPEAdvisor({"x": [0, 1]}, seed=0, n_startup=1)
+        pg, pb = adv._densities([({"x": 0}, 1.0), ({"x": 0}, 0.5)], "x")
+        assert (pg > 0).all() and (pb > 0).all()
+        assert abs(pg.sum() - 1) < 1e-9 and abs(pb.sum() - 1) < 1e-9
+
 
 class TestDoctor:
     """cli doctor: bounded device diagnostic (the probe runs in a subprocess
