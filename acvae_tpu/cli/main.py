@@ -704,10 +704,9 @@ class Runner:
                 return tree
             if p.suffix in (".pth", ".pt"):
                 import torch
-                sd = torch.load(p, map_location="cpu", weights_only=False)
-                sd = sd.get("model", sd) if isinstance(sd, dict) else sd
-                if hasattr(sd, "state_dict"):
-                    sd = sd.state_dict()
+                from acvae_tpu.train.pretrained import unwrap_torch_state_dict
+                sd = unwrap_torch_state_dict(
+                    torch.load(p, map_location="cpu", weights_only=False))
                 if _looks_like_acvae(sd):
                     # full reference-trained model (train/pretrained.py)
                     return acvae_to_flax(sd, conf, logger.info)
@@ -984,7 +983,7 @@ class Runner:
 
     # ------------------------------------------------------------------ #
     def import_torch(self, pth_path: str, config: str, output_dir: str,
-                     vocab_file: str, data_dim: int = 64,
+                     vocab_file: str, data_dim: Optional[int] = None,
                      mel_bucket: int = 64):
         """Convert a reference-trained torch checkpoint into an experiment
         directory our ``evaluate``/``predict``/``serve`` commands accept.
@@ -1004,20 +1003,23 @@ class Runner:
         identical table in loadable form)."""
         import torch
 
-        from acvae_tpu.train.pretrained import acvae_to_flax, merge_pretrained
+        from acvae_tpu.train.pretrained import (acvae_to_flax,
+                                                merge_pretrained,
+                                                unwrap_torch_state_dict)
 
         conf = load_config(config)
         conf.setdefault("seed", 1)
         vocabulary = Vocabulary.load(vocab_file)
         logger = logging.getLogger("acvae_tpu")
 
-        sd = torch.load(pth_path, map_location="cpu", weights_only=False)
-        if isinstance(sd, dict) and "model" in sd:
-            sd = sd["model"]
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
+        sd = unwrap_torch_state_dict(
+            torch.load(pth_path, map_location="cpu", weights_only=False))
         tree = acvae_to_flax(sd, conf, logger.info)
 
+        # mel dim: explicit flag > config key > Clotho default, matching
+        # export_model's conf-driven resolution
+        data_dim = int(data_dim if data_dim is not None
+                       else conf.get("data_dim", 64))
         model = build_model(conf, len(vocabulary), data_dim)
         L = int(conf.get("max_length", 20)) + 2
 
@@ -2152,6 +2154,10 @@ class Runner:
         else:
             if param is None or values is None:
                 raise ValueError("either --space or --param/--values")
+            if mode in ("tpe", "anneal"):
+                raise ValueError(
+                    f"--mode={mode} needs a --space search space; "
+                    "--param/--values runs the literal list")
             advisor = None
             trials = [{param: _yaml.safe_load(raw)}
                       for raw in str(values).split(",")]

@@ -31,6 +31,22 @@ from acvae_tpu import END_IDX, START_IDX
 from acvae_tpu.decoding.beam import _gather_beams, beam_topk
 
 
+def dbs_bdash(beam_size: int, group_size: int) -> int:
+    """Beams per group, with the validation every DBS entry point needs
+    BEFORE sizing its state (a zero-width beam axis otherwise dies deep in
+    a scan trace).  The reference floors non-divisible sizes the same way
+    (word_model.py:314 ``bdash = beam_size // group_size``)."""
+    if group_size < 1:
+        raise ValueError(f"dbs needs group_size >= 1, got {group_size}")
+    bdash = beam_size // group_size
+    if bdash < 1:
+        raise ValueError(
+            f"dbs needs beam_size >= group_size (got beam_size={beam_size}, "
+            f"group_size={group_size} -> {bdash} beams per group); pass "
+            "e.g. --beam_size=8 --group_size=4")
+    return bdash
+
+
 @dataclasses.dataclass(frozen=True)
 class DBSConfig:
     beam_size: int
@@ -54,7 +70,7 @@ def diverse_beam_search(make_step_fn: Callable[[int], Any],
     """
     N = batch_size
     G = cfg.group_size
-    bdash = cfg.beam_size // G
+    bdash = dbs_bdash(cfg.beam_size, G)
     T = cfg.max_length
     CAP = bdash * T  # max done-beams a group can record
 

@@ -223,11 +223,12 @@ class AttnCaptionModel(nn.Module):
         (decoding/dbs.py, exact word_model.py:297-394 semantics) runs over
         the decoder's deterministic step fn, making DBS a working capability
         on this family.  Documented in COVERAGE.md "Known divergences"."""
-        from acvae_tpu.decoding.dbs import DBSConfig, diverse_beam_search
+        from acvae_tpu.decoding.dbs import (DBSConfig, dbs_bdash,
+                                            diverse_beam_search)
 
         enc_mem, enc_mask, d_proj = self._ctx(encoded)
         N = enc_mem.shape[0]
-        bdash = beam_size // group_size
+        bdash = dbs_bdash(beam_size, group_size)
         NB = N * bdash
         dt = self.decoder.state_dtype()
 
@@ -397,10 +398,11 @@ class TransformerCaptionModel(nn.Module):
         capability superset, see AttnCaptionModel.diverse_beam_search).
         Group g at global step t decodes its *local* position ``t − g``; the
         beam-parent gather permutes whole prefix buffers."""
-        from acvae_tpu.decoding.dbs import DBSConfig, diverse_beam_search
+        from acvae_tpu.decoding.dbs import (DBSConfig, dbs_bdash,
+                                            diverse_beam_search)
 
         N = encoded["audio_embeds"].shape[0]
-        bdash = beam_size // group_size
+        bdash = dbs_bdash(beam_size, group_size)
         NB = N * bdash
         enc_r = _repeat_beams(
             {"audio_embeds": encoded["audio_embeds"],

@@ -198,10 +198,11 @@ class VAECaptionModel(nn.Module):
         W = jnp.stack([padw(w) for _, w in mats])      # [4, C, G]  (hoisted
         # out of the scan by XLA: loop-invariant, params-only)
         Y = jnp.einsum("knc,kcg->kng", X, W)
+        n4h = lstm.wi.shape[-1]
         n3h = gru.wi.shape[-1]
-        gi_p = Y[0] + lstm.bi
+        gi_p = Y[0][:, :n4h] + lstm.bi
         gi_d_part = Y[1][:, :n3h] + gru.bi
-        gh_p = Y[2] + lstm.bh
+        gh_p = Y[2][:, :n4h] + lstm.bh
         gh_d = Y[3][:, :n3h] + gru.bh
 
         p = self.pnet.step_from_gates(gi_p, gh_p, w_p, p_state, eps_t)
@@ -471,13 +472,14 @@ class VAECaptionModel(nn.Module):
                             group_size: int = 5, diversity_lambda: float = 0.5,
                             temperature: float = 1.0,
                             group_nbest: bool = True) -> Dict[str, Any]:
-        from acvae_tpu.decoding.dbs import DBSConfig, diverse_beam_search
+        from acvae_tpu.decoding.dbs import (DBSConfig, dbs_bdash,
+                                            diverse_beam_search)
 
         enc_mem, enc_mask, p_proj, d_proj = self._prep_ctx(encoded)
         N = enc_mem.shape[0]
         E = self.decoder.embed_size
         dt = self.decoder.state_dtype()
-        bdash = beam_size // group_size
+        bdash = dbs_bdash(beam_size, group_size)
         NB = N * bdash
         # per-instance attention memories; beam axis folded in the attention
         total_steps = max_length + group_size - 1
@@ -701,8 +703,9 @@ class SimpleVAECaptionModel(nn.Module):
         enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
         d_proj = self.decoder.project_enc(enc_mem)
         N, E = enc_mem.shape[0], self.decoder.embed_size
+        from acvae_tpu.decoding.dbs import dbs_bdash
         G = group_size
-        bdash = beam_size // G
+        bdash = dbs_bdash(beam_size, G)
         NB = N * bdash
         z_groups = (jax.random.normal(key, (G, NB, E))
                     * jnp.exp(0.5 * 1.0)).astype(dt)

@@ -63,6 +63,17 @@ def load_subtree(params: Any, pretrained: Any, subtree: str, log=print):
     return out, n, total
 
 
+def unwrap_torch_state_dict(obj):
+    """Normalize a loaded torch checkpoint into a flat state dict: unwrap
+    the reference's ``{"model": ...}`` save shape (pytorch_runner_vae.py:
+    380-388) and module objects with ``.state_dict()``."""
+    if isinstance(obj, dict) and "model" in obj:
+        obj = obj["model"]
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return obj
+
+
 # --------------------------------------------------------------------- #
 # PANN torch checkpoint conversion
 # --------------------------------------------------------------------- #
@@ -467,9 +478,9 @@ def espnet_to_flax(state_dict: Dict[str, Any], inputdim: int = 64,
         gates = sd[base + ".weight_ih_l0"].shape[0]
         hidden3 = 3 * (sd[base + ".weight_hh_l0"].shape[1])
         if gates != hidden3:
-            log(f"skip {base}: {gates // (gates // hidden3 if hidden3 else 4)}"
-                f"-gate RNN is not a GRU (vggblstmp checkpoint?) — our "
-                "E2EASREncoder is the vggbgrup flavor")
+            log(f"skip {base}: {gates // (hidden3 // 3)}-gate RNN is not a "
+                "GRU (vggblstmp checkpoint?) — our E2EASREncoder is the "
+                "vggbgrup flavor")
             i += 1
             continue
 

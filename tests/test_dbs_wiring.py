@@ -317,6 +317,28 @@ class TestSimpleVAEDBS:
         assert out2["seqs"].shape == (N, GSZ, TDEC)
 
 
+class TestDBSSizeValidation:
+    def test_bdash_zero_is_a_clear_error(self, rng):
+        """The CLI defaults (beam_size=3, group_size=5) give 0 beams per
+        group — every entry point must raise the named error, not die in a
+        scan trace on zero-width tensors (decoding/dbs.py::dbs_bdash)."""
+        cfg = {"model": "Seq2SeqAttnModel", "encodermodel": "Cnn10",
+               "encoder_args": {"embed_size": E, "channels": (4, 8, 8, E)},
+               "decoder": "RNNBahdanauAttnDecoder",
+               "decoder_args": {"embed_size": E, "hidden_size": E},
+               "model_args": {}}
+        model = build_model(cfg, V, F)
+        batch = _batch(rng)
+        variables = _init(model, batch)
+        with pytest.raises(ValueError, match="beam_size >= group_size"):
+            model.apply(variables, batch[0], batch[1], decode_method="dbs",
+                        beam_size=3, group_size=5, max_length=4)
+        from acvae_tpu.decoding.dbs import dbs_bdash
+        with pytest.raises(ValueError, match="group_size >= 1"):
+            dbs_bdash(4, 0)
+        assert dbs_bdash(8, 5) == 1  # reference floor semantics kept
+
+
 class TestDecodeMethodErrors:
     def test_transvae_dbs_raises_by_name(self, rng):
         cfg = {"model": "TransVAEModel", "encodermodel": "Cnn10",

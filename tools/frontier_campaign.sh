@@ -61,6 +61,6 @@ run human 3600 env JAX_PLATFORMS=cpu python -m acvae_tpu.cli human_eval \
     $TESTSET/text.json --output=$OUT/human.txt
 
 run report 1800 env JAX_PLATFORMS=cpu python tools/frontier_report.py "$EXP" \
-    --train_corpus=$CORPUS/text.json --out=$OUT/frontier.md
+    --train_corpus=$CORPUS/text.json --human=$OUT/human.txt --out=$OUT/frontier.md
 cat $OUT/frontier.md 2>/dev/null
 echo "frontier campaign done: $(ls $OUT)"

@@ -57,11 +57,14 @@ def main():
     exp = sys.argv[1]
     train_corpus = None
     out_path = None
+    human_path = None
     for a in sys.argv[2:]:
         if a.startswith("--train_corpus="):
             train_corpus = a.split("=", 1)[1]
         elif a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        elif a.startswith("--human="):
+            human_path = a.split("=", 1)[1]
 
     from acvae_tpu.data.vocab import load_caption_info
     from acvae_tpu.evaluation.diversity import eval_div_stats, novelty
@@ -86,7 +89,7 @@ def main():
                "SPIDEr": scores.get("SPIDEr"),
                "Div1": None, "Div2": None, "mBLEU4": None, "vocab": None,
                "novel": None}
-        if min(len(v) for v in caps.values()) > 1:
+        if caps and min(len(v) for v in caps.values()) > 1:
             d = eval_div_stats(caps)
             row.update(Div1=d.get("Div1"), Div2=d.get("Div2"),
                        mBLEU4=d.get("mBLeu_4"), vocab=d.get("gDiv1"))
@@ -94,6 +97,15 @@ def main():
             flat = [c for v in caps.values() for c in v]
             row["novel"] = novelty(flat, train_caps)
         rows.append(row)
+
+    if human_path and os.path.exists(human_path):
+        # human ceilings (cli human_eval output: "key: value" lines)
+        h = read_scores(human_path)
+        rows.append({"tag": "human (LOO ceiling)",
+                     "CIDEr": h.get("CIDEr"), "SPIDEr": h.get("SPIDEr"),
+                     "Div1": h.get("Div1"), "Div2": h.get("Div2"),
+                     "mBLEU4": h.get("mBLeu_4"), "vocab": h.get("gDiv1"),
+                     "novel": None})
 
     def fmt(v):
         if v is None:

@@ -5,6 +5,7 @@
 # Reuses the rich25 recipe from tools/rich_campaign.sh so numbers are
 # comparable with RESULTS.md round-2 rows.
 set -u
+echo $$ > /tmp/round3_train.pid  # round3_chip.sh waits on this
 OUT=/tmp/round3
 CORPUS=/tmp/rich3000
 TESTSET=/tmp/richtest500
