@@ -831,7 +831,7 @@ class Runner:
                  decode_method: Optional[str] = None, beam_size: int = 3,
                  num_candidates: int = 1, max_length: Optional[int] = None,
                  checkpoint: str = "best", seed: int = 1,
-                 encoder_int8: bool = False, int8_scheme: str = "v2",
+                 encoder_int8: bool = False, int8_scheme: str = "v2sym",
                  distributed: bool = False,
                  decode_dtype: Optional[str] = None, tag: str = "",
                  **decode_kwargs):
@@ -963,8 +963,9 @@ class Runner:
              "tokens": caps[0]}
             for aid, caps in key2pred.items()]
         suffix = "_int8" if encoder_int8 else ""
-        if encoder_int8 and int8_scheme != "v2":
-            suffix += int8_scheme
+        from acvae_tpu.models.quant import DEFAULT_INT8_SCHEME
+        if encoder_int8 and int8_scheme != DEFAULT_INT8_SCHEME:
+            suffix += int8_scheme  # non-default schemes disambiguate
         if decode_dtype and decode_dtype != "float32":
             # keep the f32 outputs around — the A/B the flag exists for
             suffix += f"_{decode_dtype}"
@@ -1103,7 +1104,7 @@ class Runner:
               beam_size: int = 3, max_length: int = 20,
               batch_size: int = 16, mel_bucket: int = 1024,
               max_wait_ms: float = 20.0, checkpoint: str = "best",
-              encoder_int8: bool = False, int8_scheme: str = "v2",
+              encoder_int8: bool = False, int8_scheme: str = "v2sym",
               exported: Optional[str] = None,
               upload_dtype: str = "float32",
               decode_dtype: Optional[str] = None):
@@ -1197,7 +1198,7 @@ class Runner:
                      batch_size: Optional[int] = None,
                      output_dir: Optional[str] = None,
                      platforms: Optional[str] = None,
-                     encoder_int8: bool = False, int8_scheme: str = "v2",
+                     encoder_int8: bool = False, int8_scheme: str = "v2sym",
                      decode_dtype: Optional[str] = None):
         """Export the trained decode program to a self-contained serialized
         StableHLO artifact (jax.export) — weights baked in, loadable by any

@@ -474,6 +474,12 @@ SCHEMES: Dict[str, Dict[str, bool]] = {
 }
 
 
+# the serving/bench default, promoted by the round-3 throughput x accuracy
+# decision table (RESULTS.md "int8 scheme selection"): v2sym is the fastest
+# scheme (1.21x bf16) and every scheme's CIDEr delta is inside seed noise
+DEFAULT_INT8_SCHEME = "v2sym"
+
+
 def scheme_kwargs(name: str) -> Dict[str, bool]:
     if name not in SCHEMES:
         raise ValueError(

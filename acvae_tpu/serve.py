@@ -47,7 +47,7 @@ class CaptionService:
                  decode_method: str = "beam", beam_size: int = 3,
                  max_length: int = 20, batch_size: int = 16,
                  mel_bucket: int = 1024, seed: int = 1,
-                 encoder_int8: bool = False, int8_scheme: str = "v2",
+                 encoder_int8: bool = False, int8_scheme: str = "v2sym",
                  exported: "Optional[str]" = None,
                  upload_dtype: str = "float32",
                  decode_dtype: Optional[str] = None):

@@ -142,10 +142,10 @@ def bench_int8() -> dict:
         fi, jnp.full((8,), 256, jnp.int32),
         jnp.ones((8, 22), jnp.int32), jnp.full((8,), 22, jnp.int32),
         train=False)
-    # v3 = the recommended serving scheme (same runtime program as v2sym;
-    # the accuracy levers are bake-time-only) — ACVAE_BENCH_INT8_SCHEME
-    # switches for scheme-throughput A/Bs
-    scheme = os.environ.get("ACVAE_BENCH_INT8_SCHEME", "v3")
+    # v2sym = the promoted serving default (RESULTS "int8 scheme
+    # selection": fastest at equal-within-noise accuracy) —
+    # ACVAE_BENCH_INT8_SCHEME switches for scheme-throughput A/Bs
+    scheme = os.environ.get("ACVAE_BENCH_INT8_SCHEME", "v2sym")
     quant = quant_encoder_for({"encodermodel": "Cnn10"}, model,
                               variables["params"], variables["batch_stats"],
                               **scheme_kwargs(scheme))
@@ -308,6 +308,19 @@ def bench_torch_baseline() -> float:
 def main():
     _wait_for_device()
     ours = bench_jax()
+    # the HEADLINE is the promoted serving configuration: int8 v2sym
+    # encoder (RESULTS "int8 scheme selection" — fastest scheme, CIDEr
+    # delta inside seed noise).  The bf16 number stays in the tail as the
+    # full-precision reference.  ACVAE_BENCH_INT8=0 restores the bf16
+    # headline (e.g. on backends without int8 MXU support).
+    int8_cps = None
+    if os.environ.get("ACVAE_BENCH_INT8", "1") != "0":
+        try:
+            int8_cps = bench_int8()["captions_per_sec"]
+        except Exception as e:
+            print(f"# int8 bench failed ({str(e).splitlines()[0][:80]}); "
+                  "falling back to the bf16 headline", file=sys.stderr)
+    headline = int8_cps if int8_cps else ours["captions_per_sec"]
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)["captions_per_sec_torch_cpu"]
@@ -319,28 +332,25 @@ def main():
                                "(the reference publishes no numbers)"}, f)
     result = {
         "metric": "captions_per_sec_per_chip",
-        "value": round(ours["captions_per_sec"], 2),
+        "value": round(headline, 2),
         "unit": "captions/s",
-        "vs_baseline": round(ours["captions_per_sec"] / baseline, 2),
+        "vs_baseline": round(headline / baseline, 2),
     }
     # the canonical JSON line goes out FIRST: the auxiliary benchmarks below
     # must not be able to break the single-JSON-line contract
     print(json.dumps(result), flush=True)
-    tail = (f"# p50 batch latency: {ours['p50_batch_latency_s'] * 1000:.1f} ms "
-            f"(batch={BATCH}, beam={BEAM}, T={T_MEL}) on {ours['device']}; "
-            f"torch-cpu baseline {baseline:.2f} captions/s")
+    tail = (f"# serving config: int8-v2sym encoder decode"
+            if int8_cps else "# serving config: bf16 encoder decode")
+    tail += (f"; bf16 decode {ours['captions_per_sec']:.0f} captions/s, "
+             f"p50 batch latency {ours['p50_batch_latency_s'] * 1000:.1f} ms "
+             f"(batch={BATCH}, beam={BEAM}, T={T_MEL}) on {ours['device']}; "
+             f"torch-cpu baseline {baseline:.2f} captions/s")
     try:
         train = bench_train()
         tail += (f"; train {train['train_samples_per_sec']:.0f} samples/s "
                  f"fwd+bwd (batch={train['train_batch']}, bf16 encoder)")
     except Exception as e:  # auxiliary metric only — report, don't die
         tail += f"; train bench failed: {str(e).splitlines()[0][:80]}"
-    if os.environ.get("ACVAE_BENCH_INT8", "1") != "0":
-        try:
-            tail += (f"; int8-encoder decode "
-                     f"{bench_int8()['captions_per_sec']:.0f} captions/s")
-        except Exception as e:
-            tail += f"; int8 bench failed: {str(e).splitlines()[0][:80]}"
     print(tail, file=sys.stderr)
 
 
