@@ -245,3 +245,25 @@ def test_offset_requant_folds_relu():
                          -128, 127).astype(jnp.int8)
     without = jnp.clip(jnp.round(y) - _ZP, -128, 127).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(with_relu), np.asarray(without))
+
+
+class TestPromotedDefaultConsistency:
+    """The promoted serving scheme (models/quant.py DEFAULT_INT8_SCHEME)
+    must be what every int8 entry point defaults to — a drifted default
+    would silently serve a different program than the one the RESULTS
+    decision table promoted."""
+
+    def test_defaults_agree(self):
+        import inspect
+
+        from acvae_tpu.cli.main import Runner
+        from acvae_tpu.models.quant import DEFAULT_INT8_SCHEME, SCHEMES
+        from acvae_tpu.serve import CaptionService
+
+        assert DEFAULT_INT8_SCHEME in SCHEMES
+        for fn in (Runner.evaluate, Runner.serve, Runner.export_model):
+            sig = inspect.signature(fn)
+            assert sig.parameters["int8_scheme"].default \
+                == DEFAULT_INT8_SCHEME, fn.__name__
+        sig = inspect.signature(CaptionService.__init__)
+        assert sig.parameters["int8_scheme"].default == DEFAULT_INT8_SCHEME
