@@ -1107,7 +1107,7 @@ class Runner:
               encoder_int8: bool = False, int8_scheme: str = "v2sym",
               exported: Optional[str] = None,
               upload_dtype: str = "float32",
-              decode_dtype: Optional[str] = None):
+              decode_dtype: Optional[str] = None, **decode_kwargs):
         """Micro-batching caption inference server (new — deployment
         surface the reference lacks).  POST /caption with {"mel": [[T×F]]}
         or {"wav": [...], "sr": N}; GET /health.  Requests are batched up
@@ -1199,7 +1199,7 @@ class Runner:
                      output_dir: Optional[str] = None,
                      platforms: Optional[str] = None,
                      encoder_int8: bool = False, int8_scheme: str = "v2sym",
-                     decode_dtype: Optional[str] = None):
+                     decode_dtype: Optional[str] = None, **decode_kwargs):
         """Export the trained decode program to a self-contained serialized
         StableHLO artifact (jax.export) — weights baked in, loadable by any
         JAX runtime via ``acvae_tpu.export.load_exported`` with no model
@@ -1233,8 +1233,11 @@ class Runner:
             # yaml coercion may deliver "--platforms=[cpu,tpu]" as a list
             platforms = [p.strip() for p in str(platforms).split(",")
                          if p.strip()]
+        # decode_kwargs: DBS group_size / diversity_lambda / temperature /
+        # group_nbest, sampling temp — baked into the artifact like every
+        # other decode flag
         kwargs = dict(decode_method=decode_method, beam_size=beam_size,
-                      max_length=max_length)
+                      max_length=max_length, **decode_kwargs)
         if encoder_int8:
             from acvae_tpu.models.quant import quant_encoder_for, scheme_kwargs
             quant = quant_encoder_for(conf, model, variables["params"],
@@ -1259,6 +1262,7 @@ class Runner:
             "encoder_int8": bool(encoder_int8),
             "int8_scheme": int8_scheme if encoder_int8 else None,
             "decode_dtype": str(decode_dtype or "float32"),
+            "decode_kwargs": decode_kwargs or None,
             "checkpoint": checkpoint, "experiment": str(exp)})
         import shutil
         shutil.copy(str(exp / "vocab.pkl"), os.path.join(out, "vocab.pkl"))

@@ -50,7 +50,8 @@ class CaptionService:
                  encoder_int8: bool = False, int8_scheme: str = "v2sym",
                  exported: "Optional[str]" = None,
                  upload_dtype: str = "float32",
-                 decode_dtype: Optional[str] = None):
+                 decode_dtype: Optional[str] = None,
+                 **decode_kwargs):
         from acvae_tpu.core.config import load_config
         from acvae_tpu.data.vocab import Vocabulary
         from acvae_tpu.models.build import build_model
@@ -80,6 +81,11 @@ class CaptionService:
             # serve a jax.export artifact (cli export_model): no model code,
             # config, or checkpoint tree — the serialized program is the
             # whole deployment
+            if decode_kwargs:
+                raise ValueError(
+                    f"decode kwargs {sorted(decode_kwargs)} do not apply "
+                    "to an exported artifact (decode config is baked at "
+                    "export time)")
             from acvae_tpu.export import load_exported
             call, meta = load_exported(exported)
             self.vocab = Vocabulary.load(
@@ -126,7 +132,11 @@ class CaptionService:
         self.variables = {"params": restored["params"],
                           "batch_stats": restored.get("batch_stats", {})}
 
-        kwargs = dict(decode_method=decode_method, max_length=max_length)
+        # decode_kwargs: extra decode knobs baked into the program —
+        # DBS group_size / diversity_lambda / temperature / group_nbest,
+        # sampling temp (models inference_forward signatures)
+        kwargs = dict(decode_method=decode_method, max_length=max_length,
+                      **decode_kwargs)
         if decode_method in ("beam", "dbs"):
             kwargs["beam_size"] = beam_size
 

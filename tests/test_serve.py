@@ -326,3 +326,22 @@ def test_int8_service_decodes(experiment):
                          checkpoint="last", encoder_int8=True)
     captions = svc.caption(list(feats.values())[:3])
     assert len(captions) == 3 and all(isinstance(c, str) for c in captions)
+
+
+def test_serve_dbs_knobs(experiment):
+    """DBS decode knobs (group_size etc.) plumb through CaptionService —
+    previously only beam_size did, so serve --decode_method=dbs was stuck
+    on the (invalid) default group_size."""
+    from acvae_tpu.serve import CaptionService
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
+                         checkpoint="last", decode_method="dbs",
+                         beam_size=4, group_size=2, diversity_lambda=1.0)
+    mel = next(iter(feats.values())).astype(np.float32)
+    caps = svc.caption([mel])
+    assert len(caps) == 1 and isinstance(caps[0], str)
+    # the invalid default (beam 3 < group 5) keeps failing loudly
+    with pytest.raises(ValueError, match="beam_size >= group_size"):
+        CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
+                       checkpoint="last", decode_method="dbs")
