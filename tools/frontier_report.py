@@ -80,6 +80,9 @@ def main():
                 if p.startswith("eval_output_") and p.endswith(f"_{tag}.json")]
         if not hits:
             continue
+        # shortest name = no extra mode suffix (an `_int8` artifact for the
+        # same tag also ends with `_{tag}.json`)
+        hits.sort(key=len)
         ej = os.path.join(exp, hits[0])
         sf = os.path.join(exp, hits[0].replace("eval_output_", "scores_")
                           .replace(".json", ".txt"))
