@@ -86,8 +86,14 @@ def main():
         print(f"# warm {name}: {time.perf_counter() - t0:.1f}s", flush=True)
 
     totals = {k: [] for k in arms}
+    names = list(arms)
     for r in range(rounds):
-        for name, (fn, v) in arms.items():
+        # rotate arm order per round: a fixed order lets any monotonic
+        # within-round drift bias the last arm consistently (observed as a
+        # spurious ~4% v3-under-v2sym read in round 3 — pallas_notes)
+        order = names[r % len(names):] + names[: r % len(names)]
+        for name in order:
+            fn, v = arms[name]
             t0 = time.perf_counter()
             outs = [fn(v, feats, feat_lens, jax.random.key(100 + 10 * r + i))
                     for i in range(ITERS)]
