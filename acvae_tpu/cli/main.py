@@ -463,7 +463,7 @@ class Runner:
             alpha=alpha, global_loss=conf.get("global_loss", "MSE"),
             embedding_loss=conf.get("embedding_loss"),
             dec_par=conf.get("dec_par", 1.0), augment=augment,
-            adversarial=adversarial)
+            adversarial=adversarial, free_bits=conf.get("free_bits"))
 
         if is_primary:
             dump_config(conf, outputdir / "config.yaml")
@@ -513,14 +513,29 @@ class Runner:
 
         import time as _time
 
+        # kl_anneal: optional schedule override for the bimodality hunt
+        # (train/trainer.py::kl_weight_schedule); absent = reference schedule
+        kl_anneal = dict(conf.get("kl_anneal") or {})
+        from acvae_tpu.train.trainer import kl_weight_schedule
         for epoch in range(start_epoch, conf["epochs"] + 1):
             epoch_t0 = _time.perf_counter()
-            kl_weight = kl_weight_for_epoch(epoch, conf["epochs"], beta)
+            kl_weight = kl_weight_schedule(
+                epoch, conf["epochs"], beta,
+                mode=kl_anneal.get("mode", "reference"),
+                cycles=int(kl_anneal.get("cycles", 4)),
+                ramp=float(kl_anneal.get("ramp", 0.5)),
+                floor=float(kl_anneal.get("floor", 0.0)))
             dis_ratio = dis_ratio_for_epoch(
                 epoch, conf["epochs"], conf["dis_ration"]["freeze_epoch"],
                 conf["dis_ration"]["final_ratio"])
             train_loader.set_epoch(epoch)
             losses, nsamples = [], []
+            # posterior-collapse diagnostics (trainer.py emits them for
+            # Normal-KL models): device scalars per step, fetched once at
+            # epoch end, epoch-mean written to metrics.jsonl
+            diag_keys = ("kl", "kl_raw", "active_units", "kl_dim_max",
+                         "qp_mse", "grad_norm")
+            diags: dict = {}
             # background-thread prefetch: HDF5 reads + collate overlap with
             # device compute (the reference's DataLoader workers, SURVEY §2.6)
             batch_iter = train_loader.prefetch(
@@ -607,6 +622,9 @@ class Runner:
                 # weight by the *global* batch (identical on every host).
                 losses.append((iteration, metrics["loss"], ss_ratio))
                 nsamples.append(metrics["ntokens"])
+                for k in diag_keys:
+                    if k in metrics:
+                        diags.setdefault(k, []).append(metrics[k])
                 if ckpt_every and iteration % ckpt_every == 0:
                     # preemption insurance: resumable mid-epoch snapshot
                     # (reference recovery is manual per-epoch .pth dumps —
@@ -651,12 +669,15 @@ class Runner:
             logger.info(f"{epoch:^10}\t{train_loss:^10.3g}\t{score:^10.3g}")
             if tb:
                 tb.add_scalar("score/val", score, epoch)
+            diag_means = {k: float(np.mean(jax.device_get(v)))
+                          for k, v in diags.items()}
             if metrics_log is not None:
                 metrics_log.write(json.dumps(
                     {"epoch": epoch, "train_loss": train_loss,
                      "val_cider": score, "ss_ratio": ss_ratio,
                      "kl_weight": kl_weight,
                      "dis_ratio": dis_ratio,
+                     **{k: round(v, 5) for k, v in diag_means.items()},
                      # wall time of the train loop + validation decode
                      # (checkpoint saves land after the write); train-perf
                      # regressions (e.g. upload overlap) show up here

@@ -73,6 +73,32 @@ def normal_kl_loss(mu_q: jnp.ndarray, logvar_q: jnp.ndarray,
     return _masked_mean(kl, mask)
 
 
+def normal_kl_per_dim(mu_q: jnp.ndarray, logvar_q: jnp.ndarray,
+                      mu_p: jnp.ndarray, logvar_p: jnp.ndarray,
+                      mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-latent-dimension analytic KL, masked-mean over the leading
+    (batch/time) dims — returns an [E] vector.
+
+    Two consumers (no reference counterpart — the reference logs loss/score
+    only, pytorch_runner_vae.py:336-357):
+
+    * posterior-collapse diagnostics: ``active_units`` counts dims whose
+      batch-mean KL exceeds a threshold (Burda et al. 2016 convention);
+    * free-bits (Kingma et al. 2016, IAF appendix C.8): the KL term becomes
+      ``sum_d max(lambda, E_batch[KL_d])`` so the optimizer cannot collapse
+      individual dims below the floor.
+    """
+    v_q = jnp.exp(logvar_q)
+    v_p = jnp.exp(logvar_p)
+    kl = 0.5 * (logvar_p - logvar_q) + (v_q + (mu_q - mu_p) ** 2) / (2.0 * v_p) - 0.5
+    if mask is None:
+        return jnp.mean(kl.reshape(-1, kl.shape[-1]), axis=0)
+    m = mask.astype(kl.dtype)[..., None]
+    flat_kl = (kl * m).reshape(-1, kl.shape[-1])
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.sum(flat_kl, axis=0) / denom
+
+
 def gmm_kl_loss(mu_q: jnp.ndarray, logvar_q: jnp.ndarray, logits_c_q: jnp.ndarray,
                 mu_p: jnp.ndarray, logvar_p: jnp.ndarray, logits_c_p: jnp.ndarray,
                 mask: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -26,7 +26,8 @@ import numpy as np
 import optax
 
 from acvae_tpu.ops.losses import (cross_entropy, gmm_kl_loss,
-                                  label_smoothing_loss, normal_kl_loss)
+                                  label_smoothing_loss, normal_kl_loss,
+                                  normal_kl_per_dim)
 from acvae_tpu.ops.masked import length_mask
 
 
@@ -187,12 +188,22 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                     dec_par: float = 1.0,
                     augment: Optional[Callable] = None,
                     adversarial: Optional[Dict[str, Any]] = None,
+                    free_bits: Optional[float] = None,
                     donate: bool = True) -> Callable:
     """Build the jitted train step.
 
     kl_mask: "valid" masks the KL to real token positions; "reference"
     averages over all padded positions like the reference call site
     (pytorch_runner_vae.py:315 applies no mask).
+
+    free_bits: per-dimension KL floor λ (Kingma et al. 2016): the optimized
+    KL becomes ``sum_d max(λ, E_batch[KL_d])`` so individual latent dims
+    cannot collapse to the prior.  Normal-prior families only (a GMM prior's
+    mixture bound has no per-dim decomposition); config key ``free_bits``.
+    Posterior-collapse diagnostics (``active_units`` / ``kl_dim_max`` /
+    ``qp_mse``) are always emitted for Normal-KL models, free-bits or not —
+    they cost three reductions inside the jit and are the instrumentation
+    the rich25 bimodality hunt needs (no reference counterpart).
 
     embedding_loss: "Cosine" | "MSE" | "MAE" adds the caption-embedding
     regression term when batches carry ``cap_embeds`` — dec_par ×
@@ -254,9 +265,32 @@ def make_train_step(model, label_smoothing: bool = True, smoothing: float = 0.1,
                     # both weight arguments get the prior's mixture
                     # logits, zeroing the categorical term.
                     c_p = out["p_mixture_logits"]
+                    if free_bits is not None:
+                        raise ValueError(
+                            "free_bits requires a Normal prior (per-dim KL "
+                            "decomposition); the GMM mixture bound has none — "
+                            "unset free_bits for GMM-prior configs")
                     kl = gmm_kl_loss(q_m, q_l, c_p, p_m, p_l, c_p, km)
                 else:
                     kl = normal_kl_loss(q_m, q_l, p_m, p_l, km)
+                    # posterior-collapse instrumentation (see docstring):
+                    # per-dim batch-mean KL → active-unit count (>0.01 nat,
+                    # Burda et al. 2016), hottest dim, and prior↔posterior
+                    # mean agreement.  Device scalars; fetched at epoch end.
+                    kl_d = normal_kl_per_dim(q_m, q_l, p_m, p_l, km)
+                    metrics["active_units"] = jnp.sum(
+                        (kl_d > 0.01).astype(jnp.float32))
+                    metrics["kl_dim_max"] = jnp.max(kl_d)
+                    qp_sq = jnp.mean((q_m - p_m) ** 2, axis=-1)
+                    if km is None:
+                        metrics["qp_mse"] = jnp.mean(qp_sq)
+                    else:
+                        kmf = km.astype(qp_sq.dtype)
+                        metrics["qp_mse"] = (jnp.sum(qp_sq * kmf)
+                                             / jnp.maximum(jnp.sum(kmf), 1.0))
+                    if free_bits is not None:
+                        metrics["kl_raw"] = kl
+                        kl = jnp.sum(jnp.maximum(kl_d, free_bits))
                 loss = ce + kl_weight * kl
                 metrics["kl"] = kl
             else:  # plain captioners: CE only (pytorch_runner.py:323-335)
@@ -399,5 +433,38 @@ def dis_ratio_for_epoch(epoch: int, epochs: int, freeze_epoch: int,
 def kl_weight_for_epoch(epoch: int, epochs: int, beta: float) -> float:
     """KL annealing (pytorch_runner_vae.py:286): max(0.5, epoch/epochs · β)."""
     return max(0.5, float(epoch) / epochs * beta)
+
+
+def kl_weight_schedule(epoch: int, epochs: int, beta: float,
+                       mode: str = "reference", cycles: int = 4,
+                       ramp: float = 0.5, floor: float = 0.0) -> float:
+    """Configurable KL-weight schedules (config key ``kl_anneal``).
+
+    The reference hard-codes ``max(0.5, epoch/epochs · β)``
+    (pytorch_runner_vae.py:286) — note its floor 0.5 means the KL weight is
+    *constant* at 0.5 for the first half of training when β=0.5, i.e. there
+    is effectively no warm-up.  Alternatives for the bimodality hunt:
+
+    * ``reference`` — the reference schedule, exactly.
+    * ``linear`` — ``max(floor, epoch/epochs · β)``: a true warm-up when
+      floor < 0.5 (Bowman et al. 2016 annealing).
+    * ``cyclical`` — Fu et al. 2019 cyclical annealing: split training into
+      ``cycles`` equal cycles; within each, ramp linearly from ``floor`` to
+      β over the first ``ramp`` fraction, then hold at β.
+    * ``constant`` — β throughout.
+    """
+    if mode == "reference":
+        return kl_weight_for_epoch(epoch, epochs, beta)
+    if mode == "linear":
+        return max(floor, float(epoch) / epochs * beta)
+    if mode == "constant":
+        return float(beta)
+    if mode == "cyclical":
+        period = max(1, -(-epochs // max(1, int(cycles))))  # ceil
+        tau = ((epoch - 1) % period) / period
+        frac = min(1.0, tau / max(ramp, 1e-8))
+        return floor + (beta - floor) * frac
+    raise ValueError(f"unknown kl_anneal mode {mode!r} "
+                     f"(reference|linear|cyclical|constant)")
 
 

@@ -246,3 +246,113 @@ class TestGradAccumulation:
             p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
         np.testing.assert_array_equal(np.asarray(p["enc"]), 1.0)  # frozen
         np.testing.assert_allclose(np.asarray(p["dec"]), 1.0 - 2.0, rtol=1e-6)
+
+
+class TestKLScheduleModes:
+    """kl_weight_schedule (trainer.py) — the kl_anneal config surface."""
+
+    def test_reference_mode_matches_reference_formula(self):
+        from acvae_tpu.train.trainer import kl_weight_schedule
+        for e in range(1, 11):
+            assert kl_weight_schedule(e, 10, 0.5) == \
+                kl_weight_for_epoch(e, 10, 0.5)
+
+    def test_linear_warmup_starts_below_reference_floor(self):
+        from acvae_tpu.train.trainer import kl_weight_schedule
+        w1 = kl_weight_schedule(1, 20, 0.5, mode="linear", floor=0.0)
+        assert w1 == pytest.approx(0.025)
+        assert kl_weight_schedule(20, 20, 0.5, mode="linear") == 0.5
+
+    def test_cyclical_resets_each_cycle(self):
+        from acvae_tpu.train.trainer import kl_weight_schedule
+        # 20 epochs, 4 cycles of 5; ramp over first half of each cycle
+        ws = [kl_weight_schedule(e, 20, 0.5, mode="cyclical", cycles=4,
+                                 ramp=0.5, floor=0.0) for e in range(1, 21)]
+        # epoch 1 starts at floor, mid-cycle reaches beta, epoch 6 resets
+        assert ws[0] == 0.0
+        assert ws[3] == pytest.approx(0.5)  # tau=3/5 >= ramp -> hold at beta
+        assert ws[5] == pytest.approx(0.0)  # cycle 2 restart
+        assert max(ws) == pytest.approx(0.5)
+
+    def test_constant_and_unknown(self):
+        from acvae_tpu.train.trainer import kl_weight_schedule
+        assert kl_weight_schedule(3, 10, 0.7, mode="constant") == 0.7
+        with pytest.raises(ValueError):
+            kl_weight_schedule(1, 10, 0.5, mode="bogus")
+
+
+class TestFreeBitsAndDiagnostics:
+    def test_diagnostics_emitted_and_finite(self):
+        model, variables, loader, vocab, ds = _tiny_setup()
+        tx = build_optimizer("Adam", 1e-3, max_grad_norm=1.0)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model)
+        batch = next(iter(loader))
+        arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+        state, metrics = step(state, arrays, jax.random.key(0),
+                              1.0, 0.0, 0.5, 0.0)
+        for k in ("active_units", "kl_dim_max", "qp_mse"):
+            v = float(metrics[k])
+            assert np.isfinite(v), (k, v)
+        au = float(metrics["active_units"])
+        assert 0.0 <= au <= 16.0  # E=16 latent dims in _tiny_setup
+
+    def test_free_bits_floors_the_kl_term(self):
+        from acvae_tpu.ops.losses import normal_kl_per_dim
+        model, variables, loader, vocab, ds = _tiny_setup()
+        tx = build_optimizer("Adam", 1e-3, max_grad_norm=1.0)
+        state = TrainState.create(variables, tx)
+        lam = 2.0  # large floor so it certainly binds at init
+        step_fb = make_train_step(model, free_bits=lam)
+        batch = next(iter(loader))
+        arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+        _, m = step_fb(state, arrays, jax.random.key(0), 1.0, 0.0, 0.5, 0.0)
+        kl_fb, kl_raw = float(m["kl"]), float(m["kl_raw"])
+        # floored KL >= raw KL always, and >= E*lam when the floor binds
+        assert kl_fb >= kl_raw - 1e-5
+        assert kl_fb >= 16 * lam - 1e-3
+
+    def test_free_bits_matches_manual_formula(self):
+        from acvae_tpu.ops.losses import normal_kl_per_dim
+        rng = np.random.default_rng(0)
+        q_m = jnp.asarray(rng.normal(size=(4, 7, 8)), jnp.float32)
+        q_l = jnp.asarray(rng.normal(size=(4, 7, 8)) * 0.1, jnp.float32)
+        p_m = jnp.zeros((4, 7, 8))
+        p_l = jnp.zeros((4, 7, 8))
+        mask = jnp.asarray(rng.random((4, 7)) > 0.3)
+        kl_d = np.asarray(normal_kl_per_dim(q_m, q_l, p_m, p_l, mask))
+        # manual: per-position per-dim KL, masked mean over (N,T), per dim
+        v_q = np.exp(np.asarray(q_l))
+        kl = 0.5 * (-np.asarray(q_l)) + (v_q + np.asarray(q_m) ** 2) / 2.0 - 0.5
+        mf = np.asarray(mask, np.float32)[..., None]
+        manual = (kl * mf).reshape(-1, 8).sum(0) / mf.sum()
+        np.testing.assert_allclose(kl_d, manual, rtol=1e-5)
+
+    def test_free_bits_rejected_for_gmm_prior(self):
+        from acvae_tpu.models.latent import GMMPriorRNN
+        E = 16
+        feats, info, vocab = make_synthetic_clotho(num_audios=4, mel_frames=128)
+        ds = CaptionDataset(caption_info=info, vocabulary=vocab, features=feats)
+        model = VAECaptionModel(
+            encoder=Cnn10(inputdim=64, embed_size=E, channels=(4, 8, 8, E)),
+            decoder=VAERNNBahdanauAttnDecoder(vocab_size=len(vocab),
+                                              enc_mem_size=E, embed_size=E,
+                                              hidden_size=E),
+            qnet=PosteriorRNNHybrid(vocab_size=len(vocab), word_dim=E,
+                                    embed_size=E, hidden_size=E),
+            pnet=GMMPriorRNN(vocab_size=len(vocab), word_dim=E,
+                             audiofeats_size=E, embed_size=E, hidden_size=E,
+                             gmm_kernel=2))
+        loader = CaptionLoader(ds, batch_size=10, shuffle=True, seed=0,
+                               buckets=(128,))
+        batch = next(iter(loader))
+        variables = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            jnp.asarray(batch.feats), jnp.asarray(batch.feat_lens),
+            jnp.asarray(batch.caps), jnp.asarray(batch.cap_lens), train=False)
+        tx = build_optimizer("Adam", 1e-3)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, free_bits=0.1)
+        arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+        with pytest.raises(ValueError, match="free_bits requires a Normal"):
+            step(state, arrays, jax.random.key(0), 1.0, 0.0, 0.5, 0.0)
