@@ -1156,6 +1156,10 @@ class Runner:
                      "int8_scheme": int8_scheme,
                      "decode_dtype": decode_dtype}
             changed = [k for k, v in baked.items() if v != defaults[k]]
+            # extra decode knobs (DBS group_size/diversity_lambda/
+            # temperature/group_nbest, sampling temperature, ...) are baked
+            # too — they parameterized the exported decode program
+            changed += [f"{k}(decode kwarg)" for k in decode_kwargs]
             if changed:
                 raise ValueError(
                     f"flag(s) --{', --'.join(changed)} do not apply to an "
@@ -1169,7 +1173,7 @@ class Runner:
             mel_bucket=mel_bucket, encoder_int8=encoder_int8,
             int8_scheme=int8_scheme,
             exported=exported, upload_dtype=upload_dtype,
-            decode_dtype=decode_dtype)
+            decode_dtype=decode_dtype, **decode_kwargs)
         run_server(service, host=host, port=port, max_wait_ms=max_wait_ms)
 
     # ------------------------------------------------------------------ #

@@ -189,9 +189,17 @@ def restore_checkpoint(exp_dir: str, name: str, state, params_only=False,
     item = {"params": state.params}
     if state.batch_stats:
         item["batch_stats"] = state.batch_stats
+    # restore into the TEMPLATE's placement, not the sharding recorded at
+    # save time: a checkpoint written on the TPU otherwise refuses to load
+    # in a CPU process ("Device TPU v5 lite0 was not found") — the
+    # cross-platform path the diagnosis/offline tools need
+    restore_args = jax.tree_util.tree_map(
+        lambda x: ocp.ArrayRestoreArgs(sharding=x.sharding)
+        if hasattr(x, "sharding") else ocp.RestoreArgs(), item)
     try:
         restored = ocp.PyTreeCheckpointer().restore(
             path, args=ocp.args.PyTreeRestore(item=item,
+                                              restore_args=restore_args,
                                               partial_restore=True))
     except Exception:
         # structure drift (e.g. checkpoint without batch_stats) — fall back

@@ -466,8 +466,23 @@ def espnet_to_flax(state_dict: Dict[str, Any], inputdim: int = 64,
                     "kernel": sd[tkey + ".weight"].transpose(2, 3, 1, 0),
                     "bias": sd[tkey + ".bias"]}
 
-    # channel-major -> freq-major input permutation for the first RNN layer
-    fp = inputdim // 4  # post-pool freq bins
+    # channel-major -> freq-major input permutation for the first RNN layer.
+    # espnet's get_vgg2l_odim applies ceil(ceil(d/2)/2) — two ceil-halvings;
+    # our E2EASREncoder pools with VALID padding (floor semantics), so the
+    # two layouts only agree when inputdim % 4 == 0 (e.g. the 64-dim mels
+    # this framework uses).  For espnet's common 83-dim fbank the flattened
+    # features could never align with our encoder — reject loudly instead
+    # of silently mis-permuting the first GRU layer's input weights.
+    if inputdim % 4 != 0:
+        raise ValueError(
+            f"espnet_to_flax: inputdim={inputdim} is not divisible by 4 — "
+            f"espnet's VGG2L ceil-pools the freq axis "
+            f"(ceil(ceil({inputdim}/2)/2)={-(-(-(-inputdim // 2)) // 2)}) "
+            f"while E2EASREncoder floor-pools "
+            f"({inputdim // 4}), so the flattened RNN input layouts "
+            f"cannot be reconciled; re-extract features at a multiple-of-4 "
+            f"mel dim (espnet_inputdim config key)")
+    fp = inputdim // 4  # post-pool freq bins (== espnet's, given the check)
     c_out = 128         # VGG2L's fixed top channel count
     perm = np.array([c * fp + f for f in range(fp) for c in range(c_out)])
 

@@ -315,11 +315,30 @@ def main():
     # headline (e.g. on backends without int8 MXU support).
     int8_cps = None
     if os.environ.get("ACVAE_BENCH_INT8", "1") != "0":
-        try:
-            int8_cps = bench_int8()["captions_per_sec"]
-        except Exception as e:
-            print(f"# int8 bench failed ({str(e).splitlines()[0][:80]}); "
+        # run in a daemon thread with a hard join bound: a tunnel wedge
+        # inside the int8 bench (CLAUDE.md failure mode) must not be able
+        # to stop the canonical JSON line from printing (ADVICE r3)
+        import threading
+        box: dict = {}
+
+        def _run():
+            try:
+                box["cps"] = bench_int8()["captions_per_sec"]
+            except Exception as e:  # noqa: BLE001 — report, fall back
+                box["err"] = str(e).splitlines()[0][:80]
+
+        t = threading.Thread(target=_run, daemon=True)
+        t.start()
+        t.join(timeout=float(os.environ.get("ACVAE_BENCH_INT8_TIMEOUT",
+                                            "600")))
+        if t.is_alive():
+            print("# int8 bench exceeded its time bound (device wedge?); "
                   "falling back to the bf16 headline", file=sys.stderr)
+        elif "err" in box:
+            print(f"# int8 bench failed ({box['err']}); falling back to "
+                  "the bf16 headline", file=sys.stderr)
+        else:
+            int8_cps = box.get("cps")
     headline = int8_cps if int8_cps else ours["captions_per_sec"]
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:

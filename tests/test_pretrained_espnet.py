@@ -131,3 +131,14 @@ def test_lstm_checkpoint_is_rejected_with_reason(rng):
     assert "bgru0" not in tree["params"]
     # the convs still convert (they are flavor-independent)
     assert "vgg0_conv1" in tree["params"]
+
+
+def test_non_multiple_of_4_inputdim_rejected(rng):
+    """espnet ceil-pools freq (ceil(ceil(83/2)/2)=21) while E2EASREncoder
+    floor-pools (20): the flatten layouts cannot line up, so conversion
+    must refuse instead of silently mis-permuting (ADVICE r3)."""
+    import pytest
+
+    from acvae_tpu.train.pretrained import espnet_to_flax
+    with pytest.raises(ValueError, match="not divisible by 4"):
+        espnet_to_flax({}, inputdim=83, log=lambda *a: None)

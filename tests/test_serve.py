@@ -345,3 +345,45 @@ def test_serve_dbs_knobs(experiment):
     with pytest.raises(ValueError, match="beam_size >= group_size"):
         CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
                        checkpoint="last", decode_method="dbs")
+
+
+def test_cli_serve_forwards_decode_kwargs(experiment, monkeypatch):
+    """Runner.serve passes **decode_kwargs through to CaptionService (DBS
+    group_size etc. — previously swallowed, so the CLI silently served the
+    default group structure) and run_server receives the configured
+    service."""
+    import acvae_tpu.serve as serve_mod
+    from acvae_tpu.cli.main import Runner
+
+    exp, feats = experiment
+    captured = {}
+
+    def fake_run_server(service, host="127.0.0.1", port=0, max_wait_ms=0.0):
+        captured["service"] = service
+
+    monkeypatch.setattr(serve_mod, "run_server", fake_run_server)
+    Runner().serve(exp, checkpoint="last", decode_method="dbs", beam_size=4,
+                   mel_bucket=128, max_length=8, batch_size=2,
+                   group_size=2, diversity_lambda=1.0)
+    svc = captured["service"]
+    mel = next(iter(feats.values())).astype(np.float32)
+    caps = svc.caption([mel])
+    assert len(caps) == 1 and isinstance(caps[0], str)
+    # the invalid CLI default (beam 3 < group 5) still fails loudly
+    with pytest.raises(ValueError, match="beam_size >= group_size"):
+        Runner().serve(exp, checkpoint="last", decode_method="dbs",
+                       mel_bucket=128, max_length=8, batch_size=2)
+
+
+def test_cli_serve_exported_rejects_decode_kwargs(experiment, tmp_path,
+                                                  monkeypatch):
+    """decode_kwargs are baked into an exported artifact like the named
+    decode flags — Runner.serve rejects them instead of dropping them."""
+    from acvae_tpu.cli.main import Runner
+
+    exp, feats = experiment
+    out = str(tmp_path / "art")
+    Runner().export_model(exp, checkpoint="last", output_dir=out, t_mel=128,
+                          max_length=8, batch_size=2)
+    with pytest.raises(ValueError, match="group_size.*do not apply"):
+        Runner().serve(exported=out, batch_size=2, group_size=2)
