@@ -696,6 +696,15 @@ class Runner:
             write_ckpt_step(str(outputdir), "last", int(state.step), **extra)
             for stale in ("step_0", "step_1", "step"):  # superseded by last
                 remove_checkpoint(str(outputdir), stale)
+            assessor = getattr(self, "_trial_assessor", None)
+            if assessor is not None and assessor.assess(score):
+                # sweep early-stop (NNI MedianstopAssessor semantics,
+                # train/sweep_advisor.py): the trial's best intermediate
+                # score is below the median of completed trials at this
+                # epoch — further epochs are unlikely to win the sweep
+                logger.info(f"assessor: trial stopped early at epoch "
+                            f"{epoch} (below median of completed trials)")
+                break
         if metrics_log is not None:
             metrics_log.close()
         return str(outputdir)
@@ -2132,7 +2141,10 @@ class Runner:
     def sweep(self, config: str, param: Optional[str] = None,
               values: Optional[str] = None, space: Optional[str] = None,
               mode: str = "grid", n_trials: Optional[int] = None,
-              metric: str = "val_cider", seed: int = 0, **kwargs):
+              metric: str = "val_cider", seed: int = 0,
+              assessor: Optional[str] = None,
+              assessor_min_trials: int = 3,
+              assessor_min_epochs: int = 2, **kwargs):
         """Hyper-parameter sweep — the reference's NNI integration
         (nni.get_next_parameter / report, pytorch_runner_vae.py:130-133,
         358,389) replaced by an explicit local search.
@@ -2150,6 +2162,16 @@ class Runner:
           ``--mode=anneal`` run the sequential model-based advisors
           (train/sweep_advisor.py — NNI's TPE/anneal tuner equivalents:
           each trial's metric feeds the next suggestion).
+
+        ``--assessor=median`` enables trial early-stopping (NNI
+        MedianstopAssessor semantics — the assessor half of the reference's
+        NNI integration, fed by the intermediate reports at
+        pytorch_runner_vae.py:358): after ``--assessor_min_trials``
+        completed trials, a running trial whose best validation score at
+        epoch E is below the median of the completed trials' running
+        averages at E is stopped (from epoch ``--assessor_min_epochs``).
+        Stopped trials still contribute their best-so-far metric to the
+        tuner history and the summary (marked ``"stopped_early": true``).
 
         Prints a summary with the best trial's params; every trial's
         experiment dir is kept.
@@ -2196,6 +2218,13 @@ class Runner:
             advisor = None
             trials = [{param: _yaml.safe_load(raw)}
                       for raw in str(values).split(",")]
+        stopper = None
+        if assessor == "median":
+            from acvae_tpu.train.sweep_advisor import MedianStopAssessor
+            stopper = MedianStopAssessor(min_trials=int(assessor_min_trials),
+                                         min_epochs=int(assessor_min_epochs))
+        elif assessor is not None:
+            raise ValueError(f"unknown --assessor={assessor!r} (median)")
         results = {}
         history = []  # (overrides, metric) for the sequential advisors
         for t, overrides in enumerate(trials):
@@ -2204,15 +2233,27 @@ class Runner:
             tag = "t{}_{}".format(t, "_".join(
                 f"{k.split('.')[-1]}={v}" for k, v in overrides.items()))
             print(f"=== sweep trial {t}: {overrides} ===")
-            exp_dir = self.train(config, **{**overrides,
-                                            "remark": f"sweep_{tag}",
-                                            **kwargs})
+            planned_epochs = None
+            if stopper is not None:
+                stopper.trial_begin()
+                self._trial_assessor = stopper
+            try:
+                exp_dir = self.train(config, **{**overrides,
+                                                "remark": f"sweep_{tag}",
+                                                **kwargs})
+            finally:
+                if stopper is not None:
+                    self._trial_assessor = None
             recs = [json.loads(line) for line in
                     open(Path(exp_dir) / "metrics.jsonl")]
             best = max(r[metric] for r in recs)
             history.append((overrides, best))
             results[tag] = {"best": best, "exp_dir": exp_dir,
                             "params": overrides}
+            if stopper is not None:
+                if stopper.last_stop:
+                    results[tag]["stopped_early"] = True
+                stopper.trial_end()
         best_tag = max(results, key=lambda k: results[k]["best"])
         print(json.dumps({"results": results, "best": best_tag,
                           "best_params": results[best_tag]["params"]},

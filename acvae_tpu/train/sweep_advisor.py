@@ -114,3 +114,47 @@ class AnnealAdvisor:
             else:
                 out[n] = self.space[n][int(self.rng.integers(len(self.space[n])))]
         return out
+
+class MedianStopAssessor:
+    """NNI MedianstopAssessor semantics (the assessor half of the
+    reference's NNI integration — intermediate results are reported at
+    ``runners/pytorch_runner_vae.py:358`` precisely so an assessor can kill
+    bad trials early): a running trial is stopped at epoch E when its best
+    intermediate metric so far is strictly below the median of the
+    completed trials' running averages at epoch E.
+
+    Host-side and framework-free; ``cli sweep --assessor=median`` wires it
+    around each trial and the train loop polls :meth:`assess` after every
+    validation epoch.
+    """
+
+    def __init__(self, min_trials: int = 3, min_epochs: int = 2):
+        self.min_trials = min_trials
+        self.min_epochs = min_epochs
+        self.histories: List[List[float]] = []
+        self.current: List[float] = []
+        self.stopped_trials = 0
+        self.last_stop = False  # did the current/most recent trial stop?
+
+    def trial_begin(self) -> None:
+        self.current = []
+        self.last_stop = False
+
+    def assess(self, score: float) -> bool:
+        """Record one intermediate (epoch-level) result; True = stop now."""
+        self.current.append(float(score))
+        e = len(self.current)
+        if e < self.min_epochs or len(self.histories) < self.min_trials:
+            return False
+        avgs = [float(np.mean(h[:e])) for h in self.histories if len(h) >= e]
+        if len(avgs) < self.min_trials:
+            return False
+        stop = max(self.current) < float(np.median(avgs))
+        if stop:
+            self.stopped_trials += 1
+            self.last_stop = True
+        return stop
+
+    def trial_end(self) -> None:
+        self.histories.append(self.current)
+        self.current = []

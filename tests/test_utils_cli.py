@@ -432,3 +432,100 @@ class TestMakeSynthetic:
                             vocabulary=vocab)
         batch = next(iter(CaptionLoader(ds, batch_size=8)))
         assert batch.feats.shape[0] == 8 and batch.caps.shape[0] == 8
+
+
+class TestMedianStopAssessor:
+    """NNI MedianstopAssessor semantics over a synthetic history
+    (train/sweep_advisor.py::MedianStopAssessor)."""
+
+    def test_no_stops_before_min_trials(self):
+        from acvae_tpu.train.sweep_advisor import MedianStopAssessor
+        a = MedianStopAssessor(min_trials=3, min_epochs=2)
+        for hist in ([0.5, 0.6], [0.4, 0.5]):
+            a.trial_begin()
+            for s in hist:
+                assert not a.assess(s)
+            a.trial_end()
+        # 2 completed < min_trials=3: a terrible third trial still runs
+        a.trial_begin()
+        assert not a.assess(0.0)
+        assert not a.assess(0.0)
+
+    def test_bad_trial_stopped_good_trial_survives(self):
+        from acvae_tpu.train.sweep_advisor import MedianStopAssessor
+        a = MedianStopAssessor(min_trials=3, min_epochs=2)
+        for hist in ([0.5, 0.6, 0.7], [0.4, 0.5, 0.6], [0.45, 0.55, 0.65]):
+            a.trial_begin()
+            for s in hist:
+                a.assess(s)
+            a.trial_end()
+        # bad trial: best-so-far 0.1 < median running avg -> stop at epoch 2
+        a.trial_begin()
+        assert not a.assess(0.1)      # min_epochs gate
+        assert a.assess(0.1)
+        assert a.last_stop
+        a.trial_end()
+        # good trial: above median -> never stopped
+        a.trial_begin()
+        for s in (0.6, 0.7, 0.8):
+            assert not a.assess(s)
+        assert not a.last_stop
+        assert a.stopped_trials == 1
+
+    def test_min_epochs_gate(self):
+        from acvae_tpu.train.sweep_advisor import MedianStopAssessor
+        a = MedianStopAssessor(min_trials=1, min_epochs=3)
+        a.trial_begin()
+        for s in (0.9, 0.9, 0.9):
+            a.assess(s)
+        a.trial_end()
+        a.trial_begin()
+        assert not a.assess(0.0)
+        assert not a.assess(0.0)
+        assert a.assess(0.0)  # epoch 3 = min_epochs -> eligible, below median
+
+
+class TestSweepAssessorWiring:
+    def test_median_assessor_stops_bad_trials(self, tmp_path, monkeypatch):
+        """cli sweep --assessor=median: the train stub polls the assessor
+        like the real train loop does and bad trials are cut short +
+        marked stopped_early in the summary."""
+        import json as _json
+
+        from acvae_tpu.cli.main import Runner
+        epochs_run = []
+
+        def fake_train(self, config, **kw):
+            d = tmp_path / kw["remark"]
+            d.mkdir(exist_ok=True)
+            base = kw["beta"]  # score == beta, constant over epochs
+            lines = []
+            stopper = getattr(self, "_trial_assessor", None)
+            for e in range(1, 6):
+                lines.append(_json.dumps({"epoch": e, "val_cider": base}))
+                if stopper is not None and stopper.assess(base):
+                    break
+            (d / "metrics.jsonl").write_text("\n".join(lines) + "\n")
+            epochs_run.append(len(lines))
+            return str(d)
+
+        monkeypatch.setattr(Runner, "train", fake_train)
+        results = Runner().sweep(
+            "cfg.yaml", param="beta",
+            values="0.6,0.62,0.61,0.05,0.63", assessor="median",
+            assessor_min_trials=3, assessor_min_epochs=2)
+        # the 0.05 trial (4th) stops at epoch 2; the others run all 5
+        assert epochs_run == [5, 5, 5, 2, 5]
+        stopped = [tag for tag, r in results.items()
+                   if r.get("stopped_early")]
+        assert len(stopped) == 1 and "0.05" in stopped[0]
+
+    def test_unknown_assessor_rejected(self, tmp_path, monkeypatch):
+        import pytest as _pytest
+
+        from acvae_tpu.cli.main import Runner
+        monkeypatch.setattr(Runner, "train",
+                            lambda self, config, **kw: str(tmp_path))
+        with _pytest.raises(ValueError, match="unknown --assessor"):
+            Runner().sweep("cfg.yaml", param="beta", values="0.5",
+                           assessor="curve")
