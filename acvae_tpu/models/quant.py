@@ -229,6 +229,23 @@ class QuantPannEncoder:
         return jnp.pad(x, ((0, 0), (0, 0), (0, 0),
                            (0, self.stem_lane_pad - 1)))
 
+    def _quant_stem(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """Fused stem quantization (round 4): bn0's per-bin affine and the
+        stem activation scale collapse into ONE multiply-add + round/clip
+        over the unpadded [N, T, F] mel, and the lane pad is applied to the
+        int8 result (the previous path ran bn0 in f32, padded in f32, then
+        divided by the scale — three full-size VPU passes and a pad-wide
+        f32 intermediate).  Padded lanes carry code 0, which is what the
+        per-lane calibration produced for the all-zero lanes too.  Values
+        differ from the two-step path only by f32 associativity ULPs."""
+        s0, b0 = self.bn0
+        s_q = self.act_scales[0]
+        s_lane = s_q[0] if getattr(s_q, "ndim", 0) else s_q
+        q = jnp.clip(jnp.round(feats * (s0 / s_lane) + b0 / s_lane),
+                     -127, 127).astype(jnp.int8)[..., None]
+        return jnp.pad(q, ((0, 0), (0, 0), (0, 0),
+                           (0, self.stem_lane_pad - 1)))
+
     def _levels(self, i: int) -> float:
         """Quantization levels per unit scale at quantize point i: the
         stem (i=0, signed) is symmetric 127; post-relu points use the full
@@ -346,8 +363,8 @@ class QuantPannEncoder:
         unchanged (``B`` is already a per-channel constant)."""
         cur_lens = jnp.asarray(lens, jnp.int32)
         x_ref = self._stem(jnp.asarray(feats, jnp.float32))
-        s0 = self.act_scales[0]
-        x_i8 = jnp.clip(jnp.round(x_ref / s0), -127, 127).astype(jnp.int8)
+        # mirror the runtime quantizer exactly (fused stem)
+        x_i8 = self._quant_stem(jnp.asarray(feats, jnp.float32))
         n = len(self.blocks)
         n_convs = 2 * n
         k = 0
@@ -411,20 +428,20 @@ class QuantPannEncoder:
         below -ZP and clips to -128 — exactly the code for v=0, so the relu
         is folded into the clip for free (one fewer VPU op per element;
         pinned bit-exact by tests/test_quant.py::test_offset_requant_folds_relu).
-        The symmetric path needs the explicit relu (negative y would
-        otherwise requantize to negative codes)."""
+        The symmetric path folds the relu the same way (round 4): post-relu
+        values occupy codes 0..127, so clipping the raw rounded value at
+        [0, 127] maps every y < 0 to code 0 == relu — bit-exact vs the
+        explicit ``maximum`` (round(y) <= 0 for y < 0.5; pinned by
+        tests/test_quant.py::test_symmetric_requant_folds_relu)."""
         if self.offset:
             return jnp.clip(jnp.round(y) - _ZP, -128, 127).astype(jnp.int8)
-        return jnp.clip(jnp.round(jnp.maximum(y, 0.0)), -127, 127) \
-            .astype(jnp.int8)
+        return jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
 
     def __call__(self, feats: jnp.ndarray, feat_lens: jnp.ndarray,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         assert not train, "QuantPannEncoder is inference-only"
         lens = feat_lens // self.subsample
-        x_f = self._stem(feats)
-        s0 = self.act_scales[0]
-        x_i8 = jnp.clip(jnp.round(x_f / s0), -127, 127).astype(jnp.int8)
+        x_i8 = self._quant_stem(feats)
         n = len(self.blocks)
         k = 0
         for bi, blk in enumerate(self.blocks):

@@ -267,3 +267,43 @@ class TestPromotedDefaultConsistency:
                 == DEFAULT_INT8_SCHEME, fn.__name__
         sig = inspect.signature(CaptionService.__init__)
         assert sig.parameters["int8_scheme"].default == DEFAULT_INT8_SCHEME
+
+
+def test_symmetric_requant_folds_relu():
+    """Round-4 twin of the offset relu fold: post-relu symmetric coding
+    occupies codes 0..127, so ``clip(round(y), 0, 127)`` maps every y < 0
+    to code 0 == relu — bit-exact vs the explicit ``maximum`` path
+    (quant.py ``_requantize``, symmetric branch)."""
+    rng = np.random.default_rng(6)
+    y = jnp.asarray(np.concatenate([
+        rng.normal(scale=300.0, size=20000),
+        np.linspace(-2.0, 2.0, 4001),
+        np.array([0.0, -0.5, 0.5, -0.49999, 127.0, 127.5, 1e9, -1e9]),
+    ]).astype(np.float32))
+    with_relu = jnp.clip(jnp.round(jnp.maximum(y, 0.0)), -127,
+                         127).astype(jnp.int8)
+    without = jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(with_relu), np.asarray(without))
+
+
+def test_fused_stem_matches_two_step_quantizer():
+    """_quant_stem (fused bn0+scale affine, int8 lane pad) agrees with the
+    two-step f32 path (bn0 -> f32 pad -> divide by scale -> round/clip)
+    everywhere except f32-associativity ULP ties: codes differ by at most
+    1 on a vanishing fraction of elements."""
+    from acvae_tpu.models.quant import QuantPannEncoder
+
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.normal(size=(N, T, F)).astype(np.float32))
+    lens = jnp.array([T, T, 96, 64])
+    m = Cnn10(embed_size=CH[-1], channels=CH)
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+               feats, lens, train=False)
+    enc = QuantCnn10(dict(v), feats, lens, channels=CH)
+    q = enc._quant_stem(feats)
+    x_f = enc._stem(feats)
+    s0 = enc.act_scales[0]
+    q_ref = jnp.clip(jnp.round(x_f / s0), -127, 127).astype(jnp.int8)
+    d = np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32))
+    assert d.max() <= 1
+    assert (d != 0).mean() < 1e-3, (d != 0).mean()
