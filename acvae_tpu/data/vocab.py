@@ -108,14 +108,51 @@ class Vocabulary:
 
     @classmethod
     def load(cls, path: str) -> "Vocabulary":
+        """Load a vocab pickle: ours ({"word2idx": ...} or a pickled
+        Vocabulary), or an UPSTREAM ``vocab.pkl`` — the reference pickles
+        its ``utils.build_vocab.Vocabulary`` *instance*
+        (build_vocab.py:9-28,100-107), whose module path does not exist
+        here; a lenient unpickler maps any class named ``Vocabulary`` to an
+        attribute shell and the mapping is rebuilt from its ``word2idx``.
+        The reference adds the four specials first in our exact order
+        (build_vocab.py:100-103); a foreign vocab that deviates is rejected
+        rather than silently re-indexed."""
         with open(path, "rb") as f:
-            obj = pickle.load(f)
-        vocab = cls()
-        if isinstance(obj, cls):          # pickled Vocabulary
+            obj = _LenientVocabUnpickler(f).load()
+        if isinstance(obj, cls):          # pickled Vocabulary (ours)
             return obj
-        for word, idx in sorted(obj["word2idx"].items(), key=lambda kv: kv[1]):
+        mapping = (obj.get("word2idx") if isinstance(obj, dict)
+                   else getattr(obj, "word2idx", None))
+        if not isinstance(mapping, dict):
+            raise ValueError(
+                f"{path}: unrecognized vocab pickle (no word2idx mapping)")
+        for tok, want in (("<pad>", PAD_IDX), ("<start>", START_IDX),
+                          ("<end>", END_IDX), ("<unk>", UNK_IDX)):
+            if mapping.get(tok) != want:
+                raise ValueError(
+                    f"{path}: special token {tok!r} is at index "
+                    f"{mapping.get(tok)!r}, expected {want} — this vocab "
+                    f"was not built with the AudioCaption special-token "
+                    f"order and cannot be used directly; rebuild with "
+                    f"`cli build_vocab`")
+        vocab = cls()
+        for word, idx in sorted(mapping.items(), key=lambda kv: kv[1]):
             vocab.add_word(word)
         return vocab
+
+
+class _VocabShell:
+    """Attribute sink for foreign pickled Vocabulary instances."""
+
+
+class _LenientVocabUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if name == "Vocabulary":
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return _VocabShell
+        return super().find_class(module, name)
 
 
 def build_vocab(caption_info: List[dict], threshold: int = 1,
