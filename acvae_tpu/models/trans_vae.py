@@ -137,17 +137,84 @@ class TransVAECaptionModel(nn.Module):
     def inference_forward(self, feats, feat_lens, decode_method: str = "greedy",
                           max_length: Optional[int] = None, beam_size: int = 3,
                           temp: float = 1.0, train: bool = False, **kwargs):
-        # no DBS: the reference's TransVAEModel bytecode has no dbs hooks
-        # either (SURVEY §2.1) — fail with the family name, not a scan-trace
-        # error (models/vae.py::_check_decode_method)
         from acvae_tpu.models.vae import _check_decode_method
         _check_decode_method("TransVAECaptionModel", decode_method,
-                             ("greedy", "gumbel", "sample", "beam"))
+                             ("greedy", "gumbel", "sample", "beam", "dbs"))
         max_length = max_length or self.max_length
         encoded = self.encode(feats, feat_lens, train)
         if decode_method == "beam":
             return self.beam_search(encoded, max_length, beam_size)
+        if decode_method == "dbs":
+            # beyond-parity (round 4): the reference's TransVAEModel
+            # bytecode has no DBS hooks at all — this composes the batched
+            # DBS engine (word_model.py:297-394 semantics) with the
+            # transformer's prefix/z buffers, completing the
+            # decode-method × family matrix
+            return self.diverse_beam_search(encoded, max_length, beam_size,
+                                            **kwargs)
         return self.stepwise_decode(encoded, decode_method, max_length, temp)
+
+    def diverse_beam_search(self, encoded, max_length: int, beam_size: int,
+                            group_size: int = 5, diversity_lambda: float = 0.5,
+                            temperature: float = 1.0,
+                            group_nbest: bool = True) -> Dict[str, Any]:
+        """DBS over the transformer decoder.  The engine staggers group g by
+        g global steps (decoding/dbs.py), so the prefix/z buffers — which
+        the RNN families don't need — are written at the group's LOCAL
+        position ``lt = t − g`` (positional encodings must see the prefix
+        at 0..lt, not shifted by the stagger); each group closes over its
+        own g and its own prior-eps stream."""
+        from acvae_tpu.decoding.dbs import (DBSConfig, dbs_bdash,
+                                            diverse_beam_search)
+
+        dt = self.pnet.state_dtype()
+        enc_mem = encoded["audio_embeds"].astype(dt)
+        enc_mask = length_mask(encoded["audio_embeds_lens"], enc_mem.shape[1])
+        p_proj = self.pnet.project_enc(enc_mem)
+        N, E = enc_mem.shape[0], self.decoder.embed_size
+        bdash = dbs_bdash(beam_size, group_size)
+        NB = N * bdash
+        T = max_length
+        enc_mem_r, lens_r = _repeat_beams(
+            (enc_mem, encoded["audio_embeds_lens"]), bdash)
+        enc_r = {"audio_embeds": enc_mem_r, "audio_embeds_lens": lens_r}
+        total_steps = T + group_size - 1
+        eps_p = jax.vmap(lambda k: eps_stack(k, total_steps, NB, E, dt))(
+            jax.random.split(self.make_rng("sample"), group_size))
+
+        def make_step_fn(g):
+            def step_fn(state, words, t):
+                p_state, last_z, words_buf, z_buf = state
+                lt = jnp.clip(t - g, 0, T - 1)  # local prefix position
+                p = self.pnet.step(words, enc_mem, p_proj, enc_mask,
+                                   p_state, last_z, eps_p[g, t])
+                words_buf = jnp.where(
+                    (jnp.arange(T) == lt)[None, :], words[:, None], words_buf)
+                z_buf = jnp.where(
+                    (jnp.arange(T) == lt)[None, :, None],
+                    p["z"][:, None, :], z_buf)
+                logits_t, _ = self._decoder_logits(words_buf, z_buf, lt,
+                                                   enc_r, False)
+                return logits_t, (p["state"], p["z"], words_buf, z_buf)
+            return step_fn
+
+        def make_init_state():
+            return (self.pnet.init_state(NB, dt), jnp.zeros((NB, E), dt),
+                    jnp.full((NB, T), self.start_idx, jnp.int32),
+                    jnp.zeros((NB, T, E), dt))
+
+        if self.is_initializing():
+            make_step_fn(0)(make_init_state(),
+                            jnp.full((NB,), self.start_idx, jnp.int32), 0)
+            out_beams = beam_size if group_nbest else group_size
+            return {"seqs": jnp.full((N, out_beams, max_length),
+                                     self.end_idx, jnp.int32)}
+        cfg = DBSConfig(beam_size=beam_size, group_size=group_size,
+                        max_length=max_length,
+                        diversity_lambda=diversity_lambda,
+                        temperature=temperature, group_nbest=group_nbest,
+                        start_idx=self.start_idx, end_idx=self.end_idx)
+        return diverse_beam_search(make_step_fn, make_init_state, N, cfg)
 
     def stepwise_decode(self, encoded, decode_method, max_length, temp=1.0):
         dt = self.pnet.state_dtype()

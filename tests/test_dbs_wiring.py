@@ -15,8 +15,10 @@ Reference status per family (COVERAGE.md "Known divergences"):
 * ``SimpleVAEModel``'s hooks (vae_model.py:621-672) dereference the
   nonexistent ``self.pnet`` (AttributeError at head) — here DBS draws each
   group's global z from the eval prior (vae_model.py:593-595 semantics).
-* ``TransVAEModel`` has no DBS in the reference bytecode either — our model
-  raises a ValueError naming the family.
+* ``TransVAEModel`` has no DBS in the reference bytecode either — round 4
+  adds it anyway (beyond-parity): the engine's group staggering composes
+  with the transformer's prefix/z buffers written at each group's LOCAL
+  position (TestTransVAEDBS).
 """
 import jax
 import jax.numpy as jnp
@@ -339,8 +341,13 @@ class TestDBSSizeValidation:
         assert dbs_bdash(8, 5) == 1  # reference floor semantics kept
 
 
-class TestDecodeMethodErrors:
-    def test_transvae_dbs_raises_by_name(self, rng):
+class TestTransVAEDBS:
+    """Round-4 beyond-parity: DBS × transformer prefix/z buffers (the
+    reference's TransVAEModel bytecode has no DBS at all).  Token-exact vs
+    the numpy transcription; the oracle reproduces the model's per-group
+    prior-eps streams via the same "sample" rng key."""
+
+    def _model(self):
         cfg = {"model": "TransVAEModel", "encodermodel": "Cnn10",
                "encoder_args": {"embed_size": E, "channels": (4, 8, 8, E)},
                "decoder": "VAETransformerDecoder",
@@ -350,13 +357,83 @@ class TestDecodeMethodErrors:
                               "posterior_args": {"hidden_size": E},
                               "prior_model": "PriorRNN",
                               "prior_args": {"hidden_size": E}}}
-        model = build_model(cfg, V, F)
+        return build_model(cfg, V, F)
+
+    def test_parity(self, rng):
+        model = self._model()
+        batch = _batch(rng)
+        feats, feat_lens = batch[:2]
+        variables = _init(model, batch)
+        skey = jax.random.key(11)
+        out = model.apply(variables, feats, feat_lens, decode_method="dbs",
+                          beam_size=BSZ, group_size=GSZ, max_length=TDEC,
+                          diversity_lambda=LAM, temperature=TEMP,
+                          group_nbest=True, rngs={"sample": skey})
+
+        from acvae_tpu.models.common import eps_stack
+
+        def eps_oracle(m):
+            # the first (and only) make_rng("sample") of the DBS trace
+            dt = m.pnet.state_dtype()
+            return jax.vmap(lambda k: eps_stack(
+                k, TDEC + GSZ - 1, N * BDASH, m.decoder.embed_size, dt))(
+                    jax.random.split(m.make_rng("sample"), GSZ))
+
+        eps_p = np.asarray(model.apply(variables, method=eps_oracle,
+                                       rngs={"sample": skey}))
+
+        def step_oracle(m, words, state, lt, eps_t):
+            from acvae_tpu.models.vae import _repeat_beams
+            dt = m.pnet.state_dtype()
+            encoded = m.encode(feats, feat_lens, train=False)
+            enc_mem = encoded["audio_embeds"].astype(dt)
+            enc_mask = length_mask(encoded["audio_embeds_lens"],
+                                   enc_mem.shape[1])
+            p_proj = m.pnet.project_enc(enc_mem)
+            enc_mem_r, lens_r = _repeat_beams(
+                (enc_mem, encoded["audio_embeds_lens"]), BDASH)
+            enc_r = {"audio_embeds": enc_mem_r, "audio_embeds_lens": lens_r}
+            p_state, last_z, words_buf, z_buf = state
+            words = jnp.asarray(words, jnp.int32)
+            p = m.pnet.step(words, enc_mem, p_proj, enc_mask,
+                            p_state, last_z, jnp.asarray(eps_t, dt))
+            words_buf = jnp.where((jnp.arange(TDEC) == lt)[None, :],
+                                  words[:, None], jnp.asarray(words_buf))
+            z_buf = jnp.where((jnp.arange(TDEC) == lt)[None, :, None],
+                              p["z"][:, None, :], jnp.asarray(z_buf, dt))
+            logits_t, _ = m._decoder_logits(words_buf, z_buf, lt, enc_r,
+                                            False)
+            return logits_t, (p["state"], p["z"], words_buf, z_buf)
+
+        def init_oracle(m):
+            dt = m.pnet.state_dtype()
+            NB = N * BDASH
+            return (m.pnet.init_state(NB, dt),
+                    jnp.zeros((NB, m.decoder.embed_size), dt),
+                    jnp.full((NB, TDEC), 1, jnp.int32),
+                    jnp.zeros((NB, TDEC, m.decoder.embed_size), dt))
+
+        def step(g, state, words, t, lt):
+            logits, new_state = model.apply(variables, words, state, lt,
+                                            eps_p[g, t], method=step_oracle)
+            return np.asarray(logits), new_state
+
+        ref_seqs, ref_scores = numpy_dbs_transcription(
+            step, lambda: model.apply(variables, method=init_oracle),
+            BSZ, GSZ, TDEC, LAM, TEMP, True)
+        _check(out, ref_seqs, ref_scores)
+
+    def test_inference_forward_dbs_shapes(self, rng):
+        model = self._model()
         batch = _batch(rng)
         variables = _init(model, batch)
-        with pytest.raises(ValueError, match="TransVAECaptionModel"):
-            model.apply(variables, batch[0], batch[1], decode_method="dbs",
-                        beam_size=4, group_size=2, max_length=4,
-                        rngs={"sample": jax.random.key(5)})
+        out = model.apply(variables, batch[0], batch[1], decode_method="dbs",
+                          beam_size=4, group_size=2, max_length=5,
+                          group_nbest=False, rngs={"sample": jax.random.key(5)})
+        assert out["seqs"].shape == (N, 2, 5)
+
+
+class TestDecodeMethodErrors:
 
     @pytest.mark.parametrize("name,decoder", [
         ("Seq2SeqAttnModel", "RNNBahdanauAttnDecoder"),
