@@ -1186,6 +1186,29 @@ class Runner:
         run_server(service, host=host, port=port, max_wait_ms=max_wait_ms)
 
     # ------------------------------------------------------------------ #
+    def diagnose(self, experiment_path: str, eval_h5_csv: Optional[str] = None,
+                 eval_caption_file: Optional[str] = None, batches: int = 6,
+                 batch_size: int = 32, checkpoint: str = "best",
+                 seed: int = 0, output: Optional[str] = None):
+        """Posterior/latent diagnostics over a trained experiment
+        (train/diagnose.py): per-dim KL spectrum, active units, prior↔
+        posterior agreement, and teacher-forced CE under posterior vs prior
+        z.  The offline counterpart of the metrics.jsonl in-training
+        diagnostics — built for the rich25 bimodality forensics (RESULTS
+        round 4); runs on CPU against TPU-written checkpoints.  No
+        reference counterpart (pytorch_runner_vae.py logs loss/score
+        only)."""
+        from acvae_tpu.train.diagnose import diagnose_experiment
+        res = diagnose_experiment(experiment_path, eval_h5_csv,
+                                  eval_caption_file, batches=int(batches),
+                                  batch_size=int(batch_size),
+                                  checkpoint=checkpoint, seed=int(seed))
+        print(json.dumps(res, indent=1))
+        if output:
+            Path(output).write_text(json.dumps(res, indent=1))
+        return res
+
+    # ------------------------------------------------------------------ #
     def diversity(self, eval_output: str, train_corpus: Optional[str] = None,
                   output: Optional[str] = None, zh: bool = False):
         """Diversity suite over eval_output.json (utils/diverse_mutil.py CLI).

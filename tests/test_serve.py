@@ -387,3 +387,23 @@ def test_cli_serve_exported_rejects_decode_kwargs(experiment, tmp_path,
                           max_length=8, batch_size=2)
     with pytest.raises(ValueError, match="group_size.*do not apply"):
         Runner().serve(exported=out, batch_size=2, group_size=2)
+
+
+def test_cli_diagnose_reports_latent_stats(experiment, tmp_path):
+    """cli diagnose (train/diagnose.py): offline posterior diagnostics over
+    a trained experiment — keys present, finite, active-units bounded by
+    the latent width."""
+    from acvae_tpu.cli.main import Runner
+
+    exp, feats = experiment
+    out = Runner().diagnose(exp, batches=2, batch_size=4,
+                            checkpoint="last",
+                            output=str(tmp_path / "diag.json"))
+    for k in ("kl_total", "active_units_0.01", "qp_mse",
+              "ce_posterior_z", "ce_prior_z", "latent_dims"):
+        assert k in out, k
+    assert 0 <= out["active_units_0.01"] <= out["latent_dims"]
+    assert np.isfinite(out["ce_posterior_z"])
+    assert np.isfinite(out["ce_prior_z"])
+    import json as _json
+    assert _json.load(open(tmp_path / "diag.json")) == out
