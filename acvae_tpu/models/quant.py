@@ -161,7 +161,8 @@ class QuantPannEncoder:
                  channels: Sequence[int] = (64, 128, 256, 512),
                  stem_lane_pad: Optional[int] = None,
                  per_channel: bool = True, offset: bool = True,
-                 mse_clip: bool = False, bias_correct: bool = False):
+                 mse_clip: bool = False, bias_correct: bool = False,
+                 quant_tail: bool = False):
         params = variables["params"]
         stats = variables["batch_stats"]
         spec = _arch_spec(arch, channels)
@@ -170,6 +171,19 @@ class QuantPannEncoder:
         self.offset = bool(offset)
         self.mse_clip = bool(mse_clip)
         self.bias_correct = bool(bias_correct)
+        # quant_tail (round 4, scheme v4): ALSO requantize the final conv's
+        # output and run its pool + the head's freq mean in the quantized
+        # domain — the f32 tail otherwise writes/reads the full-resolution
+        # final activation (≈4x the HBM bytes of int8); dequantization
+        # happens on the 16x-smaller post-pool tensor.  Symmetric-coding
+        # schemes only (the offset pad path never touches the tail).
+        self.quant_tail = bool(quant_tail)
+        if self.quant_tail and self.offset:
+            raise ValueError("quant_tail composes with symmetric coding "
+                             "(offset=False) only")
+        if self.quant_tail and self.bias_correct:
+            raise ValueError("quant_tail does not compose with bias_correct "
+                             "(the correction pass walks the f32 tail)")
         # default tracks the f32 encoders' staging constant so the two
         # paths cannot desync (encoders._stage_mel / pretrained.pann_to_flax)
         from acvae_tpu.models.encoders import STEM_LANE_PAD
@@ -294,7 +308,8 @@ class QuantPannEncoder:
                     dimension_numbers=_DN)
                 s, b = blk[f"bn{j}"]
                 x = jnp.maximum(x * s + b, 0.0)
-                if k < n_convs:  # final conv output is never quantized
+                if k < n_convs or self.quant_tail:
+                    # final conv output only gets a scale under quant_tail
                     scales.append(smax(x, cur_lens, self._levels(k)))
             if blk["pool"]:
                 x = _avgpool_f32(x)
@@ -337,7 +352,7 @@ class QuantPannEncoder:
                 B = np.asarray(bb, np.float32).copy()
                 if self.offset and i > 1:  # conv input is offset-coded
                     B = B + A * _ZP * blk[f"zpk{j}"]
-                if i < n_convs:
+                if i < n_convs or self.quant_tail:
                     s_out = self.act_scales[i]
                     if self.per_channel:
                         A, B = A / s_out, B / s_out
@@ -451,15 +466,25 @@ class QuantPannEncoder:
                 # pre-relu affine: _requantize folds the relu into its clip
                 # (offset) or applies it explicitly (symmetric)
                 y = acc.astype(jnp.float32) * blk[f"A{j}"] + blk[f"B{j}"]
-                if bi == n - 1 and j == 2:
+                if bi == n - 1 and j == 2 and not self.quant_tail:
                     x_f = jnp.maximum(y, 0.0)  # final conv: f32 for the head
                 else:
                     x_i8 = self._requantize(y)
             if blk["pool"]:
-                if bi == n - 1:
+                if bi == n - 1 and not self.quant_tail:
                     x_f = _avgpool_f32(x_f)
                 else:
                     x_i8 = _avgpool_i8(x_i8)
+        if self.quant_tail:
+            # freq mean in the quantized domain (int32 sum over the 4
+            # post-pool bins), dequantized on the 16x-smaller [N, T', C]
+            s_out = self.act_scales[2 * n]
+            x = (jnp.sum(x_i8.astype(jnp.int32), axis=2).astype(jnp.float32)
+                 * (s_out / x_i8.shape[2]))
+            pooled = max_with_lens(x, lens) + mean_with_lens(x, lens)
+            pooled = jax.nn.relu(pooled @ self.fc[0] + self.fc[1])
+            return {"audio_embeds": x, "audio_embeds_pooled": pooled,
+                    "audio_embeds_lens": lens}
         x = jnp.mean(x_f, axis=2)  # [N, T', C]
         pooled = max_with_lens(x, lens) + mean_with_lens(x, lens)
         pooled = jax.nn.relu(pooled @ self.fc[0] + self.fc[1])
@@ -488,6 +513,11 @@ SCHEMES: Dict[str, Dict[str, bool]] = {
     "v2sym": {"per_channel": True, "offset": False},
     "v3": {"per_channel": True, "offset": False,
            "mse_clip": True, "bias_correct": True},
+    # v4 (round 4): v2sym + quantized tail — the final conv requantizes,
+    # its pool and the head's freq mean run int8/int32, dequantization
+    # moves to the 16x-smaller post-pool tensor (one extra quantization
+    # point on the final activations; accuracy A/B'd like every scheme)
+    "v4": {"per_channel": True, "offset": False, "quant_tail": True},
 }
 
 

@@ -307,3 +307,29 @@ def test_fused_stem_matches_two_step_quantizer():
     d = np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32))
     assert d.max() <= 1
     assert (d != 0).mean() < 1e-3, (d != 0).mean()
+
+
+def test_v4_tail_quantized_matches_f32(setup):
+    """Scheme v4 (quant_tail): the final conv requantizes and the pool +
+    freq mean run in the quantized domain — accuracy must stay within the
+    family's cosine tolerance vs the f32 encoder."""
+    from acvae_tpu.models.quant import scheme_kwargs
+
+    enc, v, feats, lens = setup
+    ref = enc.apply(v, feats, lens, train=False)
+    q = QuantCnn10(v, feats, lens, channels=CH, **scheme_kwargs("v4"))
+    out = q(feats, lens)
+    assert out["audio_embeds"].shape == ref["audio_embeds"].shape
+    a = np.asarray(ref["audio_embeds"]).ravel()
+    b = np.asarray(out["audio_embeds"]).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.995, cos
+
+
+def test_v4_invalid_compositions_rejected(setup):
+    enc, v, feats, lens = setup
+    with pytest.raises(ValueError, match="symmetric"):
+        QuantCnn10(v, feats, lens, channels=CH, offset=True, quant_tail=True)
+    with pytest.raises(ValueError, match="bias_correct"):
+        QuantCnn10(v, feats, lens, channels=CH, offset=False,
+                   quant_tail=True, bias_correct=True)

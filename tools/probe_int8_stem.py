@@ -60,6 +60,8 @@ def main():
                              **scheme_kwargs("v2sym"))
     quant_v3 = QuantPannEncoder(dict(var), calib, calib_lens, channels=CH,
                                 **scheme_kwargs("v3"))
+    quant_v4 = QuantPannEncoder(dict(var), calib, calib_lens, channels=CH,
+                                **scheme_kwargs("v4"))
 
     @jax.jit
     def run_bf(feats, feat_lens):
@@ -76,7 +78,7 @@ def main():
         return run
 
     arms = {"bf16": run_bf, "int8": int8_full(quant),
-            "int8_v3": int8_full(quant_v3)}
+            "int8_v3": int8_full(quant_v3), "int8_v4": int8_full(quant_v4)}
 
     # stagewise truncations of the int8 composite: stem quantizer only,
     # then through block k (convs + pool), then the full encoder with head
