@@ -197,13 +197,21 @@ def bench_int8() -> dict:
 
     out = decode(variables, feats, feat_lens, jax.random.key(2))
     np.asarray(out["seqs"])
+    flops = _program_flops(decode, variables, feats, feat_lens,
+                           jax.random.key(2))
     t0 = time.perf_counter()
     outs = [decode(variables, feats, feat_lens, jax.random.key(100 + i))
             for i in range(TIMED_ITERS)]
     for o in outs:
         np.asarray(o["seqs"])
     total = time.perf_counter() - t0
-    return {"captions_per_sec": BATCH * TIMED_ITERS / total}
+    res = {"captions_per_sec": BATCH * TIMED_ITERS / total}
+    peak = _peak_flops_per_sec(jax.devices()[0].device_kind, "int8")
+    if flops and peak:
+        # roofline fraction vs the int8 peak — approximate (the decode
+        # loop stays f32; the encoder convs are the int8 FLOPs majority)
+        res["int8_roofline_frac"] = flops * TIMED_ITERS / total / peak
+    return res
 
 
 def bench_train() -> dict:
@@ -366,7 +374,7 @@ def main():
     # delta inside seed noise).  The bf16 number stays in the tail as the
     # full-precision reference.  ACVAE_BENCH_INT8=0 restores the bf16
     # headline (e.g. on backends without int8 MXU support).
-    int8_cps = None
+    int8_cps = int8_roof = None
     if os.environ.get("ACVAE_BENCH_INT8", "1") != "0":
         # run in a daemon thread with a hard join bound: a tunnel wedge
         # inside the int8 bench (CLAUDE.md failure mode) must not be able
@@ -376,7 +384,9 @@ def main():
 
         def _run():
             try:
-                box["cps"] = bench_int8()["captions_per_sec"]
+                r = bench_int8()
+                box["cps"] = r["captions_per_sec"]
+                box["roof"] = r.get("int8_roofline_frac")
             except Exception as e:  # noqa: BLE001 — report, fall back
                 box["err"] = str(e).splitlines()[0][:80]
 
@@ -392,6 +402,7 @@ def main():
                   "the bf16 headline", file=sys.stderr)
         else:
             int8_cps = box.get("cps")
+            int8_roof = box.get("roof")
     headline = int8_cps if int8_cps else ours["captions_per_sec"]
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -426,6 +437,9 @@ def main():
     if ours.get("mfu"):
         tail += (f"; decode MFU {100 * ours['mfu']:.1f}% of bf16 peak "
                  f"({ours['decode_flops_per_call'] / 1e12:.2f} TFLOP/call)")
+    if int8_cps and int8_roof:
+        tail += (f"; int8 roofline frac {100 * int8_roof:.1f}% of int8 peak"
+                 f" (approx — decode loop stays f32)")
     try:
         train = bench_train()
         tail += (f"; train {train['train_samples_per_sec']:.0f} samples/s "
