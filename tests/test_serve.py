@@ -407,3 +407,16 @@ def test_cli_diagnose_reports_latent_stats(experiment, tmp_path):
     assert np.isfinite(out["ce_prior_z"])
     import json as _json
     assert _json.load(open(tmp_path / "diag.json")) == out
+
+
+def test_int8_v4_scheme_through_service(experiment):
+    """--int8_scheme=v4 (quantized tail) resolves through the serving
+    surface and captions."""
+    from acvae_tpu.serve import CaptionService
+
+    exp, feats = experiment
+    svc = CaptionService(exp, batch_size=2, mel_bucket=128, max_length=8,
+                         checkpoint="last", encoder_int8=True,
+                         int8_scheme="v4")
+    caps = svc.caption(list(feats.values())[:2])
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
