@@ -2256,7 +2256,6 @@ class Runner:
             tag = "t{}_{}".format(t, "_".join(
                 f"{k.split('.')[-1]}={v}" for k, v in overrides.items()))
             print(f"=== sweep trial {t}: {overrides} ===")
-            planned_epochs = None
             if stopper is not None:
                 stopper.trial_begin()
                 self._trial_assessor = stopper

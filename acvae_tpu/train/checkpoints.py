@@ -201,10 +201,24 @@ def restore_checkpoint(exp_dir: str, name: str, state, params_only=False,
             path, args=ocp.args.PyTreeRestore(item=item,
                                               restore_args=restore_args,
                                               partial_restore=True))
-    except Exception:
-        # structure drift (e.g. checkpoint without batch_stats) — fall back
-        # to the template-free full read
-        restored = ckptr.restore(path)
+    except Exception as e:
+        # structure drift (e.g. checkpoint without batch_stats): retry with
+        # the params subtree only, KEEPING the template-placement restore
+        # args (the template-free StandardCheckpointer read would revive
+        # the save-time sharding and fail cross-platform); the template-free
+        # read stays as the last resort for exotic layouts
+        logging.getLogger("acvae_tpu").warning(
+            "partial restore of %s failed (%s: %s); retrying params-only",
+            path, type(e).__name__, str(e).splitlines()[0])
+        try:
+            item_p = {"params": state.params}
+            ra_p = {"params": restore_args["params"]}
+            restored = ocp.PyTreeCheckpointer().restore(
+                path, args=ocp.args.PyTreeRestore(item=item_p,
+                                                  restore_args=ra_p,
+                                                  partial_restore=True))
+        except Exception:
+            restored = ckptr.restore(path)
     return state.replace(params=restored["params"],
                          batch_stats=restored.get("batch_stats", {}))
 

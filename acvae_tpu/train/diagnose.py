@@ -93,8 +93,19 @@ def diagnose_experiment(exp_dir: str, h5_csv: str | None = None,
         else:
             mf = km.astype(qp.dtype)
             qp_mse = jnp.sum(qp * mf) / jnp.maximum(jnp.sum(mf), 1.0)
-        q_flat = out["q_means"].reshape(-1, out["q_means"].shape[-1])
-        q_var = jnp.mean(jnp.var(q_flat, axis=0))
+        # posterior-mean spread over VALID positions only (padded frames
+        # carry qnet outputs conditioned on pad tokens and would bias the
+        # variance): weighted mean/var with the caption mask
+        q = out["q_means"]
+        if km is None:
+            q_flat = q.reshape(-1, q.shape[-1])
+            q_var = jnp.mean(jnp.var(q_flat, axis=0))
+        else:
+            w = km.astype(q.dtype)[..., None]
+            denom = jnp.maximum(jnp.sum(w), 1.0)
+            mu = jnp.sum(q * w, axis=(0, 1)) / denom
+            q_var = jnp.mean(
+                jnp.sum(w * (q - mu) ** 2, axis=(0, 1)) / denom)
         return kl_d, kl, ce, qp_mse, q_var
 
     acc: Dict[str, list] = {k: [] for k in

@@ -156,5 +156,9 @@ class MedianStopAssessor:
         return stop
 
     def trial_end(self) -> None:
-        self.histories.append(self.current)
+        # NNI MedianstopAssessor counts COMPLETED trials only: a killed
+        # trial's truncated (and by construction below-median) history must
+        # not shift the median or satisfy min_trials
+        if not self.last_stop:
+            self.histories.append(self.current)
         self.current = []

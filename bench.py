@@ -75,7 +75,8 @@ def _program_flops(jitted_fn, *args) -> float | None:
 def _peak_flops_per_sec(device_kind: str, dtype: str = "bf16") -> float | None:
     """Chip peak for the MFU denominator (docs/pallas_notes.md:103 quotes
     the v5e numbers; ACVAE_PEAK_FLOPS overrides for other chips)."""
-    env = os.environ.get("ACVAE_PEAK_FLOPS")
+    env = os.environ.get("ACVAE_PEAK_FLOPS_INT8" if dtype == "int8"
+                         else "ACVAE_PEAK_FLOPS")
     if env:
         return float(env)
     kind = device_kind.lower()
@@ -375,6 +376,7 @@ def main():
     # full-precision reference.  ACVAE_BENCH_INT8=0 restores the bf16
     # headline (e.g. on backends without int8 MXU support).
     int8_cps = int8_roof = None
+    device_suspect = False
     if os.environ.get("ACVAE_BENCH_INT8", "1") != "0":
         # run in a daemon thread with a hard join bound: a tunnel wedge
         # inside the int8 bench (CLAUDE.md failure mode) must not be able
@@ -395,6 +397,7 @@ def main():
         t.join(timeout=float(os.environ.get("ACVAE_BENCH_INT8_TIMEOUT",
                                             "600")))
         if t.is_alive():
+            device_suspect = True
             print("# int8 bench exceeded its time bound (device wedge?); "
                   "falling back to the bf16 headline", file=sys.stderr)
         elif "err" in box:
@@ -441,6 +444,11 @@ def main():
         tail += (f"; int8 roofline frac {100 * int8_roof:.1f}% of int8 peak"
                  f" (approx — decode loop stays f32)")
     try:
+        if device_suspect:
+            # the int8 bench thread never returned: the device is wedged or
+            # its queued work would interleave with (and poison) the train
+            # timing — skip rather than hang or mis-measure
+            raise RuntimeError("skipped: device suspect after int8 timeout")
         train = bench_train()
         tail += (f"; train {train['train_samples_per_sec']:.0f} samples/s "
                  f"fwd+bwd (batch={train['train_batch']}, bf16 encoder)")
