@@ -1142,6 +1142,10 @@ class Runner:
         surface the reference lacks).  POST /caption with {"mel": [[T×F]]}
         or {"wav": [...], "sr": N}; GET /health.  Requests are batched up
         to batch_size or max_wait_ms before one fixed-shape decode.
+        A COMMA-separated experiment_path (``cli serve exp1,exp2,exp3``)
+        serves the probability-averaged ensemble as one jitted program
+        (the reference's ensemble is offline-eval only); beam/greedy,
+        f32 decode, shared vocabulary required.
         ``--exported=<dir>`` serves a ``cli export_model`` artifact —
         no experiment dir needed, and the decode config/precision is the
         artifact's (--decode_method/--beam_size/--max_length/--mel_bucket/

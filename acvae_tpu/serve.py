@@ -77,6 +77,34 @@ class CaptionService:
             import ml_dtypes
             self._upload_dtype = ml_dtypes.bfloat16
 
+        # ensemble serving (round 4, beyond-parity: the reference's
+        # prob-averaged ensemble exists only as offline eval,
+        # base_runner.py:397-694): a comma-separated experiment_path (or a
+        # list) serves the ensemble as ONE jitted decode program
+        paths = None
+        if isinstance(experiment_path, (list, tuple)):
+            paths = [str(p) for p in experiment_path]
+        elif experiment_path and "," in str(experiment_path):
+            paths = [p for p in str(experiment_path).split(",") if p]
+        if paths is not None and len(paths) > 1:
+            if exported is not None or encoder_int8 or decode_dtype:
+                raise ValueError(
+                    "ensemble serving composes with the plain f32 decode "
+                    "only (not --exported / --encoder_int8 / "
+                    "--decode_dtype)")
+            if decode_kwargs:
+                raise ValueError(
+                    f"decode kwargs {sorted(decode_kwargs)} do not apply "
+                    "to ensemble serving (beam/greedy only)")
+            if decode_method not in ("beam", "greedy"):
+                raise ValueError(
+                    "ensemble serving supports decode_method=beam|greedy "
+                    f"(the reference ensemble's surface), got "
+                    f"{decode_method!r}")
+            self._init_ensemble(paths, checkpoint, decode_method, beam_size,
+                                max_length, batch_size, mel_bucket, seed)
+            return
+
         if exported is not None:
             # serve a jax.export artifact (cli export_model): no model code,
             # config, or checkpoint tree — the serialized program is the
@@ -179,6 +207,66 @@ class CaptionService:
             # artifacts have a fixed f32 input and no u8 program.
             self.caption([(np.zeros((64, self.data_dim), np.uint8),
                            1.0, 0.0)])
+
+    def _init_ensemble(self, paths, checkpoint, decode_method, beam_size,
+                       max_length, batch_size, mel_bucket, seed):
+        """Build the prob-averaged multi-model decode program
+        (decoding/ensemble.py engine — each member encodes independently,
+        per-step next-word distributions are averaged, independent prior
+        noise per member)."""
+        from acvae_tpu.core.config import load_config
+        from acvae_tpu.data.vocab import Vocabulary
+        from acvae_tpu.decoding.ensemble import ensemble_decode
+        from acvae_tpu.models.build import build_model
+        from acvae_tpu.train.checkpoints import load_raw_checkpoint
+
+        members = []
+        vocab0 = None
+        for p in paths:
+            exp = Path(p)
+            conf = load_config(str(exp / "config.yaml"))
+            vocab = Vocabulary.load(str(exp / "vocab.pkl"))
+            if vocab0 is None:
+                vocab0, self.conf = vocab, conf
+                self.data_dim = int(conf.get("data_dim", 64))
+            elif vocab.word2idx != vocab0.word2idx:
+                raise ValueError(
+                    f"ensemble members must share one vocabulary; "
+                    f"{p} differs from {paths[0]}")
+            elif int(conf.get("data_dim", 64)) != self.data_dim:
+                raise ValueError(
+                    f"ensemble members must share the mel dim; {p} has "
+                    f"{conf.get('data_dim')} vs {self.data_dim}")
+            model = build_model(conf, len(vocab), self.data_dim)
+            for api in ("encode", "decode_ctx", "init_decode_state",
+                        "decode_step_api"):
+                if not hasattr(model, api):
+                    raise ValueError(
+                        f"ensemble serving needs the step-decode API "
+                        f"({api}); {type(model).__name__} from {p} lacks it")
+            restored = load_raw_checkpoint(str(exp), checkpoint,
+                                           subset=("params", "batch_stats"))
+            members.append((model, {"params": restored["params"],
+                                    "batch_stats": restored.get(
+                                        "batch_stats", {})}))
+        self.vocab = vocab0
+        self.batch_size = batch_size
+        self.bucket = mel_bucket
+
+        @jax.jit
+        def decode(variables, feats, feat_lens, key):
+            return ensemble_decode(members, feats, feat_lens, key,
+                                   decode_method=decode_method,
+                                   beam_size=beam_size,
+                                   max_length=max_length)
+
+        self._decode = decode
+        self._decode_u8 = None
+        self.variables = {}  # unused by the closure; non-None enables u8
+        self._key = jax.random.key(seed + 2)
+        self._lock = threading.Lock()
+        self.caption([np.zeros((64, self.data_dim), np.float32)])
+        self.caption([(np.zeros((64, self.data_dim), np.uint8), 1.0, 0.0)])
 
     def validate(self, mel) -> np.ndarray:
         """Shape-check one request's mel (called per request, *before*

@@ -420,3 +420,29 @@ def test_int8_v4_scheme_through_service(experiment):
                          int8_scheme="v4")
     caps = svc.caption(list(feats.values())[:2])
     assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+
+
+def test_ensemble_serving(experiment):
+    """Comma-separated experiment paths serve the prob-averaged ensemble
+    as one jitted program (round-4 beyond-parity: the reference's ensemble
+    is offline-eval only)."""
+    from acvae_tpu.serve import CaptionService
+
+    exp, feats = experiment
+    svc = CaptionService(f"{exp},{exp}", batch_size=2, mel_bucket=128,
+                         max_length=8, checkpoint="last",
+                         decode_method="beam", beam_size=2)
+    mels = list(feats.values())[:2]
+    caps = svc.caption(mels)
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+    # the uint8 upload path wraps the same program
+    q = (np.clip(mels[0], 0, 1) * 255).astype(np.uint8)
+    caps_q = svc.caption([(q, 1.0 / 255.0, 0.0)])
+    assert len(caps_q) == 1 and isinstance(caps_q[0], str)
+    # invalid compositions fail loudly
+    with pytest.raises(ValueError, match="plain f32 decode"):
+        CaptionService(f"{exp},{exp}", batch_size=2, mel_bucket=128,
+                       checkpoint="last", encoder_int8=True)
+    with pytest.raises(ValueError, match="beam|greedy"):
+        CaptionService(f"{exp},{exp}", batch_size=2, mel_bucket=128,
+                       checkpoint="last", decode_method="sample")
