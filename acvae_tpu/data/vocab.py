@@ -145,14 +145,29 @@ class _VocabShell:
     """Attribute sink for foreign pickled Vocabulary instances."""
 
 
+#: Globals a vocab pickle may legitimately reference beyond the
+#: Vocabulary class itself: plain containers only.  Anything else is a
+#: code-execution vector (upstream vocab.pkl files are untrusted input),
+#: so the unpickler rejects it rather than importing it.
+_SAFE_GLOBALS = {
+    ("builtins", "dict"), ("builtins", "list"), ("builtins", "set"),
+    ("builtins", "frozenset"), ("builtins", "tuple"),
+    ("collections", "OrderedDict"),
+}
+
+
 class _LenientVocabUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if name == "Vocabulary":
-            try:
-                return super().find_class(module, name)
-            except (ImportError, AttributeError):
-                return _VocabShell
-        return super().find_class(module, name)
+            # Unconditionally shell-out — never import the pickle's own
+            # module path, even if it happens to resolve here.  load()
+            # rebuilds from the shell's word2idx either way.
+            return _VocabShell
+        if (module, name) in _SAFE_GLOBALS:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"vocab pickle references disallowed global {module}.{name}; "
+            f"only plain containers and a Vocabulary class are accepted")
 
 
 def build_vocab(caption_info: List[dict], threshold: int = 1,

@@ -253,16 +253,23 @@ class CaptionService:
         self.batch_size = batch_size
         self.bucket = mel_bucket
 
+        # Models are static (baked into the trace); the member param trees
+        # ride through the jit arguments like the single-model path — as
+        # closure constants they would bloat the HLO with N full
+        # checkpoints of literals and defeat donation/caching.
+        models = [m for m, _ in members]
+
         @jax.jit
-        def decode(variables, feats, feat_lens, key):
-            return ensemble_decode(members, feats, feat_lens, key,
+        def decode(member_vars, feats, feat_lens, key):
+            return ensemble_decode(list(zip(models, member_vars)),
+                                   feats, feat_lens, key,
                                    decode_method=decode_method,
                                    beam_size=beam_size,
                                    max_length=max_length)
 
         self._decode = decode
         self._decode_u8 = None
-        self.variables = {}  # unused by the closure; non-None enables u8
+        self.variables = [v for _, v in members]
         self._key = jax.random.key(seed + 2)
         self._lock = threading.Lock()
         self.caption([np.zeros((64, self.data_dim), np.float32)])

@@ -135,6 +135,12 @@ def diagnose_experiment(exp_dir: str, h5_csv: str | None = None,
     res: Dict[str, Any] = {
         "exp": str(exp), "checkpoint": checkpoint,
         "n_batches": len(acc["kl"]),
+        # stats_fn runs the TRAINING forward (train=True: live dropout,
+        # batch-mode BN) because the z-chain being diagnosed is the one
+        # training optimizes; ce_* therefore include dropout noise and are
+        # not inference-mode CEs — compare them paired (posterior vs prior
+        # share one rng key), not against eval-time losses.
+        "forward_mode": "train",
         "ce_posterior_z": round(float(np.mean(acc["ce_post"])), 4),
         "ce_prior_z": round(float(np.mean(acc["ce_prior"])), 4),
         "ce_prior_penalty": round(float(np.mean(acc["ce_prior"]))
