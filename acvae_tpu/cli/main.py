@@ -515,19 +515,9 @@ class Runner:
 
         # kl_anneal: optional schedule override for the bimodality hunt
         # (train/trainer.py::kl_weight_schedule); absent = reference schedule
-        raw_anneal = conf.get("kl_anneal") or {}
-        if not isinstance(raw_anneal, dict):
-            raise ValueError(
-                f"kl_anneal must be a mapping with keys mode/cycles/ramp/"
-                f"floor, got {raw_anneal!r} — e.g. "
-                f"kl_anneal: {{mode: linear, floor: 0.0}}")
-        unknown = set(raw_anneal) - {"mode", "cycles", "ramp", "floor"}
-        if unknown:
-            raise ValueError(
-                f"unknown kl_anneal key(s) {sorted(unknown)}; "
-                f"allowed: mode, cycles, ramp, floor")
-        kl_anneal = dict(raw_anneal)
-        from acvae_tpu.train.trainer import kl_weight_schedule
+        from acvae_tpu.train.trainer import (kl_weight_schedule,
+                                             parse_kl_anneal)
+        kl_anneal = parse_kl_anneal(conf.get("kl_anneal"))
         for epoch in range(start_epoch, conf["epochs"] + 1):
             epoch_t0 = _time.perf_counter()
             kl_weight = kl_weight_schedule(

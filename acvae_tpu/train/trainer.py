@@ -468,3 +468,21 @@ def kl_weight_schedule(epoch: int, epochs: int, beta: float,
                      f"(reference|linear|cyclical|constant)")
 
 
+def parse_kl_anneal(raw) -> dict:
+    """Validate the ``kl_anneal`` config value up front (ADVICE r4): it
+    must be a mapping over {mode, cycles, ramp, floor} — a typo'd key or a
+    bare scalar (``kl_anneal: linear``) would otherwise silently run the
+    default schedule or die deep in the epoch loop with a confusing
+    ``dict()`` error.  Returns a plain dict safe for ``.get`` defaults."""
+    raw = raw or {}
+    if not isinstance(raw, dict):
+        raise ValueError(
+            f"kl_anneal must be a mapping with keys mode/cycles/ramp/floor,"
+            f" got {raw!r} — e.g. kl_anneal: {{mode: linear, floor: 0.0}}")
+    unknown = set(raw) - {"mode", "cycles", "ramp", "floor"}
+    if unknown:
+        raise ValueError(f"unknown kl_anneal key(s) {sorted(unknown)}; "
+                         f"allowed: mode, cycles, ramp, floor")
+    return dict(raw)
+
+

@@ -280,6 +280,18 @@ class TestKLScheduleModes:
         with pytest.raises(ValueError):
             kl_weight_schedule(1, 10, 0.5, mode="bogus")
 
+    def test_parse_kl_anneal_validates_config_surface(self):
+        """ADVICE r4: typo'd keys and bare scalars must fail fast, not
+        silently run the default schedule."""
+        from acvae_tpu.train.trainer import parse_kl_anneal
+        assert parse_kl_anneal(None) == {}
+        assert parse_kl_anneal({"mode": "linear", "floor": 0.1}) == \
+            {"mode": "linear", "floor": 0.1}
+        with pytest.raises(ValueError, match="unknown kl_anneal key"):
+            parse_kl_anneal({"mode": "cyclical", "cycle": 4})
+        with pytest.raises(ValueError, match="must be a mapping"):
+            parse_kl_anneal("linear")
+
 
 class TestFreeBitsAndDiagnostics:
     def test_diagnostics_emitted_and_finite(self):

@@ -117,6 +117,44 @@ def test_upstream_vocab_bad_special_order_rejected(tmp_path):
         Vocabulary.load(str(tmp_path / "bad.pkl"))
 
 
+def test_vocab_unpickler_rejects_code_execution_globals(tmp_path):
+    """Upstream vocab.pkl files are untrusted input: a pickle referencing
+    any global outside the safelist (containers + a Vocabulary class) must
+    raise instead of importing it (ADVICE r4 — arbitrary-code-execution
+    hardening).  ``os.system`` is the canonical RCE gadget."""
+    import pickletools
+
+    from acvae_tpu.data.vocab import Vocabulary
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ("true",))
+
+    with open(tmp_path / "evil.pkl", "wb") as f:
+        pickle.dump(Evil(), f)
+    with pytest.raises(pickle.UnpicklingError, match="disallowed global"):
+        Vocabulary.load(str(tmp_path / "evil.pkl"))
+    # sanity: the pickle really does reference posix/os system
+    ops = [a for _, a, _ in pickletools.genops(
+        (tmp_path / "evil.pkl").read_bytes())]
+    assert any("system" in str(a) for a in ops)
+
+
+def test_vocab_own_instance_pickle_still_loads(tmp_path):
+    """A pickled acvae Vocabulary INSTANCE (not our dict format) loads via
+    the shell path even though the unpickler never imports the class."""
+    from acvae_tpu.data import vocab as vmod
+
+    v = vmod.Vocabulary()
+    for w in ("<pad>", "<start>", "<end>", "<unk>", "rain"):
+        v.add_word(w)
+    with open(tmp_path / "inst.pkl", "wb") as f:
+        pickle.dump(v, f)
+    loaded = vmod.Vocabulary.load(str(tmp_path / "inst.pkl"))
+    assert loaded.word2idx == v.word2idx
+
+
 def test_train_and_evaluate_over_upstream_layout(tmp_path):
     """End-to-end: the upstream artifact set drives train + evaluate with
     only the standard config keys (h5_csv / caption_file / vocab_file)."""
