@@ -80,6 +80,44 @@ def apply_jax_platforms_env(label: str = "devprobe") -> bool:
     return True
 
 
+#: cmdline substrings that mark a process as a likely chip occupant.
+#: Read-only /proc inspection — used to label a probe timeout as
+#: contention instead of a wedge (measured round 4: bench.py dispatched
+#: fine at 01:07 while doctor's bounded probe "failed" at 01:04/01:17 —
+#: the probe starved behind bench, the tunnel was alive).
+_CHIP_WORK_MARKERS = ("cli train", "cli evaluate", "cli scst",
+                      "cli predict", "cli stage1", "cli global_vae",
+                      "probe_int8", "probe_decode", "probe_upload",
+                      "serve_bench", "bench.py")
+
+
+def concurrent_chip_users() -> list:
+    """Other live processes on this host whose cmdline looks like chip
+    work (training/eval/bench).  Pure /proc read — never signals anything.
+    Returns short ``pid:marker`` strings for the probe/doctor report."""
+    import os
+
+    out = []
+    me = os.getpid()
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return out
+    for p in pids:
+        if int(p) == me:
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        for m in _CHIP_WORK_MARKERS:
+            if m in cmd:
+                out.append(f"{p}:{m}")
+                break
+    return out
+
+
 def probe_device(timeout: float = 120.0,
                  ignore_platform_env: bool = False) -> Dict[str, Any]:
     """One bounded probe.  Returns ``{"ok": True, "device": {...}}`` on a
@@ -98,6 +136,15 @@ def probe_device(timeout: float = 120.0,
         r = subprocess.run([sys.executable, "-c", _PROBE], env=env,
                            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
+        users = concurrent_chip_users()
+        if users:
+            return {"ok": False, "busy": users,
+                    "error": f"device probe hung for {timeout:.0f}s while "
+                             f"other work holds the chip ({'; '.join(users)})"
+                             f" — likely CONTENTION, not a wedge: the single"
+                             f" tunneled chip serializes callers and a "
+                             f"bounded probe starves behind heavy dispatch. "
+                             f"Re-probe when that work finishes"}
         return {"ok": False,
                 "error": f"device probe hung for {timeout:.0f}s — the "
                          f"tunneled runtime is likely wedged; known to "

@@ -114,6 +114,45 @@ def test_probe_device_tolerates_rc0_noise(monkeypatch):
     assert out["ok"] is False and "no parseable status" in out["error"]
 
 
+def test_probe_timeout_labels_contention_vs_wedge(monkeypatch):
+    """A probe timeout while another process holds the chip is reported as
+    CONTENTION (busy list attached), not a wedge — measured round 4:
+    bench.py dispatched fine while doctor's bounded probe starved behind
+    it (RESULTS 'Round 4 campaign outcome')."""
+    import subprocess
+
+    from acvae_tpu.core import devprobe
+
+    def raise_timeout(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=5)
+
+    monkeypatch.setattr(devprobe.subprocess, "run", raise_timeout)
+    monkeypatch.setattr(devprobe, "concurrent_chip_users",
+                        lambda: ["123:cli train"])
+    out = devprobe.probe_device(timeout=5)
+    assert out["ok"] is False
+    assert out["busy"] == ["123:cli train"]
+    assert "CONTENTION" in out["error"]
+
+    monkeypatch.setattr(devprobe, "concurrent_chip_users", lambda: [])
+    out = devprobe.probe_device(timeout=5)
+    assert out["ok"] is False and "busy" not in out
+    assert "wedged" in out["error"]
+
+
+def test_concurrent_chip_users_reads_proc(monkeypatch):
+    """Pure /proc read: returns [] or pid:marker strings, never raises,
+    and never includes this process."""
+    import os
+
+    from acvae_tpu.core import devprobe
+
+    users = devprobe.concurrent_chip_users()
+    assert isinstance(users, list)
+    assert all(":" in u for u in users)
+    assert not any(u.startswith(f"{os.getpid()}:") for u in users)
+
+
 def test_apply_jax_platforms_env_post_init_is_honest(monkeypatch):
     """Post-init, ``jax.config.update('jax_platforms', ...)`` silently
     no-ops on the live backend (measured on this jax; CLAUDE.md), so the
