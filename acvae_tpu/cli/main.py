@@ -2246,6 +2246,23 @@ class Runner:
             advisor = None
             trials = [{param: _yaml.safe_load(raw)}
                       for raw in str(values).split(",")]
+        # footgun guard: sweeping a key the config never reads (e.g. `lr`
+        # instead of `optimizer_args.lr`) silently varies nothing.  Keys
+        # read via .get() extensions (free_bits, kl_anneal…) legitimately
+        # miss from the file, so this warns rather than raises; the
+        # identical-trials check below catches the remaining cases.
+        merged = Config(dict(DEFAULTS))
+        merged.update(load_config(config, **kwargs))
+        swept_keys = ({param} if param is not None else
+                      set().union(*[set(t) for t in trials if t]) if trials
+                      else set())
+        for k in sorted(swept_keys):
+            sentinel = object()
+            if merged.get_path(k, sentinel) is sentinel:
+                print(f"# WARNING: swept key {k!r} is not present in the "
+                      f"merged config — if it is a typo (e.g. 'lr' vs "
+                      f"'optimizer_args.lr') every trial will train "
+                      f"identically", file=sys.stderr)
         stopper = None
         if assessor == "median":
             from acvae_tpu.train.sweep_advisor import MedianStopAssessor
@@ -2273,6 +2290,11 @@ class Runner:
                     self._trial_assessor = None
             recs = [json.loads(line) for line in
                     open(Path(exp_dir) / "metrics.jsonl")]
+            if not recs or metric not in recs[-1]:
+                avail = sorted(recs[-1]) if recs else []
+                raise ValueError(
+                    f"--metric={metric!r} not in {exp_dir}/metrics.jsonl; "
+                    f"available: {avail}")
             best = max(r[metric] for r in recs)
             history.append((overrides, best))
             results[tag] = {"best": best, "exp_dir": exp_dir,
@@ -2281,6 +2303,28 @@ class Runner:
                 if stopper.last_stop:
                     results[tag]["stopped_early"] = True
                 stopper.trial_end()
+        # identical-trials check: two completed trials with different
+        # overrides but byte-identical metric trajectories mean the swept
+        # keys had no observable effect (wrong key path, or a knob that
+        # does not matter at this scale) — say so instead of printing a
+        # meaningless "best"
+        trajs = {}
+        for tag, r in results.items():
+            try:
+                lines = [json.loads(l) for l in
+                         open(Path(r["exp_dir"]) / "metrics.jsonl")]
+            except OSError:
+                continue
+            for rec in lines:           # wall time differs between
+                rec.pop("epoch_wall_s", None)  # identical runs
+            trajs[tag] = json.dumps(lines, sort_keys=True)
+        if len(trajs) > 1 and len(set(trajs.values())) == 1 and \
+                len({json.dumps(r["params"], sort_keys=True, default=str)
+                     for r in results.values()}) > 1:
+            print("# WARNING: all trials produced byte-identical metric "
+                  "trajectories despite different overrides — the swept "
+                  "key(s) likely never reach training (check the config "
+                  "path, e.g. optimizer_args.lr not lr)", file=sys.stderr)
         best_tag = max(results, key=lambda k: results[k]["best"])
         print(json.dumps({"results": results, "best": best_tag,
                           "best_params": results[best_tag]["params"]},
