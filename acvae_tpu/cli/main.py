@@ -2207,10 +2207,13 @@ class Runner:
         import itertools
 
         import yaml as _yaml
+
+        from acvae_tpu.core.config import _fix_yaml11_floats
         if space is not None:
             sp = (_yaml.safe_load(open(space))
                   if os.path.exists(str(space))
                   else _yaml.safe_load(str(space)))
+            sp = _fix_yaml11_floats(sp)
             if not isinstance(sp, dict) or not all(
                     isinstance(v, list) for v in sp.values()):
                 raise ValueError(
@@ -2244,7 +2247,7 @@ class Runner:
                     f"--mode={mode} needs a --space search space; "
                     "--param/--values runs the literal list")
             advisor = None
-            trials = [{param: _yaml.safe_load(raw)}
+            trials = [{param: _fix_yaml11_floats(_yaml.safe_load(raw))}
                       for raw in str(values).split(",")]
         # footgun guard: sweeping a key the config never reads (e.g. `lr`
         # instead of `optimizer_args.lr`) silently varies nothing.  Keys
