@@ -108,7 +108,16 @@ def main():
             return jnp.sum(x_i8.astype(jnp.int32))
         return run
 
-    stages = {"stem": int8_prefix(0)}
+    # dispatch/reduce floor: a near-empty program over the same input —
+    # the tunnel's per-call overhead (~25-40 ms/call unamortized) rides on
+    # every stage, so absolute stage_ms near this floor means the stage's
+    # REAL cost is the delta, not the reading (round-5 lesson: the 24 ms
+    # "stem" stage is mostly floor)
+    @jax.jit
+    def run_null(feats, feat_lens):
+        return jnp.sum(feats) + jnp.sum(feat_lens)
+
+    stages = {"null": run_null, "stem": int8_prefix(0)}
     for b in range(1, len(quant.blocks) + 1):
         stages[f"thru_b{b - 1}"] = int8_prefix(b)
     stages["full"] = arms["int8"]
