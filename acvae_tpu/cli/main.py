@@ -2138,6 +2138,12 @@ class Runner:
 
         Exit status is nonzero when the device probe fails, so scripts can
         gate TPU-dependent work on ``cli doctor``.
+
+        A probe timeout with other chip work live (train/eval/bench
+        processes, scanned from /proc) is reported with a ``busy`` list:
+        the single tunneled chip serializes callers, so that case is
+        CONTENTION — wait for the listed work, don't diagnose a wedge
+        (measured round 4/5, RESULTS "Round 4 campaign outcome").
         """
         import time as _time
 
