@@ -2260,12 +2260,15 @@ class Runner:
         # read via .get() extensions (free_bits, kl_anneal…) legitimately
         # miss from the file, so this warns rather than raises; the
         # identical-trials check below catches the remaining cases.
-        merged = Config(dict(DEFAULTS))
-        merged.update(load_config(config, **kwargs))
+        try:
+            merged = Config(dict(DEFAULTS))
+            merged.update(load_config(config, **kwargs))
+        except OSError:
+            merged = None  # train() will raise its own clear error
         swept_keys = ({param} if param is not None else
                       set().union(*[set(t) for t in trials if t]) if trials
                       else set())
-        for k in sorted(swept_keys):
+        for k in sorted(swept_keys) if merged is not None else ():
             sentinel = object()
             if merged.get_path(k, sentinel) is sentinel:
                 print(f"# WARNING: swept key {k!r} is not present in the "
