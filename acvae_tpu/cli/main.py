@@ -518,6 +518,8 @@ class Runner:
         from acvae_tpu.train.trainer import (kl_weight_schedule,
                                              parse_kl_anneal)
         kl_anneal = parse_kl_anneal(conf.get("kl_anneal"))
+        # wedge protection (see the loop below); 0 disables
+        inflight_window = int(conf.get("max_inflight_steps", 64) or 0)
         for epoch in range(start_epoch, conf["epochs"] + 1):
             epoch_t0 = _time.perf_counter()
             kl_weight = kl_weight_schedule(
@@ -623,6 +625,18 @@ class Runner:
                 # weight by the *global* batch (identical on every host).
                 losses.append((iteration, metrics["loss"], ss_ratio))
                 nsamples.append(metrics["ntokens"])
+                # bounded in-flight window: with NO intra-epoch sync the
+                # python loop can run an entire epoch ahead of the device;
+                # on a wedged tunnel that queues every batch upload
+                # unboundedly (measured round 5: 65 GB host RSS after the
+                # tunnel hung mid-epoch).  Fetching a loss scalar from W
+                # steps BACK is free on a healthy pipeline (the value is
+                # long computed; one ~30 ms RTT every W/2 steps) and
+                # throttles the loop to ≤W queued batches when the device
+                # stalls.
+                if (inflight_window and len(losses) > inflight_window
+                        and iteration % (inflight_window // 2) == 0):
+                    np.asarray(losses[-inflight_window][1])
                 for k in diag_keys:
                     if k in metrics:
                         diags.setdefault(k, []).append(metrics[k])
