@@ -2186,13 +2186,97 @@ class Runner:
         return report
 
     # ------------------------------------------------------------------ #
+    def _trial_subprocess(self, config: str, opts: Dict[str, Any],
+                          stopper, metric: str) -> str:
+        """One sweep trial as its own ``cli train`` process
+        (``--isolate_trials``): per-trial memory isolation — process exit
+        is the only reliable way to return the runtime/transfer buffers a
+        long chip trial accumulates (~3.5 GB/epoch measured, round 5).
+
+        Assessor semantics are preserved by tailing the trial's
+        ``metrics.jsonl``: each new epoch record feeds
+        ``stopper.assess(score)`` exactly like the in-process hook at the
+        end of the epoch loop, and a stop terminates the child (its
+        ``last``/``best`` checkpoints are already on disk — saves precede
+        the assessor poll in the train loop)."""
+        import subprocess
+        import time as _time
+
+        merged = Config(dict(DEFAULTS))
+        merged.update(load_config(config, **opts))
+        remark = f"{merged['remark']}_{merged['beta']}"
+        if "alpha" in merged:
+            remark += f"_{merged['alpha']}"
+        exp_dir = (Path(merged["outputpath"])
+                   / merged.get("model", "Hybrid_VAEModel") / remark
+                   / f"seed_{merged['seed']}")
+        metrics_path = exp_dir / "metrics.jsonl"
+        # metrics.jsonl appends across runs: only lines written by THIS
+        # trial feed the assessor
+        seen = (sum(1 for _ in open(metrics_path))
+                if metrics_path.exists() else 0)
+        argv = [sys.executable, "-m", "acvae_tpu.cli", "train", config]
+        for k, v in opts.items():
+            argv.append(f"--{k}=" + (json.dumps(v)
+                                     if isinstance(v, (dict, list, bool))
+                                     else str(v)))
+        repo_root = Path(__file__).resolve().parents[2]
+        # propagate the parent's platform choice: a CPU-forced parent
+        # (tests force it via jax.config — the raw env var is ignored by
+        # the axon plugin in-process) must not spawn children that grab
+        # the real chip.  The child CLI re-applies JAX_PLATFORMS through
+        # the config route at main().
+        env = dict(os.environ)
+        want = (os.environ.get("JAX_PLATFORMS")
+                or (getattr(jax.config, "jax_platforms", None) or ""))
+        if want:
+            env["JAX_PLATFORMS"] = want
+        proc = subprocess.Popen(argv, cwd=str(repo_root), env=env,
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        stopped = False
+        try:
+            while True:
+                rc = proc.poll()
+                if metrics_path.exists():
+                    with open(metrics_path) as f:
+                        lines = f.readlines()
+                    for line in lines[seen:]:
+                        rec = json.loads(line)
+                        if metric in rec and stopper is not None \
+                                and stopper.assess(rec[metric]):
+                            print(f"assessor: trial stopped early at "
+                                  f"epoch {rec.get('epoch')} (below "
+                                  f"median of completed trials)")
+                            proc.terminate()
+                            try:
+                                proc.wait(timeout=60)
+                            except subprocess.TimeoutExpired:
+                                proc.kill()
+                            stopped = True
+                            break
+                    seen = len(lines)
+                if stopped or rc is not None:
+                    break
+                _time.sleep(5)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        if not stopped and proc.returncode != 0:
+            raise RuntimeError(
+                f"sweep trial exited {proc.returncode}; see "
+                f"{exp_dir}/train_caption.log")
+        return str(exp_dir)
+
+    # ------------------------------------------------------------------ #
     def sweep(self, config: str, param: Optional[str] = None,
               values: Optional[str] = None, space: Optional[str] = None,
               mode: str = "grid", n_trials: Optional[int] = None,
               metric: str = "val_cider", seed: int = 0,
               assessor: Optional[str] = None,
               assessor_min_trials: int = 3,
-              assessor_min_epochs: int = 2, **kwargs):
+              assessor_min_epochs: int = 2,
+              isolate_trials: bool = False, **kwargs):
         """Hyper-parameter sweep — the reference's NNI integration
         (nni.get_next_parameter / report, pytorch_runner_vae.py:130-133,
         358,389) replaced by an explicit local search.
@@ -2220,6 +2304,15 @@ class Runner:
         averages at E is stopped (from epoch ``--assessor_min_epochs``).
         Stopped trials still contribute their best-so-far metric to the
         tuner history and the summary (marked ``"stopped_early": true``).
+
+        ``--isolate_trials`` runs every trial as its own ``cli train``
+        subprocess (NNI's own process model).  Motivation (measured, round
+        5): a 25-epoch chip trial grows the host process by ~3.5 GB/epoch
+        (runtime/transfer buffers that only process exit reliably
+        returns), so a multi-trial in-process sweep can OOM the host —
+        118 GB RSS before the round-5 kill.  The assessor still works:
+        the parent tails the trial's ``metrics.jsonl`` and terminates the
+        child when the median rule fires.
 
         Prints a summary with the best trial's params; every trial's
         experiment dir is kept.
@@ -2308,9 +2401,12 @@ class Runner:
                 stopper.trial_begin()
                 self._trial_assessor = stopper
             try:
-                exp_dir = self.train(config, **{**overrides,
-                                                "remark": f"sweep_{tag}",
-                                                **kwargs})
+                opts = {**overrides, "remark": f"sweep_{tag}", **kwargs}
+                if isolate_trials:
+                    exp_dir = self._trial_subprocess(config, opts, stopper,
+                                                     metric)
+                else:
+                    exp_dir = self.train(config, **opts)
             finally:
                 if stopper is not None:
                     self._trial_assessor = None

@@ -454,3 +454,22 @@ class TestCLI:
               os.path.join(self.exp_dir, "eval_output_dbs_4.json")])
         captured = capsys.readouterr()
         assert "Div1" in captured.out
+
+
+def test_sweep_isolate_trials_subprocess(workspace):
+    """--isolate_trials runs each trial as its own `cli train` process
+    (per-trial memory isolation — a 25-epoch chip trial grows the host
+    process ~3.5 GB/epoch, measured round 5) while preserving the result
+    summary; the parent computes each trial's experiment dir the same way
+    train does."""
+    Runner().build_vocab(str(workspace / "text.json"),
+                         str(workspace / "vocab.pkl"))
+    res = Runner().sweep(str(workspace / "config.yaml"),
+                         param="beta", values="0.5,0.4",
+                         metric="val_cider", epochs=1,
+                         isolate_trials=True)
+    assert len(res) == 2
+    for tag, r in res.items():
+        assert os.path.isdir(r["exp_dir"]), tag
+        assert os.path.exists(os.path.join(r["exp_dir"], "metrics.jsonl"))
+        assert isinstance(r["best"], float)
