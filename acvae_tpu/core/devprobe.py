@@ -169,7 +169,8 @@ def probe_device(timeout: float = 120.0,
 
 
 def wait_for_device(deadline_s: float, label: str = "device",
-                    ignore_platform_env: bool = False) -> bool:
+                    ignore_platform_env: bool = False,
+                    busy_deadline_s: float = None) -> bool:
     """Probe-with-retry until the device answers or ``deadline_s`` passes.
 
     Shared shield for anything whose FIRST dispatch would otherwise hang
@@ -177,24 +178,41 @@ def wait_for_device(deadline_s: float, label: str = "device",
     ``__graft_entry__.entry()`` compile check).  Returns True when the
     device answered, False when the deadline passed (callers proceed anyway
     and let their own/outer timeout decide, having logged the wedge).
-    On a healthy device the first probe returns in seconds."""
+    On a healthy device the first probe returns in seconds.
+
+    When the probe reports CONTENTION (another train/eval/bench process
+    holds the single serialized chip — ``busy``), the wait is allowed to
+    run past ``deadline_s`` up to ``busy_deadline_s`` (default
+    ``max(deadline_s, 2700)``): contention resolves when the occupant
+    finishes, and a bench that "proceeds anyway" into a busy chip records
+    a drift-poisoned headline (the round-4 BENCH lesson) — waiting for a
+    clean chip is strictly better than measuring through someone else's
+    dispatch stream."""
     import time
 
+    if busy_deadline_s is None:
+        busy_deadline_s = max(float(deadline_s), 2700.0)
     t0 = time.time()
     attempt = 0
     while True:
         attempt += 1
-        if probe_device(timeout=120,
-                        ignore_platform_env=ignore_platform_env)["ok"]:
+        r = probe_device(timeout=120,
+                         ignore_platform_env=ignore_platform_env)
+        if r["ok"]:
             if attempt > 1:
                 print(f"# {label} recovered after {time.time() - t0:.0f}s "
                       f"({attempt} probes)", file=sys.stderr)
             return True
         waited = time.time() - t0
-        if waited >= deadline_s:
+        busy = r.get("busy")
+        limit = busy_deadline_s if busy else deadline_s
+        if waited >= limit:
+            why = (f"chip busy ({'; '.join(busy)})" if busy
+                   else "tunnel wedged?")
             print(f"# WARNING: {label} probe failed for {waited:.0f}s "
-                  f"(tunnel wedged?) — proceeding anyway", file=sys.stderr)
+                  f"({why}) — proceeding anyway", file=sys.stderr)
             return False
-        print(f"# {label} probe {attempt} failed ({waited:.0f}s elapsed); "
-              f"retrying", file=sys.stderr)
-        time.sleep(min(60, max(5, deadline_s - waited)))
+        state = (f"chip busy: {'; '.join(busy)}" if busy else "no answer")
+        print(f"# {label} probe {attempt} failed ({waited:.0f}s elapsed; "
+              f"{state}); retrying", file=sys.stderr)
+        time.sleep(min(60, max(5, limit - waited)))

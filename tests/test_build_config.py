@@ -140,6 +140,52 @@ def test_probe_timeout_labels_contention_vs_wedge(monkeypatch):
     assert "wedged" in out["error"]
 
 
+def test_wait_for_device_busy_extends_past_wedge_deadline(monkeypatch):
+    """Contention (busy probe) must extend the wait past the wedge
+    deadline up to busy_deadline_s — a bench that proceeds into a busy
+    chip records a drift-poisoned headline (round-4 BENCH lesson).  A
+    wedge (no busy list) must still give up at deadline_s."""
+    import time as _time
+
+    from acvae_tpu.core import devprobe
+
+    clock = {"t": 0.0}
+    monkeypatch.setattr(devprobe, "probe_device",
+                        lambda **kw: {"ok": False, "busy": ["9:cli train"],
+                                      "error": "contention"})
+    monkeypatch.setattr(_time, "time", lambda: clock["t"])
+
+    def sleep(s):
+        clock["t"] += max(s, 1)
+
+    monkeypatch.setattr(_time, "sleep", sleep)
+    # wedge deadline 10 s, busy deadline 100 s: busy probes keep retrying
+    # past 10 s and give up only at the busy deadline
+    assert devprobe.wait_for_device(10, busy_deadline_s=100) is False
+    assert clock["t"] >= 100
+
+    # recovery mid-wait: device answers once the occupant finishes
+    clock["t"] = 0.0
+    calls = {"n": 0}
+
+    def probe_then_ok(**kw):
+        calls["n"] += 1
+        if clock["t"] < 30:
+            return {"ok": False, "busy": ["9:cli train"], "error": "c"}
+        return {"ok": True, "device": {}}
+
+    monkeypatch.setattr(devprobe, "probe_device", probe_then_ok)
+    assert devprobe.wait_for_device(10, busy_deadline_s=100) is True
+    assert calls["n"] > 1
+
+    # a pure wedge (no busy list) still gives up at the wedge deadline
+    clock["t"] = 0.0
+    monkeypatch.setattr(devprobe, "probe_device",
+                        lambda **kw: {"ok": False, "error": "wedged"})
+    assert devprobe.wait_for_device(10, busy_deadline_s=100) is False
+    assert clock["t"] < 100
+
+
 def test_concurrent_chip_users_reads_proc(monkeypatch):
     """Pure /proc read: returns [] or pid:marker strings, never raises,
     and never includes this process."""
