@@ -233,8 +233,17 @@ def load_raw_checkpoint(exp_dir: str, name: str = "best",
     pass ``("params", "batch_stats", "step")`` to skip reading the Adam
     opt_state (~2x the params bytes).  Falls back to the full read if the
     metadata route fails (e.g. older orbax layouts)."""
+    import numpy as np
+
     path = _resolve_checkpoint_path(exp_dir, name)
     ckptr = ocp.StandardCheckpointer()
+    # restore every leaf as HOST numpy: without explicit restore_args orbax
+    # revives the sharding recorded at save time, so a TPU-written
+    # checkpoint refuses to load in a CPU process ("Device TPU v5 lite0
+    # was not found") — the same cross-platform trap restore_checkpoint()
+    # guards against, hit here by cli export_model/import consumers
+    _as_np = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
     if subset:
         try:
             md = ckptr.metadata(path).item_metadata.tree
@@ -244,12 +253,24 @@ def load_raw_checkpoint(exp_dir: str, name: str = "best",
                     for k in subset if k in md}
             return ocp.PyTreeCheckpointer().restore(
                 path, args=ocp.args.PyTreeRestore(item=item,
+                                                  restore_args=_as_np(item),
                                                   partial_restore=True))
         except Exception as e:
             logging.getLogger("acvae_tpu").warning(
                 "partial restore of %s failed (%s); reading the full tree",
                 path, type(e).__name__)
-    return ckptr.restore(path)
+    try:
+        return ckptr.restore(path)
+    except ValueError as e:
+        if "not found in jax.local_devices" not in str(e):
+            raise
+        # cross-platform full read: metadata template + host-numpy leaves
+        md = ckptr.metadata(path).item_metadata.tree
+        item = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), md)
+        return ocp.PyTreeCheckpointer().restore(
+            path, args=ocp.args.PyTreeRestore(item=item,
+                                              restore_args=_as_np(item)))
 
 
 def criterion_improver(mode: str, initial: Optional[float] = None):

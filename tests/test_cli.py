@@ -317,6 +317,23 @@ class TestCLI:
             Runner().evaluate(self.exp_dir, checkpoint="last",
                               encoder_int8=True, int8_scheme="v9")
 
+    def test_load_raw_checkpoint_subset_restores_host_numpy(self, workspace):
+        """Cross-platform guarantee: the metadata-template (subset) read
+        must restore leaves as HOST numpy, never reviving the save-time
+        device sharding — a TPU-written checkpoint otherwise refuses to
+        load in a CPU process ("Device TPU v5 lite0 was not found in
+        jax.local_devices()"), which broke `cli export_model` on the
+        round-5 arm-1 checkpoints."""
+        import jax
+        import numpy as onp
+
+        from acvae_tpu.train.checkpoints import load_raw_checkpoint
+
+        tree = load_raw_checkpoint(self.exp_dir, "last",
+                                   subset=("params", "batch_stats"))
+        leaves = jax.tree_util.tree_leaves(tree["params"])
+        assert leaves and all(isinstance(x, onp.ndarray) for x in leaves)
+
     def test_average_checkpoints(self, workspace):
         """SWA-style weight averaging: avg = mean(best, last) elementwise,
         saved as a named checkpoint that evaluate can consume."""
